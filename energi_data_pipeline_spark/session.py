@@ -1,0 +1,69 @@
+"""SparkSession factory + per-query runtime tuning.
+
+The engine is designed for a real multi-executor cluster (100 TB
+fact tables, 1000 executors) but is exercised on ``local[N]``.
+Session-level choices that matter at scale:
+
+* AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion based on observed sizes.
+* UTC session timezone: parity with the reference's DuckDB semantics
+  (naive TIMESTAMP everywhere — silver_transform.py:24).
+* Arrow on: every pandas interchange (mapInPandas / applyInPandas
+  extension operators) is Arrow-batched, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf that must hold for oracle parity and is safe to set at runtime
+#: on an externally-provided session (the driver owns its session).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # 600k-row bench scale: without AQE coalescing 200 shuffle
+    # partitions is pure overhead; AQE shrinks them, this is the cap.
+    "spark.sql.shuffle.partitions": "32",
+    # The driver-generated parquet stores TIMESTAMP(NANOS) which the
+    # vectorized reader rejects; read as int64 nanos and convert in
+    # io.read_table (floor to micros, matching DuckDB's fetch
+    # truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not runtime-settable on this build — keep going
+    return spark
+
+
+def get_spark(app_name: str = "energi-data-pipeline-spark",
+              master: str | None = None) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+    ``local[*]``) so tests and bench share one code path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
