@@ -43,13 +43,26 @@ def minhash_sig(tokens: Column, num_hashes: int) -> Column:
     ``(a*(h(t) mod p) + b) mod p`` over the token set.  Identical
     SQL runs in DuckDB (list_transform/list_min) for the oracle.
     """
-    sig = []
-    for k in range(num_hashes):
-        a, b = minhash_seed(k)
-        hashed = F.transform(
-            tokens,
-            lambda t, a=a, b=b: ((stable_hash64(t) % MERSENNE_P) * a + b)
-            % MERSENNE_P,
-        )
-        sig.append(F.array_min(hashed))
-    return F.array(*sig)
+    hs = base_hashes(tokens)
+    return F.array(*[minhash_from_hashes(hs, k) for k in range(num_hashes)])
+
+
+def base_hashes(tokens: Column) -> Column:
+    """``array<bigint>`` of 31-bit base hashes for a token array.
+
+    Split out from the signature so the md5 work (the expensive
+    part) runs ONCE per token; the k universal-hash minima are then
+    cheap arithmetic over this array.  Callers should materialize it
+    through a separate projection so one md5 pass per hash function
+    cannot be inlined back in.
+    """
+    # single-arg closure: a multi-arg lambda would be taken as the
+    # (element, index) form by the higher-order-function binder
+    return F.transform(tokens, lambda x: stable_hash64(x) % MERSENNE_P)
+
+
+def minhash_from_hashes(hashes: Column, k: int) -> Column:
+    """k-th MinHash value over pre-hashed tokens (see base_hashes)."""
+    a, b = minhash_seed(k)
+    return F.array_min(
+        F.transform(hashes, lambda h: (h * a + b) % MERSENNE_P))

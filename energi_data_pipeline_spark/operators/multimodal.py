@@ -1,0 +1,70 @@
+"""Multimodal binary-column operators (decode/feature plumbing).
+
+Treats media as ``binary`` payload + typed metadata columns.  The
+heavy per-item work (decode, resize, frame-sample, embed) runs as
+Arrow-batched ``mapInPandas`` — the only correct 100 TB shape for
+Python-side media code: whole Arrow record batches cross the
+JVM<->Python boundary once, pandas vectorizes within the batch, and
+partitioning is preserved (no shuffle).
+
+The actual codecs are NOT in this container, so ``decode_stub``
+derives deterministic fake features from the bytes; swap it for
+PIL/torchaudio/ffmpeg in a real deployment — the schema, batching
+and partition behavior stay identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
+                               LongType, StructField, StructType)
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("fake_width", IntegerType()),
+    StructField("fake_height", IntegerType()),
+    StructField("byte_mean", DoubleType()),
+])
+
+
+def decode_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decoder.
+
+    Real deployment: ``raise NotImplementedError`` -> PIL decode.
+    Here: derive a fake (width, height) from the payload so tests
+    exercise the full plumbing deterministically.
+    """
+    if payload is None or len(payload) == 0:
+        return (0, 0)
+    return (64 + payload[0] % 64, 64 + payload[-1] % 64)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` -> per-item features, Arrow-batched.
+
+    mapInPandas receives an iterator of pandas DataFrames (one per
+    Arrow batch) — memory use is bounded by the batch size, not the
+    partition size, which is what keeps a 100 TB media column
+    processable.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = payloads.map(decode_stub)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(
+                    lambda b: 0 if b is None else len(b)).astype("int32"),
+                "fake_width": dims.map(lambda d: d[0]).astype("int32"),
+                "fake_height": dims.map(lambda d: d[1]).astype("int32"),
+                "byte_mean": payloads.map(
+                    lambda b: float(sum(b)) / len(b) if b else 0.0),
+            })
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)

@@ -54,4 +54,5 @@ def load_all() -> dict[str, QueryDef]:
     from . import text  # noqa: F401
     from . import simsearch  # noqa: F401
     from . import streaming  # noqa: F401
+    from . import multimodal  # noqa: F401
     return REGISTRY

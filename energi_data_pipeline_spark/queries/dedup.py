@@ -1,1 +1,348 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` table.
+
+The LLM-pipeline dedup family (BASELINE.json north star):
+
+* exact dedup           — hash-groupBy on normalized content
+* MinHash               — portable universal-hash signatures
+* MinHash-LSH           — banded bucket join -> candidate pairs
+* SimHash               — bit-majority fingerprint
+* n-gram Jaccard        — relational shingle-join similarity
+
+Scale shape: signatures/fingerprints are map-only stages; candidate
+generation joins on (band, band_hash) or shingle keys — the classic
+shuffle-on-small-keys pattern that scales linearly with corpus size
+instead of the quadratic all-pairs compare.  All of it is Catalyst
+expressions; the oracle runs the identical logic in DuckDB SQL
+(list_transform/list_min + the same md5-derived 56-bit hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions.hashing import (MERSENNE_P, base_hashes,
+                                 minhash_from_hashes, minhash_seed)
+from . import query
+from .core import t
+from .text import TOKENS_SQL, tokens_col
+
+NUM_HASHES = 8
+# 2 bands x 4 hashes: candidate threshold ~ (1/2)^(1/4) ≈ 0.84
+# estimated Jaccard — strict enough that same-vocabulary corpora
+# don't explode the candidate-pair space quadratically.
+NUM_BANDS = 2
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+NORM_SQL = "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
+
+
+def norm_col():
+    return F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+
+
+# 3-token shingles: MinHash over raw unigrams is degenerate when the
+# corpus shares a small vocabulary (every token set ≈ the vocabulary,
+# so every pair looks near-identical); shingling first is the
+# standard fix and keeps the candidate-pair space sane.
+SHINGLE_W = 3
+
+SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({toks}) - {wm1}, 0) + 1), "
+    "i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+).format(toks=TOKENS_SQL, wm1=SHINGLE_W - 1)
+
+
+def shingles_col(c):
+    toks = tokens_col(c)
+    n = F.size(toks) - (SHINGLE_W - 1)
+    # guard: Spark's sequence(1, 0) counts DOWN — short docs need an
+    # explicit empty index list (DuckDB's range(1, 1) is already [])
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.expr("CAST(array() AS array<int>)"))
+    return F.array_distinct(F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2)),
+    ))
+
+
+# ------------------------------------------------------------ exact
+@query(
+    "dedup_exact",
+    f"""WITH keyed AS (
+          SELECT doc_id, source, md5({NORM_SQL}) AS content_key
+          FROM documents)
+        SELECT content_key,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM keyed
+        GROUP BY content_key""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized content, keep the
+    lowest doc_id per group (deterministic representative)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(norm_col()).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------- minhash
+#: base-hash CTE — the md5 work happens once per shingle; the k
+#: universal-hash minima are cheap arithmetic over the hash list.
+_HS_CTE = (
+    "hs AS (SELECT doc_id, list_transform({shingles}, t -> "
+    "('0x' || substr(md5(t), 1, 14))::BIGINT % {p}) AS hl "
+    "FROM documents)"
+).format(shingles=SHINGLES_SQL, p=MERSENNE_P)
+
+
+def _minhash_term_sql(k: int) -> str:
+    a, b = minhash_seed(k)
+    return (f"list_min(list_transform(hl, h -> (h * {a} + {b})"
+            f" % {MERSENNE_P}))")
+
+
+MINHASH_SQL_COLS = ",\n               ".join(
+    f"{_minhash_term_sql(k)} AS mh{k}" for k in range(NUM_HASHES))
+
+
+@query(
+    "dedup_minhash_signature",
+    f"""WITH {_HS_CTE}
+        SELECT doc_id,
+               {MINHASH_SQL_COLS}
+        FROM hs""",
+)
+def dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures (3-token shingles -> 8 universal hashes).
+    Map-only; the signature replaces the document for all downstream
+    similarity work (constant width regardless of doc length)."""
+    d = t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", base_hashes(shingles_col(F.col("text"))).alias("hl"))
+    return hashed.select(
+        "doc_id",
+        *[minhash_from_hashes(F.col("hl"), k).alias(f"mh{k}")
+          for k in range(NUM_HASHES)],
+    )
+
+
+# ------------------------------------------------------ minhash-LSH
+_BAND_KEYS_SQL = ",\n               ".join(
+    "md5(" + " || '_' || ".join(
+        f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+    for b in range(NUM_BANDS))
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""WITH {_HS_CTE},
+        sigs AS (
+          SELECT doc_id, {MINHASH_SQL_COLS}
+          FROM hs),
+        banded AS (
+          SELECT doc_id, {_BAND_KEYS_SQL}
+          FROM sigs),
+        long AS (
+          SELECT doc_id, b.band, b.key
+          FROM banded,
+               LATERAL (VALUES {", ".join(
+                   f"({b}, band{b})" for b in range(NUM_BANDS))})
+                 AS b(band, key)),
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM long l JOIN long r
+            ON l.band = r.band AND l.key = r.key
+           AND l.doc_id < r.doc_id),
+        est AS (
+          SELECT p.doc_a, p.doc_b,
+                 (SELECT CAST(
+                      (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END +
+                       CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END +
+                       CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END +
+                       CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END +
+                       CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END +
+                       CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END +
+                       CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END +
+                       CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / {NUM_HASHES}
+                  FROM sigs a, sigs b
+                  WHERE a.doc_id = p.doc_a AND b.doc_id = p.doc_b)
+                   AS est_jaccard
+          FROM pairs p)
+        SELECT doc_a, doc_b, est_jaccard FROM est
+        WHERE est_jaccard >= 0.5""",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: band the signature, join on
+    (band, band_key) buckets, dedup pairs, score by signature
+    agreement.  The join key space is tiny vs all-pairs — this is
+    the 100 TB-safe near-dup shape."""
+    # the signature table feeds three plan branches (banding + both
+    # sides of the pair join) — materialize it once, it's tiny
+    sigs = dedup_minhash_signature(spark, sf_dir).cache()
+    band_cols = [
+        F.md5(F.concat_ws("_", *[
+            F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
+        for b in range(NUM_BANDS)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    long = banded.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+            for b in range(NUM_BANDS)])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    l, r = long.alias("l"), long.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.key") == F.col("r.key"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
+        for k in range(NUM_HASHES))
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b",
+                (agree.cast("double") / NUM_HASHES).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------- simhash
+SIMHASH_BITS = 16
+
+
+@query(
+    "dedup_simhash",
+    f"""WITH toks AS (
+          SELECT doc_id,
+                 list_distinct({TOKENS_SQL}) AS ts
+          FROM documents),
+        hashed AS (
+          SELECT doc_id,
+                 list_transform(ts, t ->
+                   ('0x' || substr(md5(t), 1, 14))::BIGINT) AS hs
+          FROM toks)
+        SELECT doc_id,
+               CAST((SELECT SUM(CASE WHEN len(list_filter(hs, h ->
+                       (h >> b.b) & 1 = 1)) * 2 > len(hs)
+                     THEN 1 << b.b ELSE 0 END)
+                     FROM (SELECT unnest(range({SIMHASH_BITS})) AS b) b)
+                 AS BIGINT) AS simhash
+        FROM hashed""",
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint: per bit position, majority vote of token
+    hash bits.  Near-dups differ in few bits (hamming distance);
+    map-only like MinHash."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_col(F.col("text")))
+    hs = F.transform(
+        toks,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 14), 16, 10)
+        .cast("bigint"))
+    hashed = d.select("doc_id", hs.alias("hs"))
+
+    def bit_set(b: int):
+        # single-arg closure (see functions.hashing.minhash_sig)
+        return lambda h: h.bitwiseAND(F.lit(1 << b)) != 0
+
+    bits = [
+        F.when(
+            F.size(F.filter(F.col("hs"), bit_set(b))) * 2
+            > F.size(F.col("hs")),
+            F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ]
+    simhash = bits[0]
+    for bcol in bits[1:]:
+        simhash = simhash + bcol
+    return hashed.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+# ------------------------------------------------- n-gram Jaccard
+NGRAM = 3
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""WITH norm AS (
+          SELECT doc_id, source, {NORM_SQL} AS s
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, source,
+                 unnest(list_transform(range(1, length(s) - {NGRAM - 2}),
+                                       i -> substr(s, i, {NGRAM}))) AS g
+          FROM norm),
+        sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_common
+          FROM grams a JOIN grams b
+            ON a.g = b.g AND a.source = b.source
+           AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common) >= 0.5""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Character n-gram Jaccard similarity, relationally: explode
+    distinct shingles, self-join on (shingle, source block), count
+    intersections, |A∪B| = |A|+|B|-|A∩B|.  Blocking on ``source``
+    bounds the candidate space; the exact ratio is deterministic
+    (integer counts, one double division)."""
+    d = t(spark, sf_dir, "documents")
+    s = norm_col()
+    # dynamic-position substring needs the SQL expression form
+    norm = d.select("doc_id", "source", s.alias("s"))
+    grams = (
+        norm.select(
+            "doc_id", "source",
+            F.explode(F.expr(
+                f"transform(sequence(1, length(s) - {NGRAM - 1}), "
+                f"i -> substring(s, i, {NGRAM}))")).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (F.col("n_common").cast("double")
+           / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -1,1 +1,200 @@
-"""Placeholder — populated in a later milestone."""
+"""Embedding similarity search over the ``embeddings`` table
+(``vec_id bigint, embedding array<float>, label int``).
+
+Two shapes (BASELINE.json north star):
+
+* brute-force cosine top-k — the exactness baseline.  Dot products
+  stay JVM-side as higher-order-function folds (zip_with +
+  aggregate) — no UDF, no explode of the corpus side;
+* LSH-bucketed ANN — deterministic sign-random-projection buckets
+  (hyperplanes derived from the portable md5 hash, so the oracle
+  reproduces them bit-for-bit); candidates only join within their
+  bucket, which is the linear-scan -> sublinear trade at 100 TB.
+
+Float determinism: elements are cast float->double (exact) before
+multiplying; the fold accumulates left-to-right in Spark while
+DuckDB's SUM-over-unnest order is unspecified, so cosine values are
+rounded to 6 decimals on both sides and ranking ties broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from . import query
+from .core import t
+
+TOP_K = 5
+QUERY_STRIDE = 50  # vec_id % 50 == 0 -> 10 queries at sf0.01
+N_PLANES = 8
+DIM = 64
+
+DOT_SQL_FRAGMENT = """
+  (SELECT SUM(a_e * b_e) FROM (
+     SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS a_e,
+            CAST(UNNEST(b.embedding) AS DOUBLE) AS b_e)) """
+
+
+def _dot(a, b):
+    """JVM-side dot product: zip_with multiply + aggregate fold."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double")
+                       * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+COSINE_TOPK_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                         CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM vec a JOIN vec b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % {QUERY_STRIDE} = 0),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id)
+           AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("sims_cosine_topk_bruteforce", COSINE_TOPK_SQL)
+def sims_cosine_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the (small) query set
+    against the corpus; dot products fold JVM-side; rank on the
+    rounded cosine with deterministic id tie-break."""
+    emb = t(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"))
+    queries = (vec.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       F.col("nrm").alias("q_nrm")))
+    pairs = (
+        F.broadcast(queries)
+        .join(vec, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K))
+
+
+# ---------------------------------------------------------- LSH ANN
+def _plane_weight_sql(p: int) -> str:
+    """±1 weight of plane p at dim i (i from the lambda scope):
+    parity of the portable hash of 'p_i'."""
+    return (f"(('0x' || substr(md5(CAST({p} AS VARCHAR) || '_' || "
+            f"CAST(i AS VARCHAR)), 1, 14))::BIGINT % 2) * 2 - 1")
+
+
+def _bucket_sql() -> str:
+    bits = " + ".join(
+        f"""(CASE WHEN (SELECT SUM(
+               ({_plane_weight_sql(p)}) * CAST(embedding[i + 1] AS DOUBLE))
+             FROM (SELECT UNNEST(range({DIM})) AS i)) > 0
+           THEN {1 << p} ELSE 0 END)"""
+        for p in range(N_PLANES))
+    return f"({bits})"
+
+
+ANN_LSH_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm,
+         CAST({_bucket_sql()} AS BIGINT) AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.bucket,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                         CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM vec a JOIN vec b
+    ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+  WHERE a.vec_id % {QUERY_STRIDE} = 0),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, bucket, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("sims_ann_lsh_bucketed", ANN_LSH_SQL)
+def sims_ann_lsh_bucketed(spark, sf_dir):
+    """Sign-random-projection ANN: 8 deterministic hyperplanes give a
+    256-bucket code; neighbor search joins only within a bucket.
+    At 100 TB the bucket is the shuffle key — each reducer scans one
+    bucket instead of the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+
+    def proj(p: int):
+        # fold over dims: weight(p, i) * e[i]; weights derived from
+        # the portable hash parity so DuckDB rebuilds them exactly
+        def step(acc, i):
+            w = (F.conv(F.substring(
+                F.md5(F.concat_ws("_", F.lit(str(p)), i.cast("string"))),
+                1, 14), 16, 10).cast("bigint") % 2) * 2 - 1
+            return acc + w.cast("double") * F.element_at(
+                F.col("embedding"), (i + 1).cast("int")).cast("double")
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(DIM - 1)),
+                           F.lit(0.0), step)
+
+    bucket = None
+    for p in range(N_PLANES):
+        bit = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+
+    vec = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        bucket.cast("bigint").alias("bucket"),
+    ).cache()
+    queries = vec.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    ).filter(F.col("query_id") % QUERY_STRIDE == 0)
+    pairs = (
+        F.broadcast(queries)
+        .join(vec, (F.col("bucket") == F.col("q_bucket"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K))

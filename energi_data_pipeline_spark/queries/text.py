@@ -1,1 +1,167 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-training-data extensions (BASELINE.json north star): token
+counting, quality scoring, language id, document fingerprinting.
+All pure Catalyst expressions (split/regexp/md5/transform) — the
+whole stage codegens, nothing drops to Python, so at 100 TB these
+are embarrassingly-parallel map stages over the document shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+from . import query
+from .core import t
+
+#: tiny top-stopword lists; enough for a deterministic n-gram/stopword
+#: language heuristic (real lang-id models aren't in this container).
+EN_STOP = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+DA_STOP = ["og", "i", "det", "at", "en", "den", "til", "er", "som", "af"]
+
+
+def tokens_col(c):
+    """Whitespace tokenization — identical in DuckDB:
+    regexp_split_to_array(trim(text), '\\s+')."""
+    return F.split(F.trim(c), r"\s+")
+
+
+TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "text_token_stats",
+    f"""SELECT doc_id,
+               CAST(len({TOKENS_SQL}) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_measured,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len({TOKENS_SQL}), 6) AS avg_token_len
+        FROM documents""",
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokenizer + per-doc length stats."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""WITH feats AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len({TOKENS_SQL}) AS DOUBLE) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                      AS DOUBLE) AS n_punct,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                      AS DOUBLE) AS n_digit,
+                 CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                      AS DOUBLE) AS n_upper
+          FROM documents)
+        SELECT doc_id,
+               ROUND(n_punct / n_chars, 6) AS punct_ratio,
+               ROUND(n_digit / n_chars, 6) AS digit_ratio,
+               ROUND(n_upper / n_chars, 6) AS upper_ratio,
+               ROUND(n_chars / n_tokens, 6) AS chars_per_token,
+               (n_tokens >= 10 AND n_tokens <= 1000
+                AND n_punct / n_chars < 0.2
+                AND n_digit / n_chars < 0.3) AS passes_quality
+        FROM feats""",
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring: punctuation / digit / uppercase
+    ratios + length gates (the C4/Gopher-style rule family)."""
+    d = t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(tokens_col(F.col("text"))).cast("double")
+
+    def strip_len(pattern):
+        return F.length(
+            F.regexp_replace(F.col("text"), pattern, "")).cast("double")
+
+    n_punct = strip_len("[^.,;:!?]")
+    n_digit = strip_len("[^0-9]")
+    n_upper = strip_len("[^A-Z]")
+    return d.select(
+        "doc_id",
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_digit / n_chars, 6).alias("digit_ratio"),
+        F.round(n_upper / n_chars, 6).alias("upper_ratio"),
+        F.round(n_chars / n_tokens, 6).alias("chars_per_token"),
+        ((n_tokens >= 10) & (n_tokens <= 1000)
+         & (n_punct / n_chars < 0.2)
+         & (n_digit / n_chars < 0.3)).alias("passes_quality"),
+    )
+
+
+def _stop_hits_sql(words: list[str]) -> str:
+    return ("len(list_filter({toks}, t -> t IN ("
+            + ", ".join(f"'{w}'" for w in words) + ")))").format(
+                toks=TOKENS_SQL)
+
+
+@query(
+    "text_lang_id",
+    f"""WITH feats AS (
+          SELECT doc_id, lang,
+                 CAST(len({TOKENS_SQL}) AS DOUBLE) AS n_tokens,
+                 CAST({_stop_hits_sql(EN_STOP)} AS DOUBLE) AS en_hits,
+                 CAST({_stop_hits_sql(DA_STOP)} AS DOUBLE) AS da_hits
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN en_hits = 0 AND da_hits = 0 THEN 'unknown'
+                    WHEN en_hits >= da_hits THEN 'en'
+                    ELSE 'da' END AS lang_pred,
+               ROUND(en_hits / n_tokens, 6) AS en_stop_ratio
+        FROM feats""",
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-profile language id (deterministic heuristic standing
+    in for fasttext-style models)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+
+    def hits(words):
+        return F.size(F.filter(
+            toks, lambda x: x.isin(*words))).cast("double")
+
+    en_hits, da_hits = hits(EN_STOP), hits(DA_STOP)
+    n_tokens = F.size(toks).cast("double")
+    return d.select(
+        "doc_id", "lang",
+        F.when((en_hits == 0) & (da_hits == 0), F.lit("unknown"))
+        .when(en_hits >= da_hits, F.lit("en"))
+        .otherwise(F.lit("da")).alias("lang_pred"),
+        F.round(en_hits / n_tokens, 6).alias("en_stop_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))
+                AS content_md5,
+              ('0x' || substr(md5(lower(regexp_replace(
+                   text, '[^a-zA-Z0-9]', '', 'g'))), 1, 14))::BIGINT
+                AS content_hash64
+       FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprint over alnum-normalized text: md5 plus the
+    engine-portable 56-bit integer hash (functions.hashing)."""
+    d = t(spark, sf_dir, "documents")
+    normalized = F.lower(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
+    return d.select(
+        "doc_id",
+        F.md5(normalized).alias("content_md5"),
+        stable_hash64(normalized).alias("content_hash64"),
+    )
