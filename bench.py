@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...}
+
+Methodology: one shared session (JVM startup excluded, as for any
+resident engine); each query executes fully via the noop sink (count
+alone would let Catalyst prune the projections we mean to measure).
+A DuckDB run of the same oracle SQL is included as
+``duckdb_baseline`` so the 2x target (BASELINE.md) is visible in the
+same artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "gold_events_full",
+    "core_moving_avg_partitioned",
+    "core_groupby_agg",
+    "core_cte_chain",
+    "core_dim_time",
+    "core_insert_if_absent",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "sims_cosine_topk_bruteforce",
+    "sims_ann_lsh_bucketed",
+    "stream_tumbling_window",
+    "mm_binary_metadata",
+]
+
+
+def run_spark(sf_dir: str) -> dict[str, float]:
+    from energi_data_pipeline_spark.queries import load_all
+    from energi_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("energi-bench")
+    registry = load_all()
+    # warm-up: JIT + parquet footer caches, not part of any query time
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return times
+
+
+def run_duckdb(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from parity import duck_connection
+
+    from energi_data_pipeline_spark.queries import load_all
+
+    registry = load_all()
+    con = duck_connection(sf_dir)
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        oracle = registry[name].oracle
+        if oracle is None:
+            continue
+        t0 = time.perf_counter()
+        con.execute(oracle).fetchall()
+        times[name] = round(time.perf_counter() - t0, 3)
+    con.close()
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark_times = run_spark(sf_dir)
+    duck_times = run_duckdb(sf_dir)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(spark_times.values()), 3),
+        "unit": "sec",
+        "queries": spark_times,
+        "sf": sf,
+        "duckdb_baseline": duck_times,
+        "duckdb_total": round(sum(duck_times.values()), 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
