@@ -216,8 +216,8 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
         for k in range(NUM_HASHES))
     return (
-        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
-        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        pairs.join(F.broadcast(a), pairs.doc_a == F.col("a.doc_id"))
+        .join(F.broadcast(b), pairs.doc_b == F.col("b.doc_id"))
         .select("doc_a", "doc_b",
                 (agree.cast("double") / NUM_HASHES).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
@@ -278,6 +278,8 @@ def dedup_simhash(spark, sf_dir):
 
 # ------------------------------------------------- n-gram Jaccard
 NGRAM = 3
+#: Jaccard acceptance threshold (shared by Spark plan and oracle).
+JACCARD_T = 0.5
 
 
 @query(
@@ -309,40 +311,71 @@ NGRAM = 3
                  / (sa.n + sb.n - i.n_common) >= 0.5""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Character n-gram Jaccard similarity, relationally: explode
-    distinct shingles, self-join on (shingle, source block), count
-    intersections, |A∪B| = |A|+|B|-|A∩B|.  Blocking on ``source``
-    bounds the candidate space; the exact ratio is deterministic
-    (integer counts, one double division)."""
+    """Character n-gram Jaccard similarity with PPJoin-style prefix
+    filtering (Xiao et al., WWW'08 — public literature):
+
+    1. distinct grams per doc computed map-side (``array_distinct``
+       inside the array, no shuffle);
+    2. document frequency per (source, gram) — a broadcastable agg;
+    3. each doc keeps only its *prefix*: the ``n - ceil(t*n) + 1``
+       rarest grams (global (df, gram) order).  Any pair with
+       J >= t MUST share a prefix gram, so joining prefixes instead
+       of full gram sets is lossless but cuts the join fan-out by
+       ~4x (half the grams on each side, squared);
+    4. candidate pairs verified exactly via ``array_intersect`` on
+       the full gram arrays (JVM-side, no UDF).
+
+    Blocking on ``source`` bounds the candidate space; the result is
+    bit-identical to the naive relational oracle.  At 100 TB the
+    (source, gram) join key is the shuffle key and the df table
+    broadcasts — the quadratic all-pairs compare never materializes."""
     d = t(spark, sf_dir, "documents")
     s = norm_col()
     # dynamic-position substring needs the SQL expression form
-    norm = d.select("doc_id", "source", s.alias("s"))
-    grams = (
-        norm.select(
-            "doc_id", "source",
-            F.explode(F.expr(
-                f"transform(sequence(1, length(s) - {NGRAM - 1}), "
-                f"i -> substring(s, i, {NGRAM}))")).alias("g"))
+    # guard: Spark's sequence(1, 0) counts DOWN — docs shorter than
+    # one gram need an explicit empty list (DuckDB range is already [])
+    ga = F.array_distinct(F.expr(
+        f"CASE WHEN length(s) >= {NGRAM} THEN "
+        f"transform(sequence(1, length(s) - {NGRAM - 1}), "
+        f"i -> substring(s, i, {NGRAM})) "
+        f"ELSE CAST(array() AS array<string>) END"))
+    docs = (
+        d.select("doc_id", "source", s.alias("s"))
+        .select("doc_id", "source", ga.alias("ga"))
+        .withColumn("n", F.size("ga"))
+        .filter(F.col("n") > 0)
+    )
+    grams = docs.select("doc_id", "source", "n", F.explode("ga").alias("g"))
+    dfreq = grams.groupBy("source", "g").agg(
+        F.count(F.lit(1)).alias("df"))
+    # prefix length for Jaccard >= t on an n-gram set of size n
+    pref_len = F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)) + 1
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "g")
+    prefix = (
+        grams.join(F.broadcast(dfreq), ["source", "g"])
+        .withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") <= pref_len)
+        .select("doc_id", "source", "g")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(pb, (F.col("pa.g") == F.col("pb.g"))
+                & (F.col("pa.source") == F.col("pb.source"))
+                & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+        .select(F.col("pa.doc_id").alias("doc_a"),
+                F.col("pb.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g"))
-               & (F.col("a.source") == F.col("b.source"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (F.col("n_common").cast("double")
-           / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")))
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("ga").alias("ga_a"), F.col("n").alias("n_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("ga").alias("ga_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("ga_a", "ga_b"))
+    jac = (inter.cast("double")
+           / (F.col("n_a") + F.col("n_b") - inter))
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= JACCARD_T)
     )
