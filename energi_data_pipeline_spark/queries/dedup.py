@@ -53,9 +53,14 @@ SHINGLES_SQL = (
 ).format(toks=TOKENS_SQL, wm1=SHINGLE_W - 1)
 
 
-def shingles_col(c):
-    toks = tokens_col(c)
-    n = F.size(toks) - (SHINGLE_W - 1)
+def shingles_from_tokens(tk):
+    """3-token shingles over a MATERIALIZED token-array column.
+
+    ``tk`` must be a plain attribute (cached or shuffled), not an
+    expression: the lambda body indexes it three times per shingle
+    position, and an inlined ``split()`` would re-execute once per
+    index access instead of once per document."""
+    n = F.size(tk) - (SHINGLE_W - 1)
     # guard: Spark's sequence(1, 0) counts DOWN — short docs need an
     # explicit empty index list (DuckDB's range(1, 1) is already [])
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
@@ -63,8 +68,8 @@ def shingles_col(c):
     return F.array_distinct(F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2)),
+            " ", F.element_at(tk, i), F.element_at(tk, i + 1),
+            F.element_at(tk, i + 2)),
     ))
 
 
@@ -122,10 +127,21 @@ MINHASH_SQL_COLS = ",\n               ".join(
 def dedup_minhash_signature(spark, sf_dir):
     """MinHash signatures (3-token shingles -> 8 universal hashes).
     Map-only; the signature replaces the document for all downstream
-    similarity work (constant width regardless of doc length)."""
+    similarity work (constant width regardless of doc length).
+
+    The token array and the base-hash array are cached as
+    optimization barriers: without them CollapseProject inlines the
+    split into the shingle lambda (one split per element access) and
+    the md5 pass into all 8 minhash columns (8 md5 passes per doc) —
+    measured 7x slower at sf0.1."""
     d = t(spark, sf_dir, "documents")
-    hashed = d.select(
-        "doc_id", base_hashes(shingles_col(F.col("text"))).alias("hl"))
+    toks = d.select(
+        "doc_id", tokens_col(F.col("text")).alias("tk")).cache()
+    hashed = toks.select(
+        "doc_id",
+        base_hashes(shingles_from_tokens(F.col("tk"))).alias("hl"),
+    ).cache()
+    hashed.count()
     return hashed.select(
         "doc_id",
         *[minhash_from_hashes(F.col("hl"), k).alias(f"mh{k}")
@@ -339,12 +355,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
         f"transform(sequence(1, length(s) - {NGRAM - 1}), "
         f"i -> substring(s, i, {NGRAM})) "
         f"ELSE CAST(array() AS array<string>) END"))
+    # CollapseProject would inline the regex into the transform
+    # lambda (re-running it once PER GRAM, ~300x per doc); the cache
+    # is an optimization barrier that pins one evaluation per doc
+    norm = d.select("doc_id", "source", s.alias("s")).cache()
+    # the gram-array subtree feeds five plan branches (dfreq, both
+    # sides of the prefix self-join, da, db) — without caching the
+    # normalize+shingle work re-executes per branch (~6x); the
+    # count() materializes the cache BEFORE the branches race it
+    # (broadcast jobs launch concurrently and would each miss)
     docs = (
-        d.select("doc_id", "source", s.alias("s"))
-        .select("doc_id", "source", ga.alias("ga"))
+        norm.select("doc_id", "source", ga.alias("ga"))
         .withColumn("n", F.size("ga"))
         .filter(F.col("n") > 0)
-    )
+    ).cache()
+    docs.count()
     grams = docs.select("doc_id", "source", "n", F.explode("ga").alias("g"))
     dfreq = grams.groupBy("source", "g").agg(
         F.count(F.lit(1)).alias("df"))
@@ -356,7 +381,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w_doc))
         .filter(F.col("rk") <= pref_len)
         .select("doc_id", "source", "g")
-    )
+    ).cache()
+    prefix.count()  # materialize before the self-join reads it twice
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(pb, (F.col("pa.g") == F.col("pb.g"))

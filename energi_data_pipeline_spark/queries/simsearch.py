@@ -108,14 +108,37 @@ def _plane_weight_sql(p: int) -> str:
             f"CAST(i AS VARCHAR)), 1, 14))::BIGINT % 2) * 2 - 1")
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(n_planes: int = N_PLANES) -> str:
     bits = " + ".join(
         f"""(CASE WHEN (SELECT SUM(
                ({_plane_weight_sql(p)}) * CAST(embedding[i + 1] AS DOUBLE))
              FROM (SELECT UNNEST(range({DIM})) AS i)) > 0
            THEN {1 << p} ELSE 0 END)"""
-        for p in range(N_PLANES))
+        for p in range(n_planes))
     return f"({bits})"
+
+
+def _bucket_col(n_planes: int = N_PLANES):
+    """Spark-side sign-random-projection bucket over ``embedding``:
+    per plane, fold weight(p, i) * e[i] over the dims; weights are
+    the parity of the portable md5 hash of ``p_i`` so the DuckDB
+    oracle rebuilds the identical hyperplanes."""
+    def proj(p: int):
+        def step(acc, i):
+            w = (F.conv(F.substring(
+                F.md5(F.concat_ws("_", F.lit(str(p)), i.cast("string"))),
+                1, 14), 16, 10).cast("bigint") % 2) * 2 - 1
+            return acc + w.cast("double") * F.element_at(
+                F.col("embedding"), (i + 1).cast("int")).cast("double")
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(DIM - 1)),
+                           F.lit(0.0), step)
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("bigint")
 
 
 ANN_LSH_SQL = f"""
@@ -152,29 +175,10 @@ def sims_ann_lsh_bucketed(spark, sf_dir):
     At 100 TB the bucket is the shuffle key — each reducer scans one
     bucket instead of the corpus."""
     emb = t(spark, sf_dir, "embeddings")
-
-    def proj(p: int):
-        # fold over dims: weight(p, i) * e[i]; weights derived from
-        # the portable hash parity so DuckDB rebuilds them exactly
-        def step(acc, i):
-            w = (F.conv(F.substring(
-                F.md5(F.concat_ws("_", F.lit(str(p)), i.cast("string"))),
-                1, 14), 16, 10).cast("bigint") % 2) * 2 - 1
-            return acc + w.cast("double") * F.element_at(
-                F.col("embedding"), (i + 1).cast("int")).cast("double")
-
-        return F.aggregate(F.sequence(F.lit(0), F.lit(DIM - 1)),
-                           F.lit(0.0), step)
-
-    bucket = None
-    for p in range(N_PLANES):
-        bit = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
-        bucket.cast("bigint").alias("bucket"),
+        _bucket_col(N_PLANES).alias("bucket"),
     ).cache()
     queries = vec.select(
         F.col("vec_id").alias("query_id"),
@@ -198,3 +202,77 @@ def sims_ann_lsh_bucketed(spark, sf_dir):
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= TOP_K))
+
+
+# ------------------------------------ embedding-cosine near-dup
+#: coarser code than the ANN path (16 buckets, not 256): dedup wants
+#: every vector to find its bucket-mates, not sublinear probe cost.
+NEARDUP_PLANES = 4
+#: cosine at/above which the nearest bucket-mate counts as a near-dup.
+NEARDUP_T = 0.5
+
+EMB_NEARDUP_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm,
+         CAST({_bucket_sql(NEARDUP_PLANES)} AS BIGINT) AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                         CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM vec a JOIN vec b
+    ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs)
+SELECT vec_id, neighbor_id, cosine,
+       cosine >= {NEARDUP_T} AS is_near_dup
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("dedup_embedding_cosine", EMB_NEARDUP_SQL)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup (dedup family, BASELINE.json north
+    star): nearest bucket-mate per vector by rounded cosine, flagged
+    ``is_near_dup`` at the threshold.  A coarse 4-plane sign-LSH code
+    blocks the pair space — at 100 TB the bucket is the shuffle key
+    and each reducer scans one bucket, never the corpus; the exact
+    all-pairs compare only ever happens inside a bucket.  Vectors
+    alone in their bucket have no near-dup candidate and drop out
+    (their nearest neighbor is below any useful threshold anyway)."""
+    emb = t(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _bucket_col(NEARDUP_PLANES).alias("bucket"),
+    )
+    other = vec.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("bucket").alias("n_bucket"),
+    )
+    pairs = (
+        vec.join(other, (F.col("bucket") == F.col("n_bucket"))
+                 & (F.col("neighbor_id") != F.col("vec_id")))
+        .select(
+            "vec_id", "neighbor_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("n_emb"))
+                / (F.col("nrm") * F.col("n_nrm")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "neighbor_id", "cosine",
+                (F.col("cosine") >= NEARDUP_T).alias("is_near_dup"))
+    )
