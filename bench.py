@@ -37,6 +37,8 @@ HEADLINE = [
     "sims_cosine_topk_bruteforce",
     "sims_ann_lsh_bucketed",
     "stream_tumbling_window",
+    "stream_sessionization",
+    "dedup_embedding_cosine",
     "mm_binary_metadata",
 ]
 

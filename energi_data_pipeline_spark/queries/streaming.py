@@ -56,3 +56,105 @@ def stream_tumbling_window(spark, sf_dir):
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(sink)
+
+
+# ------------------------------------------- stateful sessionization
+#: gap that closes a session; ~median inter-event spacing is ~7h in
+#: the synthetic events table, so 6h yields a mix of merged/split.
+SESSION_GAP_MIN = 360
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTES
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@query("stream_sessionization", SESSIONIZE_SQL)
+def stream_sessionization(spark, sf_dir):
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming
+    operator: ``groupBy(user_id).applyInPandasWithState`` — the
+    Arrow-batched escape hatch for semantics Spark's built-in
+    windows can't express (a session closes after {SESSION_GAP_MIN}
+    minutes of per-user silence).
+
+    State (open session: last_ts, number, start, count) is carried
+    per user across micro-batches, so numbering continues seamlessly
+    when the stream runs unbounded; under Trigger.AvailableNow the
+    single batch drains the table and every session (closed + the
+    still-open tail session per user) is emitted, which is exactly
+    the batch/oracle semantics.  At 100 TB user_id is the shuffle
+    key and state is per-user-constant — the state store holds one
+    small tuple per active user, not per event."""
+    tune(spark)
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .select("user_id", "ts")
+    )
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+
+    def sessionize(key, pdfs, state):
+        df = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            last_ts, sno, sstart, n_carried = state.get
+            last_ts, sstart = pd.Timestamp(last_ts), pd.Timestamp(sstart)
+        else:
+            last_ts, sno, sstart, n_carried = None, 0, None, 0
+        prev = df["ts"].shift(1)
+        if last_ts is not None:
+            prev.iloc[0] = last_ts
+        new_sess = prev.isna() | ((df["ts"] - prev) > gap)
+        df = df.assign(session_no=new_sess.cumsum().astype("int64") + sno)
+        out = (df.groupby("session_no", as_index=False)
+               .agg(session_start=("ts", "min"),
+                    session_end=("ts", "max"),
+                    n_events=("ts", "size")))
+        # splice the carried open session into its continuation
+        if last_ts is not None and not new_sess.iloc[0]:
+            out.loc[out["session_no"] == sno, "n_events"] += n_carried
+            out.loc[out["session_no"] == sno, "session_start"] = sstart
+        out.insert(0, "user_id", key[0])
+        tail = out.iloc[-1]
+        state.update((
+            df["ts"].iloc[-1].to_pydatetime(),
+            int(tail["session_no"]),
+            tail["session_start"].to_pydatetime(),
+            int(tail["n_events"]),
+        ))
+        yield out
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=("user_id bigint, session_no bigint, "
+                          "session_start timestamp, "
+                          "session_end timestamp, n_events bigint"),
+        stateStructType=("last_ts timestamp, session_no bigint, "
+                         "session_start timestamp, n_events bigint"),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (sessions.writeStream.format("memory").queryName(sink)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink)
