@@ -38,7 +38,7 @@ def trailing_window(order_cols: list[str], k: int,
 
 def with_trailing_partitioned(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     k: int,
     agg_builder: Callable[[object], list[Column]],
     bucket: Column | None = None,
@@ -59,13 +59,17 @@ def with_trailing_partitioned(
     short buckets are handled because warm-up rows are taken from
     *all* earlier rows, not just the adjacent bucket.
     """
+    # extra order columns only break ties (duplicate timestamps) so a
+    # row's frame is deterministic; bucketing stays on the first col
+    order_cols = [order_col] if isinstance(order_col, str) else order_col
+    desc_order = [F.col(c).desc() for c in order_cols]
     if bucket is None:
-        bucket = F.to_date(F.col(order_col))
+        bucket = F.to_date(F.col(order_cols[0]))
     b = df.withColumn("__bucket", bucket)
 
     # Last k-1 rows of every bucket — candidate warm-up donors.
     # k-1 rows per bucket => tiny (days * (k-1) rows) => broadcast.
-    per_bucket = Window.partitionBy("__bucket").orderBy(F.col(order_col).desc())
+    per_bucket = Window.partitionBy("__bucket").orderBy(*desc_order)
     tails = (
         b.withColumn("__rn", F.row_number().over(per_bucket))
         .filter(F.col("__rn") < k)
@@ -79,7 +83,7 @@ def with_trailing_partitioned(
         F.broadcast(tails.withColumnRenamed("__bucket", "__src_bucket"))
         .join(buckets, F.col("__src_bucket") < F.col("__bucket"), "inner")
     )
-    pick = Window.partitionBy("__bucket").orderBy(F.col(order_col).desc())
+    pick = Window.partitionBy("__bucket").orderBy(*desc_order)
     warmup = (
         donors.withColumn("__rn", F.row_number().over(pick))
         .filter(F.col("__rn") < k)
@@ -90,7 +94,7 @@ def with_trailing_partitioned(
     unioned = b.withColumn(WARMUP_FLAG, F.lit(False)).unionByName(warmup)
     w = (
         Window.partitionBy("__bucket")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(-(k - 1), 0)
     )
     out = unioned.select("*", *agg_builder(w))

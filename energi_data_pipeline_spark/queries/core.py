@@ -269,6 +269,39 @@ def core_moving_avg_partitioned(spark, sf_dir):
     )
 
 
+# --------------------------------------- rows 20-21, exact at scale
+@query(
+    "core_moving_avg_bucket_parallel",
+    """SELECT event_id, ts,
+              ROUND(AVG(value) OVER w, 6) AS avg_value_5,
+              ROUND(STDDEV(value) OVER w, 6) AS stddev_value_5
+       FROM events
+       WINDOW w AS (ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+)
+def core_moving_avg_bucket_parallel(spark, sf_dir):
+    """The reference's GLOBAL unpartitioned trailing window
+    (gold_aggr.py:104-177), computed bucket-parallel: partition by
+    day, replay each day's last 4 rows into the next as warm-up,
+    window per day, drop warm-up (operators.windows).  Bit-identical
+    to the single-task global window — the oracle here is the SAME
+    SQL as ``core_moving_avg_5row`` — but every day computes in
+    parallel, which is the only shape that survives 100 TB
+    (SURVEY §4.3)."""
+    from ..operators.windows import with_trailing_partitioned
+
+    ev = t(spark, sf_dir, "events")
+
+    def aggs(w):
+        return [
+            F.round(F.avg("value").over(w), 6).alias("avg_value_5"),
+            F.round(F.stddev("value").over(w), 6).alias("stddev_value_5"),
+        ]
+
+    out = with_trailing_partitioned(ev, ["ts", "event_id"], 5, aggs)
+    return out.select("event_id", "ts", "avg_value_5", "stddev_value_5")
+
+
 # --------------------------------------------------------------- row 22
 @query(
     "core_incremental_window",
