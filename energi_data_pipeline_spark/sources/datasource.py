@@ -1,0 +1,153 @@
+"""Spark 4 Python Data Source for the PowerSystemRightNow feed.
+
+SURVEY.md §2 row 1 lists two ingest shapes: (a) a driver-side fetch
+(``sources.rest``, matches the reference's single-page scale) and
+(b) a real registrable Spark source.  This is (b), built on the
+public Python Data Source API (``pyspark.sql.datasource``):
+
+* **batch**: ``spark.read.format("energy_power")`` — the record set
+  is planned into ``num_partitions`` input splits on the driver and
+  each split is fetched/decoded ON THE EXECUTOR, so a year-long
+  backfill scales out instead of bottlenecking the driver;
+* **stream**: ``spark.readStream.format("energy_power")`` — a
+  ``SimpleDataSourceStreamReader`` whose offset is the
+  ``Minutes1UTC`` cursor.  Spark's checkpoint persists it, which is
+  exactly the role dlt's state dir plays in the reference
+  (bronze_ingest.py:13,59-66: ``dlt.sources.incremental`` +
+  ``pipeline_metadata``) — resume-after-restart comes for free.
+
+Test mode reads a JSON fixture file (``fixture_path`` option); live
+mode hits the API only when a ``url`` option is given explicitly.
+Records come out RAW (API field names, ISO strings) — bronze
+fidelity; ``sources.normalize`` does the snake_case/typing step,
+same as the reference's dlt normalization split.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
+
+#: Raw API fields (bronze_ingest.py:8-13,21 and the dataset docs) —
+#: the cursor/sort key plus the 15 numeric measures.
+CURSOR_FIELD = "Minutes1UTC"
+RAW_MEASURES = [
+    "CO2Emission", "ProductionGe100MW", "ProductionLt100MW",
+    "SolarPower", "OffshoreWindPower", "OnshoreWindPower",
+    "ExchangeSum", "ExchangeDK1_DE", "ExchangeDK2_DE", "ExchangeDK1_NL",
+    "ExchangeDK1_GB", "ExchangeDK1_NO", "ExchangeDK1_SE",
+    "ExchangeDK2_SE", "ExchangeDK1_DK2",
+]
+RAW_SCHEMA_DDL = ", ".join(
+    [f"{CURSOR_FIELD} string"] + [f"{m} double" for m in RAW_MEASURES])
+
+INITIAL_CURSOR = "1970-01-01T00:00"
+
+
+def _fetch_records(options: dict, cursor: str) -> list[dict]:
+    """Records strictly after ``cursor``, sorted by the cursor field.
+
+    ``fixture_path`` (JSON list of raw records) is the hermetic test
+    path; ``url`` switches to the live API via ``sources.rest``.
+    Runs wherever it's called — driver during planning, executor
+    during reads.
+    """
+    if options.get("fixture_path"):
+        with open(options["fixture_path"], encoding="utf-8") as fh:
+            records = json.load(fh)
+        keep = [r for r in records
+                if r.get(CURSOR_FIELD) and r[CURSOR_FIELD][:16] > cursor[:16]]
+        return sorted(keep, key=lambda r: r[CURSOR_FIELD])
+    if options.get("url"):
+        from .rest import EnergyRestSource
+        return EnergyRestSource(base_url=options["url"]).fetch(cursor)
+    raise ValueError(
+        "energy_power source needs a 'fixture_path' or 'url' option")
+
+
+def _to_row(rec: dict) -> Tuple:
+    return tuple([rec.get(CURSOR_FIELD)]
+                 + [rec.get(m) for m in RAW_MEASURES])
+
+
+class RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class EnergyPowerBatchReader(DataSourceReader):
+    """Batch reader: plan index ranges on the driver, decode each
+    range on its executor."""
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.cursor = options.get("cursor", INITIAL_CURSOR)
+        self.num_partitions = int(options.get("num_partitions", "4"))
+
+    def partitions(self) -> list[InputPartition]:
+        # Planning touches only the record COUNT; the rows themselves
+        # are produced executor-side in read().
+        n = len(_fetch_records(self.options, self.cursor))
+        if n == 0:
+            return [RangePartition(0, 0)]
+        step = -(-n // self.num_partitions)  # ceil
+        return [RangePartition(lo, min(lo + step, n))
+                for lo in range(0, n, step)]
+
+    def read(self, partition: RangePartition) -> Iterator[Tuple]:
+        records = _fetch_records(self.options, self.cursor)
+        for rec in records[partition.start:partition.end]:
+            yield _to_row(rec)
+
+
+class EnergyPowerStreamReader(SimpleDataSourceStreamReader):
+    """Incremental cursor stream: offset == last-seen Minutes1UTC.
+
+    ``read(start)`` returns everything past the cursor plus the next
+    offset; Spark checkpoints the offset, giving the reference's
+    resume-from-state semantics (bronze_ingest.py:23) without any
+    side state file.  ``readBetweenOffsets`` replays a committed
+    span after restart.
+    """
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.start_cursor = options.get("cursor", INITIAL_CURSOR)
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.start_cursor}
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        records = _fetch_records(self.options, start["cursor"])
+        if not records:
+            return iter([]), start
+        next_cursor = records[-1][CURSOR_FIELD]
+        return iter([_to_row(r) for r in records]), {"cursor": next_cursor}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        records = _fetch_records(self.options, start["cursor"])
+        return iter([_to_row(r) for r in records
+                     if r[CURSOR_FIELD] <= end["cursor"]])
+
+
+class EnergyPowerDataSource(DataSource):
+    """``spark.dataSource.register(EnergyPowerDataSource)`` then
+    ``spark.read.format("energy_power")`` / ``spark.readStream...``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "energy_power"
+
+    def schema(self) -> str:
+        return RAW_SCHEMA_DDL
+
+    def reader(self, schema) -> DataSourceReader:
+        return EnergyPowerBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return EnergyPowerStreamReader(self.options)

@@ -7,9 +7,9 @@ immediately become a distributed DataFrame.  Tests inject a
 ``FixtureSource`` — nothing here touches the network unless
 explicitly asked to.
 
-For a truly distributed/streaming ingest the Spark 4 Python Data
-Source API is the upgrade path; at the reference's one-row-a-minute
-feed rate a driver-side fetch is the honest design.
+For a truly distributed/streaming ingest see ``sources.datasource``
+(the registrable ``energy_power`` format); at the reference's
+one-row-a-minute feed rate a driver-side fetch is the honest design.
 """
 
 from __future__ import annotations
