@@ -68,3 +68,53 @@ def extract_features(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("ts_offset_s", DoubleType()),
+    StructField("frame_payload", BinaryType()),
+])
+
+#: fixed "resized frame" width in bytes — the resize_stub target.
+FRAME_BYTES = 16
+#: sampled frame count derives deterministically from payload length.
+MAX_FRAMES = 4
+
+
+def resize_stub(frame: bytes) -> bytes:
+    """Deterministic stand-in for a frame resize: truncate/zero-pad
+    to ``FRAME_BYTES``.  Real deployment: PIL/ffmpeg scale — the
+    binary->binary signature and batch shape stay identical."""
+    return (frame or b"")[:FRAME_BYTES].ljust(FRAME_BYTES, b"\0")
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` -> one row per sampled "frame".
+
+    The 1->N row expansion happens INSIDE mapInPandas (video decode
+    yields frames), so output batch memory scales with frames per
+    input batch, never with partition size, and no shuffle/explode
+    over the full payload is needed.  Frame count and offsets derive
+    deterministically from the byte length (decode_stub-style), each
+    frame is a byte slice passed through :func:`resize_stub`.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = payload or b""
+                n_frames = 1 + len(payload) % MAX_FRAMES
+                for i in range(n_frames):
+                    frame = payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                    rows.append((doc_id, n_frames, i, i * 0.5,
+                                 resize_stub(frame)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

@@ -40,6 +40,42 @@ def mm_binary_metadata(spark, sf_dir):
     )
 
 
+@query(
+    "mm_frame_sample",
+    """WITH p AS (
+         SELECT doc_id, text, length(text) AS n FROM documents),
+       f AS (
+         SELECT doc_id, 1 + n % 4 AS n_frames,
+                unnest(range(1 + n % 4)) AS frame_idx, text
+         FROM p)
+       SELECT doc_id,
+              CAST(n_frames AS INTEGER) AS n_frames,
+              CAST(frame_idx AS INTEGER) AS frame_idx,
+              CAST(frame_idx * 0.5 AS DOUBLE) AS ts_offset_s,
+              rpad(lower(hex(encode(substring(text, frame_idx * 16 + 1,
+                                              16)))), 32, '0') AS frame_hex
+       FROM f""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling: each payload expands to 1-4 fixed-size
+    "frames" (byte slices resized/zero-padded to 16 bytes) INSIDE
+    mapInPandas — the video-decode shape where output rows multiply
+    per input row without any explode over the raw payload
+    (operators.multimodal.sample_frames).  The oracle replays the
+    slicing on the text side (the corpus is ASCII, so byte and char
+    offsets coincide) with hex zero-padding standing in for the
+    byte pad."""
+    from ..operators.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    frames = sample_frames(payloads)
+    return frames.select(
+        "doc_id", "n_frames", "frame_idx", "ts_offset_s",
+        F.lower(F.hex("frame_payload")).alias("frame_hex"))
+
+
 @query("mm_decode_features", None)  # mapInPandas -> rows-only check
 def mm_decode_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads via
