@@ -380,14 +380,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
         grams.join(F.broadcast(dfreq), ["source", "g"])
         .withColumn("rk", F.row_number().over(w_doc))
         .filter(F.col("rk") <= pref_len)
-        .select("doc_id", "source", "g")
+        .select("doc_id", "source", "g", "n")
     ).cache()
     prefix.count()  # materialize before the self-join reads it twice
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # length filter (lossless): J >= t forces t*|A| <= |B| <= |A|/t,
+    # so wildly different-sized docs never become candidates
     cand = (
         pa.join(pb, (F.col("pa.g") == F.col("pb.g"))
                 & (F.col("pa.source") == F.col("pb.source"))
-                & (F.col("pa.doc_id") < F.col("pb.doc_id")))
+                & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+                & (F.col("pa.n") * JACCARD_T <= F.col("pb.n"))
+                & (F.col("pb.n") * JACCARD_T <= F.col("pa.n")))
         .select(F.col("pa.doc_id").alias("doc_a"),
                 F.col("pb.doc_id").alias("doc_b"))
         .distinct()

