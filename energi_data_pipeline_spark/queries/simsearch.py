@@ -118,25 +118,36 @@ def _bucket_sql(n_planes: int = N_PLANES) -> str:
     return f"({bits})"
 
 
+def _plane_weights(p: int) -> list[int]:
+    """±1 weight vector of hyperplane ``p``: parity of the portable
+    md5 hash of ``p_i`` — the exact integers the oracle SQL derives
+    with ``('0x' || substr(md5(...), 1, 14))::BIGINT % 2 * 2 - 1``."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:14], 16)
+         % 2) * 2 - 1
+        for i in range(DIM)
+    ]
+
+
 def _bucket_col(n_planes: int = N_PLANES):
-    """Spark-side sign-random-projection bucket over ``embedding``:
-    per plane, fold weight(p, i) * e[i] over the dims; weights are
-    the parity of the portable md5 hash of ``p_i`` so the DuckDB
-    oracle rebuilds the identical hyperplanes."""
-    def proj(p: int):
-        def step(acc, i):
-            w = (F.conv(F.substring(
-                F.md5(F.concat_ws("_", F.lit(str(p)), i.cast("string"))),
-                1, 14), 16, 10).cast("bigint") % 2) * 2 - 1
-            return acc + w.cast("double") * F.element_at(
-                F.col("embedding"), (i + 1).cast("int")).cast("double")
+    """Spark-side sign-random-projection bucket over ``embedding``.
 
-        return F.aggregate(F.sequence(F.lit(0), F.lit(DIM - 1)),
-                           F.lit(0.0), step)
-
+    The hyperplanes are deterministic, so their ±1 weights are
+    precomputed DRIVER-SIDE and embedded as literal arrays: the
+    per-row work is a pure zip_with/aggregate dot product — zero
+    hashing at runtime (the expression-level md5 variant cost 256
+    md5 calls per row).  The DuckDB oracle still derives the same
+    weights from md5 in SQL, so buckets match bit-for-bit."""
     bucket = None
     for p in range(n_planes):
-        bit = F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        w = F.array(*[F.lit(float(x)) for x in _plane_weights(p)])
+        proj = F.aggregate(
+            F.zip_with(w, F.col("embedding"),
+                       lambda a, b: a * b.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("bigint")
 
@@ -248,11 +259,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     alone in their bucket have no near-dup candidate and drop out
     (their nearest neighbor is below any useful threshold anyway)."""
     emb = t(spark, sf_dir, "embeddings")
+    # norm + bucket feed both sides of the self-join — compute once
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
         _bucket_col(NEARDUP_PLANES).alias("bucket"),
-    )
+    ).cache()
     other = vec.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
