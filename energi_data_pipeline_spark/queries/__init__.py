@@ -55,4 +55,5 @@ def load_all() -> dict[str, QueryDef]:
     from . import simsearch  # noqa: F401
     from . import streaming  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import curation  # noqa: F401  (composes dedup+text -> last)
     return REGISTRY

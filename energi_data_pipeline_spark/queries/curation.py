@@ -1,0 +1,85 @@
+"""Training-data curation pipeline: the extension operators composed
+end-to-end, the shape an LLM data pipeline actually runs:
+
+    documents -> quality gate -> exact-dup removal -> near-dup
+    removal (MinHash-LSH) -> curated keep-set
+
+Each stage reuses the already-verified operator (text_quality_score,
+dedup_exact's keyed grouping, dedup_minhash_lsh_pairs), and the
+oracle composes the same stages' SQL as nested CTE subqueries — so
+the integration itself is hash-verified, not just the parts.
+
+Scale shape: the quality gate and content keying are map-only; the
+two dedup stages shuffle on md5 keys and LSH band keys respectively
+(never the pair space); the final keep-set assembly is two key-only
+anti/semi joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import REGISTRY, query
+from .core import t
+from .dedup import dedup_minhash_lsh_pairs, norm_col
+from . import dedup as _dedup  # noqa: F401  (registers its oracles)
+from . import text as _text  # noqa: F401
+
+#: same est-Jaccard threshold the LSH pair query applies.
+NEARDUP_PAIR_T = 0.5
+
+_QUALITY_SQL = REGISTRY["text_quality_score"].oracle
+_LSH_PAIRS_SQL = REGISTRY["dedup_minhash_lsh_pairs"].oracle
+
+CURATION_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+keyed AS (
+  SELECT doc_id, md5({_dedup.NORM_SQL}) AS content_key
+  FROM documents),
+keep AS (
+  SELECT content_key, MIN(doc_id) AS keep_id
+  FROM keyed GROUP BY content_key),
+exact_kept AS (
+  SELECT k.doc_id
+  FROM keyed k JOIN keep USING (content_key)
+  WHERE k.doc_id = keep.keep_id),
+near_losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({_LSH_PAIRS_SQL})),
+curated AS (
+  SELECT q.doc_id, q.punct_ratio, q.digit_ratio, q.upper_ratio,
+         q.chars_per_token
+  FROM q
+  JOIN exact_kept USING (doc_id)
+  WHERE q.passes_quality
+    AND q.doc_id NOT IN (SELECT doc_id FROM near_losers))
+SELECT * FROM curated
+"""
+
+
+@query("curation_pipeline", CURATION_SQL)
+def curation_pipeline(spark, sf_dir):
+    """Curated keep-set: quality-passing documents minus exact
+    duplicates (keep lowest doc_id per normalized-content key) minus
+    MinHash-LSH near-duplicates (pairs are emitted doc_a < doc_b, so
+    dropping every doc_b keeps the lowest id of each near-dup
+    cluster chain — same rule as the exact stage)."""
+    quality = REGISTRY["text_quality_score"].fn(spark, sf_dir) \
+        .filter(F.col("passes_quality"))
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5(norm_col()).alias("content_key"))
+    keep = keyed.groupBy("content_key").agg(
+        F.min("doc_id").alias("keep_id"))
+    exact_kept = (
+        keyed.join(keep, "content_key")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id"))
+    near_losers = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id")).distinct())
+    return (
+        quality
+        .join(exact_kept, "doc_id", "left_semi")
+        .join(near_losers, "doc_id", "left_anti")
+        .select("doc_id", "punct_ratio", "digit_ratio", "upper_ratio",
+                "chars_per_token")
+    )
