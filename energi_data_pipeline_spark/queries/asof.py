@@ -1,0 +1,44 @@
+"""As-of join query: events enriched with each user's most recent
+order (operators.asof).  The oracle is DuckDB's native ASOF LEFT
+JOIN, so the composition is verified against a first-class engine
+implementation of the same semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from . import query
+from .core import t
+
+ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.ts, e.user_id,
+       o.o_orderkey AS asof_orderkey,
+       o.o_orderdate AS asof_orderdate
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+@query("ext_asof_join", ASOF_SQL)
+def ext_asof_join(spark, sf_dir):
+    """For every event, the latest order of the same user placed at
+    or before the event timestamp (backward as-of, inclusive).
+    Orders are pre-deduplicated to one row per (user, date) with the
+    max orderkey so ties resolve deterministically on both engines."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = t(spark, sf_dir, "orders")
+    o = (orders.groupBy(F.col("o_custkey").alias("user_id"),
+                        "o_orderdate")
+         .agg(F.max("o_orderkey").alias("o_orderkey")))
+    joined = asof_join(
+        ev, o, on=["user_id"], left_time="ts", right_time="o_orderdate",
+        values=["o_orderkey", "o_orderdate"])
+    return joined.select(
+        "event_id", "ts", "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_orderdate").alias("asof_orderdate"))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.hashing import stable_hash64
 from . import REGISTRY, query
 from .core import t
 from .dedup import dedup_minhash_lsh_pairs, norm_col
@@ -82,4 +83,41 @@ def curation_pipeline(spark, sf_dir):
         .join(near_losers, "doc_id", "left_anti")
         .select("doc_id", "punct_ratio", "digit_ratio", "upper_ratio",
                 "chars_per_token")
+    )
+
+
+# ------------------------------------------------ dataset splitting
+#: train/val/test percent boundaries over the 0-99 hash bucket.
+SPLIT_TRAIN, SPLIT_VAL = 80, 90
+
+SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)),
+                         1, 14))::BIGINT % 100 AS bucket
+  FROM documents)
+SELECT doc_id, source, CAST(bucket AS INTEGER) AS split_bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@query("curation_dataset_split", SPLIT_SQL)
+def curation_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: bucket = portable
+    56-bit md5 hash of the salted doc_id, mod 100.  Hash-based (not
+    random) so the split is stable across runs, engines, and
+    re-shards — the property a reproducible training pipeline needs;
+    map-only at any scale."""
+    d = t(spark, sf_dir, "documents")
+    bucket = stable_hash64(
+        F.concat(F.lit("split_"), F.col("doc_id").cast("string"))) % 100
+    return d.select(
+        "doc_id", "source",
+        bucket.cast("int").alias("split_bucket"),
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"),
     )
