@@ -1,0 +1,142 @@
+"""Relational extensions beyond the reference's surface (SURVEY.md
+§2 "not present" list, promoted to first-class verified operators):
+range join, ROLLUP grouping, set operations.
+
+The range join is the scale-critical one: Spark executes a plain
+interval predicate as a broadcast-nested-loop join (quadratic); the
+binned formulation turns it into an equi-join on (key, time-bucket)
+with bounded fan-out (3 buckets per anchor for a ±1-bucket radius),
+which is the shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import dsum, t
+from . import query
+
+# ------------------------------------------------------- range join
+#: half-width of the neighborhood AND the bin size (seconds).
+RANGE_S = 1800
+
+RANGE_JOIN_SQL = f"""
+WITH a AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT a.event_id, a.ts, a.user_id,
+       COUNT(b.event_id) AS n_nearby,
+       ROUND(AVG(b.value), 6) AS avg_nearby_value
+FROM a LEFT JOIN events b
+  ON b.user_id = a.user_id AND b.event_id <> a.event_id
+ AND b.ts BETWEEN a.ts - INTERVAL {RANGE_S} SECONDS
+              AND a.ts + INTERVAL {RANGE_S} SECONDS
+GROUP BY a.event_id, a.ts, a.user_id
+"""
+
+
+@query("ext_range_join_binned", RANGE_JOIN_SQL)
+def ext_range_join_binned(spark, sf_dir):
+    """±30-minute same-user neighborhood count per click event,
+    computed as a BINNED range join: both sides key on
+    (user_id, floor(ts / 30min)), anchors additionally probe the
+    two adjacent bins, the exact interval predicate filters after
+    the equi-join.  A raw interval join would be a nested-loop;
+    this is an equi-shuffle with fan-out 3 — the oracle runs the
+    naive interval join and the results hash-match."""
+    ev = t(spark, sf_dir, "events")
+    bin_col = F.floor(F.unix_micros("ts") / F.lit(RANGE_S * 1_000_000))
+    anchors = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("a_id"),
+                F.col("ts").alias("a_ts"), "user_id",
+                F.explode(F.array(
+                    bin_col - 1, bin_col, bin_col + 1)).alias("bin"))
+    )
+    targets = ev.select(
+        F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"), "user_id",
+        bin_col.alias("bin"))
+    within = (F.col("b_ts") >= F.col("a_ts")
+              - F.expr(f"INTERVAL {RANGE_S} SECONDS")) \
+        & (F.col("b_ts") <= F.col("a_ts")
+           + F.expr(f"INTERVAL {RANGE_S} SECONDS"))
+    nearby = (
+        anchors.join(targets, ["user_id", "bin"])
+        .filter(within & (F.col("b_id") != F.col("a_id")))
+        .groupBy("a_id")
+        .agg(F.count("b_id").alias("n_nearby"),
+             F.round(F.avg("b_value"), 6).alias("avg_nearby_value"))
+    )
+    base = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id"), "ts", "user_id")
+    return (
+        base.join(nearby, base.event_id == nearby.a_id, "left")
+        .select("event_id", "ts", "user_id",
+                F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
+                "avg_nearby_value")
+    )
+
+
+# ----------------------------------------------------------- rollup
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("ext_rollup_lineitem", ROLLUP_SQL)
+def ext_rollup_lineitem(spark, sf_dir):
+    """ROLLUP aggregation: (flag, status) -> (flag) -> grand total in
+    one pass; grouping_id disambiguates real NULL keys from subtotal
+    rows.  Spark expands rollups map-side before the single hash-agg
+    shuffle — no extra pass per grouping set."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             dsum(F.col("l_quantity"), "sum_qty"),
+             F.count(F.lit(1)).alias("n_items"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty",
+                "n_items")
+    )
+
+
+# ---------------------------------------------------------- set ops
+SETOPS_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+SELECT 'both' AS segment, o_custkey
+FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1995', o_custkey
+FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1996', o_custkey
+FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+"""
+
+
+@query("ext_set_ops", SETOPS_SQL)
+def ext_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION ALL: customer cohorts by order
+    year.  Spark plans set ops as semi/anti hash joins over the
+    distinct key sets — same shuffle shape as the dedup family."""
+    orders = t(spark, sf_dir, "orders")
+
+    def cohort(year):
+        return (orders.filter(F.year("o_orderdate") == year)
+                .select("o_custkey").distinct())
+
+    y95, y96 = cohort(1995), cohort(1996)
+    tag = lambda df, s: df.select(  # noqa: E731
+        F.lit(s).alias("segment"), "o_custkey")
+    return (
+        tag(y95.intersect(y96), "both")
+        .unionByName(tag(y95.exceptAll(y96), "only_1995"))
+        .unionByName(tag(y96.exceptAll(y95), "only_1996"))
+    )
