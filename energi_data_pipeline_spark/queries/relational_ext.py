@@ -140,3 +140,59 @@ def ext_set_ops(spark, sf_dir):
         .unionByName(tag(y95.exceptAll(y96), "only_1995"))
         .unionByName(tag(y96.exceptAll(y95), "only_1996"))
     )
+
+
+# ------------------------------------------------- JSON extraction
+JSON_SQL = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       SUM(k) AS sum_k,
+       COUNT(k) AS n_with_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM parsed GROUP BY event_type
+"""
+
+
+@query("ext_json_extract", JSON_SQL)
+def ext_json_extract(spark, sf_dir):
+    """JSON path extraction from the raw ``props`` string column
+    (the bronze-fidelity pattern: keep raw JSON, pull typed fields
+    on read with ``get_json_object`` — JVM-side, no schema
+    inference pass over the corpus)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"),
+             F.count("k").alias("n_with_k"),
+             F.max("k").cast("bigint").alias("max_k"))
+    )
+
+
+# ------------------------------------------------ exact percentiles
+PERCENTILE_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.90), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+@query("ext_percentiles", PERCENTILE_SQL)
+def ext_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group: Spark ``percentile``
+    and DuckDB ``quantile_cont`` implement the same linear
+    interpolation, rounded to 6 decimals for fp-order jitter.  At
+    100 TB swap for ``approx_percentile`` (t-digest sketch, one pass,
+    mergeable) — kept exact here because the oracle must match."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.90)), 6).alias("p90"),
+    )
