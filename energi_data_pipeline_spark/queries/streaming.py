@@ -185,3 +185,54 @@ def stream_sessionization(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# --------------------------------------------------- sliding window
+SLIDING_SQL = """
+WITH cand AS (
+  SELECT event_type, value, ts,
+         unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts)
+                   - INTERVAL 5 MINUTES]) AS w_start
+  FROM events)
+SELECT w_start AS bucket_start, event_type,
+       ROUND(AVG(value), 6) AS avg_value,
+       COUNT(*) AS n_events
+FROM cand
+WHERE ts >= w_start AND ts < w_start + INTERVAL 10 MINUTES
+GROUP BY w_start, event_type
+"""
+
+
+@query("stream_sliding_window", SLIDING_SQL)
+def stream_sliding_window(spark, sf_dir):
+    """10-minute windows sliding every 5: each event belongs to two
+    overlapping windows (``F.window(ts, "10 minutes", "5 minutes")``),
+    run by the Structured Streaming engine.  The oracle replicates
+    the overlap by unnesting each event into its two candidate
+    window starts.  The state store holds one row per (window, type)
+    — at scale ``withWatermark`` bounds it by evicting windows older
+    than the allowed lateness."""
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    agged = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                 "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type",
+                "avg_value", "n_events")
+    )
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (agged.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
