@@ -196,3 +196,69 @@ def ext_percentiles(spark, sf_dir):
         F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.90)), 6).alias("p90"),
     )
+
+
+# ------------------------------------------------ ranking functions
+RANKING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey)
+QUALIFY rn <= 3
+"""
+
+
+@query("ext_ranking_topk", RANKING_SQL)
+def ext_ranking_topk(spark, sf_dir):
+    """Ranking window family (row_number/rank/dense_rank/lag/lead)
+    as per-customer top-3 orders by price.  Top-k-per-group is the
+    canonical rank-then-filter: one shuffle on the partition key,
+    no global sort, no LIMIT bottleneck on the driver."""
+    orders = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ------------------------------------------------------------ pivot
+PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query("ext_pivot_event_counts", PIVOT_SQL)
+def ext_pivot_event_counts(spark, sf_dir):
+    """Pivot: per-user event counts, one column per event type.  The
+    type list is passed explicitly so Spark skips the extra
+    distinct-values job — at 100 TB an unpinned pivot means a full
+    scan just to learn the columns."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
