@@ -396,11 +396,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 F.col("pb.doc_id").alias("doc_b"))
         .distinct()
     )
+    # verify on 64-bit-hashed gram arrays: long-set intersection is
+    # ~2x faster than string-set intersection and the COUNT is equal
+    # unless xxhash64 collides within a single pair's gram sets
+    # (~300^2/2^64 ≈ 5e-15 per pair — negligible, and the oracle
+    # parity test would surface it)
+    gh = F.transform(F.col("ga"), lambda x: F.xxhash64(x))
     da = docs.select(F.col("doc_id").alias("doc_a"),
-                     F.col("ga").alias("ga_a"), F.col("n").alias("n_a"))
+                     gh.alias("gh_a"), F.col("n").alias("n_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"),
-                     F.col("ga").alias("ga_b"), F.col("n").alias("n_b"))
-    inter = F.size(F.array_intersect("ga_a", "ga_b"))
+                     gh.alias("gh_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("gh_a", "gh_b"))
     jac = (inter.cast("double")
            / (F.col("n_a") + F.col("n_b") - inter))
     return (
