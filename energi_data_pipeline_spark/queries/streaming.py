@@ -236,3 +236,46 @@ def stream_sliding_window(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# ----------------------------------------------- stream-static join
+STREAM_STATIC_SQL = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(AVG(e.value), 6) AS avg_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("stream_static_join", STREAM_STATIC_SQL)
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins a static
+    customer dimension (broadcast — no stream-side shuffle, no state
+    store for the join) before a windowless global aggregation.
+    This is the standard dimension-enrichment shape: the static side
+    is re-read per micro-batch, so a slowly-changing dim picks up
+    updates without restarting the stream."""
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    sink = f"stream_static_{uuid.uuid4().hex[:8]}"
+    from ..io import read_table
+    customer = read_table(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    agged = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .join(F.broadcast(customer), "user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (agged.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)

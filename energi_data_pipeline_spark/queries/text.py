@@ -165,3 +165,47 @@ def text_fingerprint(spark, sf_dir):
         F.md5(normalized).alias("content_md5"),
         stable_hash64(normalized).alias("content_hash64"),
     )
+
+
+# -------------------------------------------------- context chunking
+#: chunk width / stride in characters (50-char overlap).
+CHUNK_C, CHUNK_S = 200, 150
+
+CHUNK_SQL = f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) + 1, {CHUNK_S})) AS start
+  FROM documents
+  WHERE length(text) > 0)
+SELECT doc_id,
+       CAST((start - 1) / {CHUNK_S} AS INTEGER) AS chunk_idx,
+       CAST(length(substr(text, start, {CHUNK_C})) AS INTEGER)
+         AS chunk_len,
+       md5(substr(text, start, {CHUNK_C})) AS chunk_md5
+FROM starts
+"""
+
+
+@query("text_chunking", CHUNK_SQL)
+def text_chunking(spark, sf_dir):
+    """Context-window chunking: fixed {CHUNK_C}-char chunks with
+    {CHUNK_C - CHUNK_S}-char overlap — the document-to-training-
+    sample expansion step.  Chunk starts come from ``sequence`` with
+    a stride, sliced JVM-side; emitting the md5 keeps the compare
+    content-exact without shipping raw chunk text.  Map-only: the
+    explode multiplies rows inside the scan stage, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    starts = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", "text",
+                F.explode(F.sequence(
+                    F.lit(1), F.length("text"),
+                    F.lit(CHUNK_S))).alias("start"))
+    )
+    chunk = F.expr(f"substring(text, start, {CHUNK_C})")
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_S).cast("int").alias("chunk_idx"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
