@@ -262,3 +262,79 @@ def ext_pivot_event_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0, EVENT_TYPES)
     )
+
+
+# ------------------------------------------------- count distinct
+COUNT_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@query("ext_count_distinct", COUNT_DISTINCT_SQL)
+def ext_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) per group — planned as a two-phase
+    expand/partial-agg, no driver-side collection.  At 100 TB
+    cardinalities swap in ``approx_count_distinct`` (HyperLogLog,
+    one pass, mergeable); kept exact here for the oracle."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"))
+
+
+# ------------------------------------------------- array functions
+ARRAY_STATS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_c,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_c,
+       ROUND((SELECT SUM(CAST(e AS DOUBLE))
+              FROM (SELECT UNNEST(embedding) AS e)) / len(embedding), 6)
+         AS mean_c
+FROM embeddings
+"""
+
+
+@query("ext_array_stats", ARRAY_STATS_SQL)
+def ext_array_stats(spark, sf_dir):
+    """Array scalar-function family over the embedding column:
+    size / array_min / array_max / mean via an aggregate fold — all
+    JVM higher-order functions, map-only."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    mean = F.aggregate(
+        e, F.lit(0.0), lambda acc, x: acc + x.cast("double")) / F.size(e)
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("int").alias("dim"),
+        F.round(F.array_min(e).cast("double"), 6).alias("min_c"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_c"),
+        F.round(mean, 6).alias("mean_c"))
+
+
+# --------------------------------------------- correlation aggregates
+CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6)
+         AS qty_price_covar,
+       ROUND(stddev_samp(l_quantity), 6) AS qty_stddev
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("ext_corr_stats", CORR_SQL)
+def ext_corr_stats(spark, sf_dir):
+    """Statistical aggregate family (Pearson corr, sample covariance
+    and stddev) per group — single-pass partial+final moments, the
+    same merge shape as SUM/AVG."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+        .alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6)
+        .alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"))
