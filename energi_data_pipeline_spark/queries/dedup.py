@@ -415,3 +415,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )
+
+
+# ---------------------------------------- near-dup cluster closure
+from . import REGISTRY  # noqa: E402  (self-registry: LSH SQL reuse)
+
+CC_SQL_TEMPLATE = """
+WITH RECURSIVE pairs AS ({lsh}),
+e(u, v) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)
+SELECT a AS doc_id, MIN(b) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+@query(
+    "dedup_connected_components",
+    CC_SQL_TEMPLATE.format(lsh=REGISTRY["dedup_minhash_lsh_pairs"].oracle),
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clusters: the MinHash-LSH pair graph closed into
+    components (operators.graph min-label propagation), labeling
+    each document with its cluster's minimum doc_id — the transitive
+    version of the pairwise keep-lowest rule, correct when A~B and
+    B~C but A!~C.  The oracle computes the identical closure with a
+    recursive CTE over the same pair SQL."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")

@@ -338,3 +338,44 @@ def ext_corr_stats(spark, sf_dir):
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6)
         .alias("qty_price_covar"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"))
+
+
+# ------------------------------------------------------ salted join
+#: salt fan-out for the skew-mitigation pattern.
+N_SALTS = 8
+
+SALTED_SQL = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+@query("ext_salted_join", SALTED_SQL)
+def ext_salted_join(spark, sf_dir):
+    """Skew-mitigated equi-join: the (potentially skewed) left side
+    salts its key with a DETERMINISTIC per-row salt (hash of the row
+    id mod {N_SALTS}), the right side replicates each row across all
+    {N_SALTS} salts, and the join runs on (key, salt) — a hot key's
+    rows now spread over {N_SALTS} reducers instead of one.  The
+    result is identical to the plain join (oracle = plain join SQL);
+    AQE's skew-join split is the adaptive variant, this is the
+    explicit one for engines/paths where AQE can't help (e.g.
+    streaming state partitioning)."""
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    salted_left = ev.withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(N_SALTS)))
+    salted_right = (
+        cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .withColumn("salt", F.explode(
+            F.array(*[F.lit(s) for s in range(N_SALTS)])))
+    )
+    return (
+        salted_left.join(salted_right, ["user_id", "salt"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
