@@ -39,6 +39,8 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_sessionization",
     "dedup_embedding_cosine",
+    "ext_asof_join",
+    "ext_range_join_binned",
     "mm_binary_metadata",
 ]
 
