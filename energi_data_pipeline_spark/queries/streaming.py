@@ -116,22 +116,37 @@ def stream_sessionization(spark, sf_dir):
 
     State (open session: last_ts, number, start, count) is carried
     per user across micro-batches, so numbering continues seamlessly
-    when the stream runs unbounded; under Trigger.AvailableNow the
-    single batch drains the table and every session (closed + the
-    still-open tail session per user) is emitted, which is exactly
-    the batch/oracle semantics.  At 100 TB user_id is the shuffle
-    key and state is per-user-constant — the state store holds one
-    small tuple per active user, not per event."""
+    when the stream runs unbounded (ordered arrival per user assumed
+    — late data would need a watermark + reordering buffer); under
+    Trigger.AvailableNow every session (closed + the still-open tail
+    per user) is emitted, which is exactly the batch/oracle
+    semantics.  Multi-batch state carry is exercised by
+    tests/test_streaming_state.py via maxFilesPerTrigger.  At 100 TB
+    user_id is the shuffle key and state is per-user-constant — the
+    state store holds one small tuple per active user, not per
+    event."""
+    return run_sessionize_stream(spark, sf_dir)
+
+
+def run_sessionize_stream(spark, src_dir, glob="events.parquet",
+                          max_files_per_trigger=None, checkpoint=None):
+    """Build + drain the sessionization stream; see
+    :func:`stream_sessionization`.  ``max_files_per_trigger`` forces
+    multiple micro-batches under Trigger.AvailableNow (state-carry
+    testing); ``checkpoint`` pins the offset/state directory."""
     tune(spark)
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    schema = spark.read.option("pathGlobFilter", glob) \
+        .parquet(src_dir).schema  # ts is int64 nanos
     sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
     events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        reader.parquet(src_dir)
         .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         .select("user_id", "ts")
     )
@@ -177,10 +192,13 @@ def stream_sessionization(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    prev = _stateful_shuffle_partitions(spark, path)
+    prev = _stateful_shuffle_partitions(spark, src_dir)
     try:
-        q = (sessions.writeStream.format("memory").queryName(sink)
-             .outputMode("update").trigger(availableNow=True).start())
+        writer = (sessions.writeStream.format("memory").queryName(sink)
+                  .outputMode("update"))
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
