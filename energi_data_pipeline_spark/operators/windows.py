@@ -42,6 +42,7 @@ def with_trailing_partitioned(
     k: int,
     agg_builder: Callable[[object], list[Column]],
     bucket: Column | None = None,
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """Exact global trailing-k-row window, computed bucket-parallel.
 
@@ -60,30 +61,45 @@ def with_trailing_partitioned(
     *all* earlier rows, not just the adjacent bucket.
     """
     # extra order columns only break ties (duplicate timestamps) so a
-    # row's frame is deterministic; bucketing stays on the first col
+    # row's frame is deterministic; bucketing stays on the first col.
+    # ``group_by`` generalizes to PARTITION BY <group> windows: every
+    # group is bucketed independently and warm-up donors only flow
+    # within their group — (group, bucket) is the unit of parallelism
+    # instead of one task per group.
     order_cols = [order_col] if isinstance(order_col, str) else order_col
     desc_order = [F.col(c).desc() for c in order_cols]
+    group_by = group_by or []
     if bucket is None:
         bucket = F.to_date(F.col(order_cols[0]))
     b = df.withColumn("__bucket", bucket)
+    part = group_by + ["__bucket"]
 
-    # Last k-1 rows of every bucket — candidate warm-up donors.
-    # k-1 rows per bucket => tiny (days * (k-1) rows) => broadcast.
-    per_bucket = Window.partitionBy("__bucket").orderBy(*desc_order)
+    # Last k-1 rows of every (group, bucket) — candidate warm-up
+    # donors.  k-1 rows each => tiny (groups * days * (k-1)) =>
+    # broadcast.
+    per_bucket = Window.partitionBy(*part).orderBy(*desc_order)
     tails = (
         b.withColumn("__rn", F.row_number().over(per_bucket))
         .filter(F.col("__rn") < k)
         .drop("__rn")
     )
 
-    # For each target bucket, the donors are tail rows from strictly
-    # earlier buckets; keep the k-1 latest per target bucket.
-    buckets = b.select("__bucket").distinct()
+    # For each target (group, bucket), the donors are tail rows of
+    # the SAME group from strictly earlier buckets; keep the k-1
+    # latest per target.
+    buckets = b.select(*part).distinct()
+    join_cond = F.col("__src_bucket") < F.col("__bucket")
+    for g in group_by:
+        join_cond = join_cond & (F.col(f"__src_{g}") == F.col(g))
+    donors_src = tails.withColumnRenamed("__bucket", "__src_bucket")
+    for g in group_by:
+        donors_src = donors_src.withColumnRenamed(g, f"__src_{g}")
     donors = (
-        F.broadcast(tails.withColumnRenamed("__bucket", "__src_bucket"))
-        .join(buckets, F.col("__src_bucket") < F.col("__bucket"), "inner")
+        F.broadcast(donors_src)
+        .join(buckets, join_cond, "inner")
+        .drop(*[f"__src_{g}" for g in group_by])
     )
-    pick = Window.partitionBy("__bucket").orderBy(*desc_order)
+    pick = Window.partitionBy(*part).orderBy(*desc_order)
     warmup = (
         donors.withColumn("__rn", F.row_number().over(pick))
         .filter(F.col("__rn") < k)
@@ -93,7 +109,7 @@ def with_trailing_partitioned(
 
     unioned = b.withColumn(WARMUP_FLAG, F.lit(False)).unionByName(warmup)
     w = (
-        Window.partitionBy("__bucket")
+        Window.partitionBy(*part)
         .orderBy(*order_cols)
         .rowsBetween(-(k - 1), 0)
     )

@@ -302,6 +302,40 @@ def core_moving_avg_bucket_parallel(spark, sf_dir):
     return out.select("event_id", "ts", "avg_value_5", "stddev_value_5")
 
 
+# ----------------------------- rows 20-21, grouped AND day-parallel
+@query(
+    "core_moving_avg_grouped_scaled",
+    """SELECT event_id, ts, event_type,
+              ROUND(AVG(value) OVER w, 6) AS avg_value_5,
+              ROUND(STDDEV(value) OVER w, 6) AS stddev_value_5
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+)
+def core_moving_avg_grouped_scaled(spark, sf_dir):
+    """PARTITION BY event_type trailing window computed at
+    (event_type, day) grain: warm-up rows replay within their group
+    only, so parallelism = groups x days instead of one task per
+    group.  With few distinct groups (5 event types here; one
+    ungrouped series in the reference) per-group windows are nearly
+    as serial as the global one — this is the shape that actually
+    scales.  Oracle = the plain per-type window."""
+    from ..operators.windows import with_trailing_partitioned
+
+    ev = t(spark, sf_dir, "events")
+
+    def aggs(w):
+        return [
+            F.round(F.avg("value").over(w), 6).alias("avg_value_5"),
+            F.round(F.stddev("value").over(w), 6).alias("stddev_value_5"),
+        ]
+
+    out = with_trailing_partitioned(
+        ev, ["ts", "event_id"], 5, aggs, group_by=["event_type"])
+    return out.select("event_id", "ts", "event_type",
+                      "avg_value_5", "stddev_value_5")
+
+
 # --------------------------------------------------------------- row 22
 @query(
     "core_incremental_window",
