@@ -1,0 +1,93 @@
+"""Storage-layout scale patterns: bucketed co-located joins and
+date-partitioned pruning (SURVEY.md §4.3).
+
+These are write-side layouts, so they live as tests rather than
+catalog queries: write the layout, then assert the PLAN uses it —
+a bucketed join runs with no shuffle exchange, and a partition-
+pruned scan reads only the matching partition directories.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from energi_data_pipeline_spark.io import read_table
+
+SF = "/root/testdata/sf0.001"
+N_BUCKETS = 8
+
+
+def plan_str(df, mode="formatted"):
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture()
+def table_names(spark):
+    suffix = uuid.uuid4().hex[:8]
+    names = (f"li_bkt_{suffix}", f"ord_bkt_{suffix}")
+    yield names
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, table_names):
+    li_name, ord_name = table_names
+    li = read_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    orders = read_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    # both sides bucketed AND sorted on the join key -> the join
+    # reads co-located buckets: no Exchange, no explicit Sort
+    (li.write.bucketBy(N_BUCKETS, "l_orderkey")
+     .sortBy("l_orderkey").mode("overwrite").saveAsTable(li_name))
+    (orders.write.bucketBy(N_BUCKETS, "o_orderkey")
+     .sortBy("o_orderkey").mode("overwrite").saveAsTable(ord_name))
+
+    # disable auto-broadcast so the join shape is SMJ-on-buckets, the
+    # layout we are asserting (broadcast would trivially skip it)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (spark.table(li_name)
+                  .join(spark.table(ord_name),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+                  .groupBy("o_custkey")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        p = plan_str(joined)
+        assert "SortMergeJoin" in p
+        # the only exchange allowed is AFTER the join (for groupBy);
+        # the join inputs themselves must come straight from buckets
+        assert "Exchange hashpartitioning(l_orderkey" not in p
+        assert "Exchange hashpartitioning(o_orderkey" not in p
+
+        # and the result is the plain join's result
+        expected = (li.join(orders,
+                            F.col("l_orderkey") == F.col("o_orderkey"))
+                    .groupBy("o_custkey")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        assert sorted((r["o_custkey"], r["n"]) for r in joined.collect()) \
+            == sorted((r["o_custkey"], r["n"]) for r in expected.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_date_partitioned_write_prunes(spark, tmp_path):
+    out = str(tmp_path / "events_by_day")
+    ev = read_table(spark, SF, "events")
+    (ev.withColumn("event_date", F.to_date("ts"))
+     .write.partitionBy("event_date").mode("overwrite").parquet(out))
+
+    df = (spark.read.parquet(out)
+          .filter(F.col("event_date") == "2024-01-15"))
+    p = plan_str(df)
+    scan = p[p.index("Scan parquet"):]
+    pf = scan[scan.index("PartitionFilters"):].splitlines()[0]
+    assert "event_date" in pf  # predicate reached partition pruning
+    # one day's rows only
+    n_day = df.count()
+    n_all = spark.read.parquet(out).count()
+    assert 0 < n_day < n_all
