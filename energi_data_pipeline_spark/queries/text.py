@@ -209,3 +209,64 @@ def text_chunking(spark, sf_dir):
         F.length(chunk).cast("int").alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+# ----------------------------------------------------------- TF-IDF
+TOP_TERMS = 3
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform({TOKENS_SQL}, t -> lower(t))) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+           AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                                / df.df) DESC, tf.term)
+           AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank
+FROM scored WHERE rn <= {TOP_TERMS}
+"""
+
+
+@query("text_tfidf_top_terms", TFIDF_SQL)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-{TOP_TERMS} terms by TF-IDF, fully
+    relational: term frequencies and document frequencies are two
+    hash aggregations over the exploded token stream, the corpus
+    size rides a broadcast, and ranking is a per-doc window.  No
+    Python, no vocabulary collection on the driver — the 100 TB
+    shape of keyword extraction."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(F.col("text")),
+                              lambda x: F.lower(x))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf")
+             * F.log(F.col("n_docs").cast("double") / F.col("df")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "term", F.round(score, 6).alias("tfidf"),
+                "rank")
+    )

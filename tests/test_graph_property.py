@@ -1,0 +1,42 @@
+"""Property test: operators.graph.connected_components against a
+plain union-find on random edge lists (chains, stars, cycles,
+self-loops, disconnected vertices-in-pairs-only graphs)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from energi_data_pipeline_spark.operators.graph import connected_components
+
+edges_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),
+              st.integers(min_value=0, max_value=12)),
+    min_size=1, max_size=20)
+
+
+def union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_st)
+def test_components_match_union_find(spark, edges):
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "src int, dst int")
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components(df, "src", "dst").collect()}
+    assert got == set(union_find(edges).items())
