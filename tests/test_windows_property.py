@@ -45,11 +45,15 @@ def collect(df):
           suppress_health_check=[HealthCheck.too_slow])
 @given(data=rows)
 def test_bucketed_equals_global(spark, data):
+    # t repeats across groups, so the global ordering needs the
+    # (t, g) tie-break — an order that doesn't uniquely sort rows
+    # makes BOTH windows nondeterministic
     df = build(spark, data)
     got = with_trailing_partitioned(
-        df, "t", K, aggs, bucket=(F.col("t") / BUCKET_W).cast("int"))
+        df, ["t", "g"], K, aggs,
+        bucket=(F.col("t") / BUCKET_W).cast("int"))
     want = df.select(
-        "*", *aggs(Window.orderBy("t").rowsBetween(-(K - 1), 0)))
+        "*", *aggs(Window.orderBy("t", "g").rowsBetween(-(K - 1), 0)))
     assert collect(got.select("t", "g", "avg_v", "sum_v")) \
         == collect(want.select("t", "g", "avg_v", "sum_v"))
 
