@@ -57,5 +57,6 @@ def load_all() -> dict[str, QueryDef]:
     from . import multimodal  # noqa: F401
     from . import asof  # noqa: F401
     from . import relational_ext  # noqa: F401
+    from . import tpch  # noqa: F401
     from . import curation  # noqa: F401  (composes dedup+text -> last)
     return REGISTRY

@@ -22,6 +22,8 @@ from pyspark.sql import SparkSession  # noqa: E402
 from parity import compare, duck_connection  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+#: optional substring filters (argv[2:]): run only matching queries
+ONLY = sys.argv[2:]
 
 
 def main() -> int:
@@ -29,12 +31,16 @@ def main() -> int:
              .appName("driver-sim").getOrCreate())
     import __spark_entry__ as e
 
-    t0 = time.time()
-    n = e.entry(spark).count()
-    print(f"entry(): {n} rows in {time.time() - t0:.1f}s "
-          f"({'OK' if n > 0 else 'EMPTY — FAIL'})")
+    if not ONLY:
+        t0 = time.time()
+        n = e.entry(spark).count()
+        print(f"entry(): {n} rows in {time.time() - t0:.1f}s "
+              f"({'OK' if n > 0 else 'EMPTY — FAIL'})")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if ONLY:
+        qs = {n: f for n, f in qs.items()
+              if any(pat in n for pat in ONLY)}
     con = duck_connection(SF)
     failures = 0
     for name, fn in qs.items():
