@@ -379,3 +379,133 @@ def ext_salted_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 6).alias("sum_value"))
     )
+
+
+# ------------------------------------------------------------- cube
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("ext_cube_grouping", CUBE_SQL)
+def ext_cube_grouping(spark, sf_dir):
+    """CUBE aggregation: all four grouping sets of (status, priority)
+    in one pass.  Like ROLLUP, Spark expands the sets map-side into a
+    single hash-agg shuffle — the expansion multiplies rows by the
+    number of sets, so at 100 TB prefer partial-agg-friendly low-
+    cardinality cube keys (these are 3x5)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice"), "sum_price"))
+        .select("o_orderstatus", "o_orderpriority", "gid",
+                "n_orders", "sum_price")
+    )
+
+
+# ------------------------------------------------- EXISTS semi/anti
+EXISTS_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+            THEN 'active_1995' ELSE 'inactive_1995' END AS cohort
+FROM customer c
+"""
+
+
+@query("ext_exists_semi_anti", EXISTS_SQL)
+def ext_exists_semi_anti(spark, sf_dir):
+    """EXISTS / NOT EXISTS as left-semi and left-anti hash joins:
+    tag each customer by 1995 order activity.  Both branches share
+    one distinct-key build side; semi/anti joins never duplicate the
+    probe row, so the output cardinality is exactly |customer| — the
+    safe way to express 'has a match' at scale (a plain join +
+    dropDuplicates would shuffle the fan-out first)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    keys95 = (orders.filter(F.year("o_orderdate") == 1995)
+              .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    tag = lambda df, s: df.select(  # noqa: E731
+        "c_custkey", "c_mktsegment", F.lit(s).alias("cohort"))
+    return tag(cust.join(keys95, "c_custkey", "left_semi"),
+               "active_1995").unionByName(
+        tag(cust.join(keys95, "c_custkey", "left_anti"),
+            "inactive_1995"))
+
+
+# -------------------------------------------- correlated scalar subquery
+SCALAR_SUBQ_SQL = """
+SELECT p_partkey, p_type, p_retailprice,
+       ROUND(p_retailprice - (SELECT AVG(p2.p_retailprice)
+                              FROM part p2
+                              WHERE p2.p_type = p.p_type), 6)
+         AS price_vs_type_avg
+FROM part p
+WHERE p_retailprice > (SELECT AVG(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_type = p.p_type)
+"""
+
+
+@query("ext_scalar_subquery", SCALAR_SUBQ_SQL)
+def ext_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (parts above their type's average
+    price), decorrelated the way Catalyst would: compute the per-type
+    average once (6 groups), broadcast it back onto the scan.  The
+    correlated form re-aggregates per outer row in a naive engine;
+    the decorrelated form is one partial-agg + one broadcast join at
+    any scale."""
+    part = t(spark, sf_dir, "part")
+    type_avg = part.groupBy("p_type").agg(
+        F.avg("p_retailprice").alias("type_avg"))
+    return (
+        part.join(F.broadcast(type_avg), "p_type")
+        .filter(F.col("p_retailprice") > F.col("type_avg"))
+        .select("p_partkey", "p_type", "p_retailprice",
+                F.round(F.col("p_retailprice") - F.col("type_avg"), 6)
+                .alias("price_vs_type_avg"))
+    )
+
+
+# --------------------------------------------- running (cumulative) window
+RUNNING_SQL = """
+SELECT user_id, ts, event_id, value,
+       ROUND(SUM(value) OVER w, 6) AS running_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS running_n,
+       ROUND(MAX(value) OVER w, 6) AS running_max,
+       FIRST_VALUE(event_id) OVER w AS first_event_id
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("ext_window_running", RUNNING_SQL)
+def ext_window_running(spark, sf_dir):
+    """Cumulative (unbounded-preceding) window family: per-user
+    running sum / count / max / first_value over the purchase
+    stream.  One shuffle on the partition key; the frame grows but
+    Spark maintains it incrementally per partition — the classic
+    'account balance' shape.  Keys are users, so scale-out is by
+    user cardinality, never a global sort."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value",
+                F.round(F.sum("value").over(w), 6).alias("running_sum"),
+                F.count(F.lit(1)).over(w).cast("bigint")
+                .alias("running_n"),
+                F.round(F.max("value").over(w), 6).alias("running_max"),
+                F.first("event_id").over(w).alias("first_event_id"))
+    )
