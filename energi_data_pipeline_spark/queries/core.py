@@ -29,16 +29,30 @@ def t(spark: SparkSession, sf_dir: str, name: str):
 
 
 def dsum(col, alias):
-    """Exact SUM via DECIMAL(38,10) accumulation.
+    """Exact SUM via DECIMAL(38,10) accumulation, surfaced as a
+    rounded DOUBLE.
 
-    Kept as DECIMAL on output: both engines produce the identical
-    exact decimal, whereas DuckDB's DECIMAL(38,10)->DOUBLE cast is
-    not correctly rounded once the unscaled value exceeds 2^53
-    (observed 1-ulp drift vs Spark's BigDecimal cast)."""
-    return F.sum(col.cast("decimal(38,10)")).alias(alias)
+    Accumulation stays exact/order-independent in DECIMAL, but the
+    *output* is ``ROUND(CAST(sum AS DOUBLE), 6)`` on both engines:
+    raw DECIMAL at the compare boundary hash-failed at the driver in
+    round 1 (representation drift the local harness could not even
+    reproduce — VERDICT.md "What's wrong" #1).  ROUND after the cast
+    is order-independent and absorbs DuckDB's 1-ulp DECIMAL->DOUBLE
+    cast error for unscaled values beyond 2^53."""
+    return F.round(
+        F.sum(col.cast("decimal(38,10)")).cast("double"), 6).alias(alias)
 
 
-DSUM_SQL = "SUM(CAST({expr} AS DECIMAL(38,10)))"
+#: exact decimal sum for use INSIDE larger expressions (no rounding)
+DSUM_RAW_SQL = "SUM(CAST({expr} AS DECIMAL(38,10)))"
+#: DuckDB's direct DECIMAL->DOUBLE cast is not correctly rounded once
+#: the unscaled value exceeds 2^53 (measured: 3758439620.06 ->
+#: ...0600004); routing through VARCHAR uses the correctly-rounded
+#: string parse, which matches Spark's BigDecimal.doubleValue exactly.
+DDOUBLE_SQL = "CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+#: boundary-safe form: what :func:`dsum` emits
+DSUM_SQL = ("ROUND(" + DDOUBLE_SQL.format(
+    expr="SUM(CAST({expr} AS DECIMAL(38,10)))") + ", 6)")
 
 
 # ---------------------------------------------------------------- row 8
@@ -402,7 +416,8 @@ def core_ordered_export(spark, sf_dir):
                {DSUM_SQL.format(expr="l_extendedprice")} AS sum_base_price,
                {DSUM_SQL.format(expr="l_extendedprice * (1 - l_discount)")}
                  AS sum_disc_price,
-               ROUND(CAST({DSUM_SQL.format(expr="l_quantity")} AS DOUBLE)
+               ROUND({DDOUBLE_SQL.format(
+                   expr=DSUM_RAW_SQL.format(expr="l_quantity"))}
                      / CAST(COUNT(*) AS DOUBLE), 6) AS avg_qty,
                COUNT(*) AS count_order
         FROM lineitem
@@ -439,7 +454,8 @@ def core_groupby_agg(spark, sf_dir):
           GROUP BY n_name, CAST(o_orderdate AS DATE))
         SELECT n_name,
                DATE_TRUNC('month', order_day) AS order_month,
-               SUM(rev) AS revenue,
+               ROUND(CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE), 6)
+                 AS revenue,
                COUNT(*) AS n_days
         FROM daily
         GROUP BY n_name, DATE_TRUNC('month', order_day)""",
@@ -464,6 +480,6 @@ def core_cte_chain(spark, sf_dir):
     return (
         daily.groupBy("n_name",
                       F.trunc("order_day", "month").alias("order_month"))
-        .agg(F.sum("rev").alias("revenue"),
+        .agg(F.round(F.sum("rev").cast("double"), 6).alias("revenue"),
              F.count(F.lit(1)).alias("n_days"))
     )

@@ -231,9 +231,12 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     agree = sum(
         F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
         for k in range(NUM_HASHES))
+    # plain joins on doc_id: the signature table is corpus-cardinality,
+    # so a hardcoded broadcast would OOM at 10B docs — AQE still picks
+    # a broadcast build side whenever the table is actually small
     return (
-        pairs.join(F.broadcast(a), pairs.doc_a == F.col("a.doc_id"))
-        .join(F.broadcast(b), pairs.doc_b == F.col("b.doc_id"))
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
         .select("doc_a", "doc_b",
                 (agree.cast("double") / NUM_HASHES).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
@@ -409,9 +412,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     inter = F.size(F.array_intersect("gh_a", "gh_b"))
     jac = (inter.cast("double")
            / (F.col("n_a") + F.col("n_b") - inter))
+    # plain joins: da/db carry the FULL per-doc gram-hash arrays
+    # (corpus-cardinality, wide rows) — broadcasting them was the
+    # round-1 scale-killer; a shuffle hash join on doc_id is the
+    # 100 TB shape, and AQE still broadcasts when genuinely small
     return (
-        cand.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
     )

@@ -10,7 +10,7 @@ the global-window parity variant is ``core_moving_avg_5row``.
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from ..functions.guards import guarded_ratio
 from ..functions.timeparts import dow_sunday0, is_weekend, season
@@ -73,15 +73,31 @@ def gold_events_full(spark, sf_dir):
         is_weekend(ts).alias("is_weekend"),
         season(ts).alias("season"),
     )
-    w = (Window.partitionBy("event_type").orderBy("time_id")
-         .rowsBetween(-4, 0))
-    return series.select(
+    # PARTITION BY event_type alone caps the window at one task per
+    # type (5 tasks at any scale — the round-1 scale-killer); the
+    # grouped bucket-parallel operator computes the identical frames
+    # at (event_type, day) grain via warm-up-row replay.  Safe here:
+    # (event_type, ts) is unique, so ORDER BY time_id is a total
+    # order within each group.
+    from ..operators.windows import with_trailing_partitioned
+
+    def aggs(w):
+        return [
+            F.round(F.avg("amount").over(w), 6).alias("avg_amount"),
+            F.round(F.avg("large_component").over(w), 6)
+            .alias("avg_large_component"),
+            F.round(F.avg("large_ratio").over(w), 6)
+            .alias("avg_large_ratio"),
+            F.round(F.stddev("amount").over(w), 6)
+            .alias("amount_volatility"),
+        ]
+
+    out = with_trailing_partitioned(
+        series, "time_id", 5, aggs, group_by=["event_type"])
+    return out.select(
         "time_id", "event_type",
-        F.round(F.avg("amount").over(w), 6).alias("avg_amount"),
-        F.round(F.avg("large_component").over(w), 6)
-        .alias("avg_large_component"),
-        F.round(F.avg("large_ratio").over(w), 6).alias("avg_large_ratio"),
-        F.round(F.stddev("amount").over(w), 6).alias("amount_volatility"),
+        "avg_amount", "avg_large_component", "avg_large_ratio",
+        "amount_volatility",
         guarded_ratio(F.col("large_component"), F.col("small_component"), 1.0)
         .alias("large_small_ratio"),
         "day_of_week", "hour_of_day", "is_weekend", "season",

@@ -20,7 +20,7 @@ from .core import t
 @query(
     "mm_binary_metadata",
     """SELECT doc_id,
-              octet_length(encode(text)) AS n_bytes,
+              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
               sha256(text) AS content_sha256,
               lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
        FROM documents""",
@@ -76,13 +76,33 @@ def mm_frame_sample(spark, sf_dir):
         F.lower(F.hex("frame_payload")).alias("frame_hex"))
 
 
-@query("mm_decode_features", None)  # mapInPandas -> rows-only check
+@query(
+    "mm_decode_features",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+              CAST(CASE WHEN length(text) = 0 THEN 0
+                        ELSE 64 + ascii(substr(text, 1, 1)) % 64
+                   END AS INTEGER) AS fake_width,
+              CAST(CASE WHEN length(text) = 0 THEN 0
+                        ELSE 64 + ascii(substr(text, length(text), 1)) % 64
+                   END AS INTEGER) AS fake_height,
+              CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(
+                            range(1, length(text) + 1),
+                            i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+                        / length(text)
+              END AS byte_mean
+       FROM documents""",
+)
 def mm_decode_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas: the real 100 TB shape for image/audio decode
     (vectorized batches, explicit output schema, no row-at-a-time
     Python).  The decoder itself is a deterministic STUB (container
-    has no image/audio libs) — see operators.multimodal."""
+    has no image/audio libs) — see operators.multimodal.  Because the
+    stub is pure byte arithmetic and the corpus is ASCII (byte ==
+    char, as mm_frame_sample already exploits), the oracle replays
+    it exactly in SQL — full hash check, not rows-only."""
     from ..operators.multimodal import extract_features
 
     d = t(spark, sf_dir, "documents")

@@ -80,7 +80,8 @@ def ext_range_join_binned(spark, sf_dir):
 ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
-       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
+       ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS sum_qty,
        COUNT(*) AS n_items
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -149,7 +150,7 @@ WITH parsed AS (
          CAST(json_extract(props, '$.k') AS BIGINT) AS k
   FROM events)
 SELECT event_type,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        COUNT(k) AS n_with_k,
        CAST(MAX(k) AS BIGINT) AS max_k
 FROM parsed GROUP BY event_type
@@ -386,7 +387,8 @@ CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
        COUNT(*) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS sum_price
+       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """

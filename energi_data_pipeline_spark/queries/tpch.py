@@ -30,17 +30,21 @@ from . import query
 # ------------------------------------------------------------------ Q1
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS sum_base_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount)
-                AS DECIMAL(38,10))) AS sum_disc_price,
-       SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                AS DECIMAL(38,10))) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+       ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS sum_qty,
+       ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS sum_base_price,
+       ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS sum_disc_price,
+       ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS sum_charge,
+       ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
              / COUNT(*), 6) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10)))
+       ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR)
                   AS DOUBLE) / COUNT(*), 6) AS avg_price,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE)
+       ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
              / COUNT(*), 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
@@ -85,8 +89,8 @@ Q3_DATE = "1996-06-30 00:00:00"
 
 Q3_SQL = f"""
 SELECT l_orderkey,
-       SUM(CAST(l_extendedprice * (1 - l_discount)
-                AS DECIMAL(38,10))) AS revenue,
+       ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
@@ -132,8 +136,8 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 # ------------------------------------------------------------------ Q5
 Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(l_extendedprice * (1 - l_discount)
-                AS DECIMAL(38,10))) AS revenue
+       ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -191,8 +195,8 @@ def tpch_q5_local_supplier(spark, sf_dir):
 # ----------------------------------------------------------------- Q10
 Q10_SQL = """
 SELECT c_custkey, c_name,
-       SUM(CAST(l_extendedprice * (1 - l_discount)
-                AS DECIMAL(38,10))) AS revenue,
+       ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6) AS revenue,
        c_acctbal, n_name
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey

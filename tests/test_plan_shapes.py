@@ -69,6 +69,20 @@ def test_no_single_partition_window_in_scaled_paths(spark, registry):
         assert "SinglePartition" not in p, name
 
 
+def test_gold_window_is_bucket_parallel(spark, registry):
+    # round-1 regression: PARTITION BY event_type alone caps the
+    # flagship window at one task per type (5 tasks forever); the
+    # grouped bucket-parallel operator partitions every window by
+    # (event_type, __bucket) so parallelism scales with data volume
+    p = plan_of(spark, registry, "gold_events_full")
+    # every window spec must include the __bucket key, not event_type
+    # alone (specs render as "windowspecdefinition(event_type#3, ...")
+    specs = p.split("windowspecdefinition(")[1:]
+    assert specs, "expected window specs in gold_events_full plan"
+    for s in specs:
+        assert "__bucket" in s[:200]
+
+
 def test_parity_global_window_is_the_known_exception(spark, registry):
     # the oracle-exact global window (core_moving_avg_5row) is the
     # documented single-task variant; this guards the docs' claim
