@@ -39,6 +39,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     ``values``: right columns to bring onto each left row (NULL when
     no right row is at-or-before the left row's time).
     """
+    clash = set(values) & set(left.columns)
+    if clash:
+        # left rows would carry non-null values that last(ignorenulls)
+        # propagates as if they were right-side matches — silently
+        # corrupt results, so reject instead
+        raise ValueError(
+            f"asof_join: values columns {sorted(clash)} already exist "
+            "on the left side; rename them before joining")
     l2 = (left
           .withColumn(_TIME, F.col(left_time))
           .withColumn(_TAG, F.lit(1)))

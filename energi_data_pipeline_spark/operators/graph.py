@@ -36,6 +36,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
     labels.count()
+    changed = -1
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.v == labels.id)
                  .select(F.col("u").alias("id"), "label"))
@@ -50,4 +51,11 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # partially-propagated labels are silently WRONG clusterings;
+        # refuse to return them (diameter > max_iter — raise the cap
+        # or switch to large-star/small-star for deep graphs)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"iterations ({changed} labels still changing)")
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -22,6 +22,7 @@ from pyspark.sql import Window, functions as F
 
 from ..functions.hashing import (MERSENNE_P, base_hashes,
                                  minhash_from_hashes, minhash_seed)
+from ..io import spread
 from . import query
 from .core import t
 from .text import TOKENS_SQL, tokens_col
@@ -88,7 +89,7 @@ def shingles_from_tokens(tk):
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized content, keep the
     lowest doc_id per group (deterministic representative)."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", F.md5(norm_col()).alias("content_key"))
         .groupBy("content_key")
@@ -134,7 +135,7 @@ def dedup_minhash_signature(spark, sf_dir):
     split into the shingle lambda (one split per element access) and
     the md5 pass into all 8 minhash columns (8 md5 passes per doc) —
     measured 7x slower at sf0.1."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", tokens_col(F.col("text")).alias("tk")).cache()
     hashed = toks.select(
@@ -270,7 +271,7 @@ def dedup_simhash(spark, sf_dir):
     """SimHash fingerprint: per bit position, majority vote of token
     hash bits.  Near-dups differ in few bits (hamming distance);
     map-only like MinHash."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     toks = F.array_distinct(tokens_col(F.col("text")))
     hs = F.transform(
         toks,
@@ -348,7 +349,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     bit-identical to the naive relational oracle.  At 100 TB the
     (source, gram) join key is the shuffle key and the df table
     broadcasts — the quadratic all-pairs compare never materializes."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     s = norm_col()
     # dynamic-position substring needs the SQL expression form
     # guard: Spark's sequence(1, 0) counts DOWN — docs shorter than

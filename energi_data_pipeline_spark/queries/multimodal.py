@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..io import spread
 from . import query
 from .core import t
 
@@ -67,7 +68,7 @@ def mm_frame_sample(spark, sf_dir):
     byte pad."""
     from ..operators.multimodal import sample_frames
 
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     frames = sample_frames(payloads)
@@ -105,7 +106,7 @@ def mm_decode_features(spark, sf_dir):
     it exactly in SQL — full hash check, not rows-only."""
     from ..operators.multimodal import extract_features
 
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return extract_features(payloads)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..io import spread
 from . import query
 from .core import t
 
@@ -76,7 +77,7 @@ def sims_cosine_topk_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k: broadcast the (small) query set
     against the corpus; dot products fold JVM-side; rank on the
     rounded cosine with deterministic id tie-break."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"))
@@ -185,7 +186,7 @@ def sims_ann_lsh_bucketed(spark, sf_dir):
     256-bucket code; neighbor search joins only within a bucket.
     At 100 TB the bucket is the shuffle key — each reducer scans one
     bucket instead of the corpus."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
@@ -258,7 +259,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     all-pairs compare only ever happens inside a bucket.  Vectors
     alone in their bucket have no near-dup candidate and drop out
     (their nearest neighbor is below any useful threshold anyway)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = spread(t(spark, sf_dir, "embeddings"))
     # norm + bucket feed both sides of the self-join — compute once
     vec = emb.select(
         "vec_id", "embedding",

@@ -114,17 +114,21 @@ def stream_sessionization(spark, sf_dir):
     windows can't express (a session closes after {SESSION_GAP_MIN}
     minutes of per-user silence).
 
-    State (open session: last_ts, number, start, count) is carried
-    per user across micro-batches, so numbering continues seamlessly
-    when the stream runs unbounded (ordered arrival per user assumed
-    — late data would need a watermark + reordering buffer); under
-    Trigger.AvailableNow every session (closed + the still-open tail
-    per user) is emitted, which is exactly the batch/oracle
-    semantics.  Multi-batch state carry is exercised by
-    tests/test_streaming_state.py via maxFilesPerTrigger.  At 100 TB
-    user_id is the shuffle key and state is per-user-constant — the
-    state store holds one small tuple per active user, not per
-    event."""
+    State (open session: last_ts, number, start, count, previous
+    session's end) is carried per user across micro-batches, so
+    numbering continues seamlessly when the stream runs unbounded.
+    Late data is ENFORCED, not assumed away: events are re-sorted
+    within each micro-batch, and cross-batch late arrivals are
+    repaired exactly when repair is provably correct (the late event
+    joins the still-open session without bridging into an
+    already-emitted one); an unrepairable late event raises instead
+    of silently corrupting session numbering
+    (tests/test_streaming_state.py exercises all three paths).
+    Under Trigger.AvailableNow every session (closed + the
+    still-open tail per user) is emitted, which is exactly the
+    batch/oracle semantics.  At 100 TB user_id is the shuffle key
+    and state is per-user-constant — the state store holds one small
+    tuple per active user, not per event."""
     return run_sessionize_stream(spark, sf_dir)
 
 
@@ -153,12 +157,57 @@ def run_sessionize_stream(spark, src_dir, glob="events.parquet",
     gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
 
     def sessionize(key, pdfs, state):
+        # within-batch out-of-order arrival is fully handled by the
+        # sort; cross-batch lateness is handled below
         df = pd.concat(list(pdfs)).sort_values("ts")
         if state.exists:
-            last_ts, sno, sstart, n_carried = state.get
+            last_ts, sno, sstart, n_carried, prev_end = state.get
             last_ts, sstart = pd.Timestamp(last_ts), pd.Timestamp(sstart)
+            prev_end = None if prev_end is None else pd.Timestamp(prev_end)
         else:
-            last_ts, sno, sstart, n_carried = None, 0, None, 0
+            last_ts, sno, sstart, n_carried, prev_end = \
+                None, 0, None, 0, None
+        late_any = False
+        if last_ts is not None:
+            late = df["ts"] <= last_ts
+            if late.any():
+                late_any = True
+                # A late event is REPAIRABLE iff it joins the still-
+                # open session: inside its span, or chaining onto its
+                # start within the gap — without also bridging into
+                # the previous (already closed and emitted) session.
+                lates = df.loc[late, "ts"]
+                before = lates[lates < sstart].sort_values()
+                if len(before):
+                    chain = list(before) + [sstart]
+                    diffs_ok = all(
+                        b - a <= gap for a, b in zip(chain, chain[1:]))
+                    bridges = (prev_end is not None
+                               and before.iloc[0] - prev_end <= gap)
+                    if not diffs_ok or bridges:
+                        raise ValueError(
+                            f"sessionization: late event at "
+                            f"{before.iloc[0]} for user {key[0]} cannot "
+                            f"be merged into the open session (would "
+                            f"renumber already-emitted sessions); "
+                            f"increase upstream reordering or route "
+                            f"late data to the batch backfill path")
+                    sstart = before.iloc[0]
+                n_carried += int(late.sum())
+                df = df[~late]
+        if not len(df):
+            # batch held only repaired late events: re-emit the open
+            # session with its corrected start/count, keep state
+            out = pd.DataFrame({
+                "user_id": [key[0]], "session_no": [sno],
+                "session_start": [sstart], "session_end": [last_ts],
+                "n_events": [n_carried]})
+            state.update((last_ts.to_pydatetime(), int(sno),
+                          sstart.to_pydatetime(), int(n_carried),
+                          None if prev_end is None
+                          else prev_end.to_pydatetime()))
+            yield out
+            return
         prev = df["ts"].shift(1)
         if last_ts is not None:
             prev.iloc[0] = last_ts
@@ -172,13 +221,28 @@ def run_sessionize_stream(spark, src_dir, glob="events.parquet",
         if last_ts is not None and not new_sess.iloc[0]:
             out.loc[out["session_no"] == sno, "n_events"] += n_carried
             out.loc[out["session_no"] == sno, "session_start"] = sstart
+        elif last_ts is not None and late_any:
+            # the open session absorbed repaired late events and then
+            # closed in this batch — re-emit its corrected final row
+            out = pd.concat([pd.DataFrame([{
+                "session_no": sno, "session_start": sstart,
+                "session_end": last_ts, "n_events": n_carried}]),
+                out], ignore_index=True)
         out.insert(0, "user_id", key[0])
         tail = out.iloc[-1]
+        if len(out) >= 2:
+            new_prev_end = out.iloc[-2]["session_end"]
+        elif last_ts is not None and new_sess.iloc[0]:
+            new_prev_end = last_ts  # the carried session just closed
+        else:
+            new_prev_end = prev_end
         state.update((
             df["ts"].iloc[-1].to_pydatetime(),
             int(tail["session_no"]),
             tail["session_start"].to_pydatetime(),
             int(tail["n_events"]),
+            None if new_prev_end is None
+            else pd.Timestamp(new_prev_end).to_pydatetime(),
         ))
         yield out
 
@@ -188,7 +252,8 @@ def run_sessionize_stream(spark, src_dir, glob="events.parquet",
                           "session_start timestamp, "
                           "session_end timestamp, n_events bigint"),
         stateStructType=("last_ts timestamp, session_no bigint, "
-                         "session_start timestamp, n_events bigint"),
+                         "session_start timestamp, n_events bigint, "
+                         "prev_end timestamp"),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -203,6 +268,40 @@ def run_sessionize_stream(spark, src_dir, glob="events.parquet",
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# ------------------------------------------- batch sessionization
+@query("sessionization_batch", SESSIONIZE_SQL)
+def sessionization_batch(spark, sf_dir):
+    """The batch twin of :func:`stream_sessionization`: identical
+    gap-session semantics as pure window functions (lag -> new-session
+    flag -> running-sum numbering -> group) — no state store, no
+    checkpoint.  This is the plan to run for bounded/backfill inputs;
+    the streaming variant exists for unbounded feeds, and
+    tests/test_streaming_state.py proves they agree.  Per-user windows
+    shuffle once on user_id and parallelize across users — the
+    100 TB-safe grain (millions of users, short per-user series)."""
+    tune(spark)
+    from pyspark.sql import Window
+    from ..io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ok = (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+              ) > SESSION_GAP_MIN * 60
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | gap_ok, 1).otherwise(0))
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"))
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
 
 
 # --------------------------------------------------- sliding window

@@ -48,25 +48,32 @@ RAW_SCHEMA_DDL = ", ".join(
 INITIAL_CURSOR = "1970-01-01T00:00"
 
 
-def _fetch_records(options: dict, cursor: str) -> list[dict]:
-    """Records strictly after ``cursor``, sorted by the cursor field.
+def _fetch_records(options: dict, cursor: str,
+                   end: str | None = None) -> list[dict]:
+    """Records strictly after ``cursor`` (minute-truncated compare),
+    optionally bounded to ``<= end``, sorted by the cursor field.
 
     ``fixture_path`` (JSON list of raw records) is the hermetic test
     path; ``url`` switches to the live API via ``sources.rest``.
     Runs wherever it's called — driver during planning, executor
-    during reads.
+    during reads.  The strictly-greater filter applies to BOTH paths:
+    the live API's ``start=`` parameter is inclusive, so without it a
+    stream whose offset is the last-seen cursor would re-emit the
+    boundary-minute records every micro-batch.
     """
     if options.get("fixture_path"):
         with open(options["fixture_path"], encoding="utf-8") as fh:
             records = json.load(fh)
-        keep = [r for r in records
-                if r.get(CURSOR_FIELD) and r[CURSOR_FIELD][:16] > cursor[:16]]
-        return sorted(keep, key=lambda r: r[CURSOR_FIELD])
-    if options.get("url"):
+    elif options.get("url"):
         from .rest import EnergyRestSource
-        return EnergyRestSource(base_url=options["url"]).fetch(cursor)
-    raise ValueError(
-        "energy_power source needs a 'fixture_path' or 'url' option")
+        records = EnergyRestSource(base_url=options["url"]).fetch(cursor)
+    else:
+        raise ValueError(
+            "energy_power source needs a 'fixture_path' or 'url' option")
+    keep = [r for r in records
+            if r.get(CURSOR_FIELD) and r[CURSOR_FIELD][:16] > cursor[:16]
+            and (end is None or r[CURSOR_FIELD][:16] <= end[:16])]
+    return sorted(keep, key=lambda r: r[CURSOR_FIELD])
 
 
 def _to_row(rec: dict) -> Tuple:
@@ -75,14 +82,24 @@ def _to_row(rec: dict) -> Tuple:
 
 
 class RangePartition(InputPartition):
-    def __init__(self, start: int, end: int):
-        self.start = start
+    """Cursor window ``(after, end]`` pinned at planning time.
+
+    Index-range slicing would be wrong for the live source: each
+    executor refetches independently, and if the record set shifts
+    between planning and reads, index slices drop or duplicate rows.
+    Cursor bounds are stable under append-only growth — records past
+    the planned end boundary are simply excluded, records inside a
+    window always land in exactly one partition.
+    """
+
+    def __init__(self, after: str, end: str):
+        self.after = after
         self.end = end
 
 
 class EnergyPowerBatchReader(DataSourceReader):
-    """Batch reader: plan index ranges on the driver, decode each
-    range on its executor."""
+    """Batch reader: plan cursor windows on the driver, fetch/decode
+    each window on its executor."""
 
     def __init__(self, options: dict):
         self.options = options
@@ -90,18 +107,33 @@ class EnergyPowerBatchReader(DataSourceReader):
         self.num_partitions = int(options.get("num_partitions", "4"))
 
     def partitions(self) -> list[InputPartition]:
-        # Planning touches only the record COUNT; the rows themselves
-        # are produced executor-side in read().
-        n = len(_fetch_records(self.options, self.cursor))
-        if n == 0:
-            return [RangePartition(0, 0)]
-        step = -(-n // self.num_partitions)  # ceil
-        return [RangePartition(lo, min(lo + step, n))
-                for lo in range(0, n, step)]
+        # Planning snapshots only the CURSOR BOUNDARIES; the rows are
+        # fetched executor-side in read().  Slice ends are extended to
+        # minute-cursor group boundaries so records sharing a minute
+        # can never straddle two windows (the fetch filter is
+        # minute-truncated).
+        records = _fetch_records(self.options, self.cursor)
+        if not records:
+            return [RangePartition(self.cursor, self.cursor)]
+        step = -(-len(records) // self.num_partitions)  # ceil
+        parts: list[RangePartition] = []
+        after = self.cursor
+        hi = 0
+        while hi < len(records):
+            hi = min(hi + step, len(records))
+            # absorb any trailing records that share the boundary minute
+            while (hi < len(records) and records[hi][CURSOR_FIELD][:16]
+                   == records[hi - 1][CURSOR_FIELD][:16]):
+                hi += 1
+            end = records[hi - 1][CURSOR_FIELD]
+            parts.append(RangePartition(after, end))
+            after = end
+        return parts
 
     def read(self, partition: RangePartition) -> Iterator[Tuple]:
-        records = _fetch_records(self.options, self.cursor)
-        for rec in records[partition.start:partition.end]:
+        records = _fetch_records(
+            self.options, partition.after, end=partition.end)
+        for rec in records:
             yield _to_row(rec)
 
 
@@ -130,9 +162,9 @@ class EnergyPowerStreamReader(SimpleDataSourceStreamReader):
         return iter([_to_row(r) for r in records]), {"cursor": next_cursor}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        records = _fetch_records(self.options, start["cursor"])
-        return iter([_to_row(r) for r in records
-                     if r[CURSOR_FIELD] <= end["cursor"]])
+        records = _fetch_records(
+            self.options, start["cursor"], end=end["cursor"])
+        return iter([_to_row(r) for r in records])
 
 
 class EnergyPowerDataSource(DataSource):

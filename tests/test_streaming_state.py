@@ -66,3 +66,95 @@ def test_state_carries_across_micro_batches(spark, tmp_path):
     assert got == want
     # sanity: the boundary actually split sessions across batches
     assert len(want) > 150  # more sessions than users -> real gaps
+
+
+# ------------------------------------------------ late-data handling
+def _nanos(minutes: float) -> int:
+    base = pd.Timestamp("2024-01-01")
+    return int((base + pd.Timedelta(minutes=minutes)).value)
+
+
+def _write_batches(tmp_path, batches):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        p = src / f"ev{i}.parquet"
+        pd.DataFrame(rows, columns=["user_id", "ts"]).astype(
+            {"user_id": "int64", "ts": "int64"}).to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    return src
+
+
+def _final_sessions(result):
+    final = (result.groupBy("user_id", "session_no")
+             .agg({"session_start": "min", "session_end": "max",
+                   "n_events": "max"})
+             .collect())
+    return {(r["user_id"], r["session_no"], r["min(session_start)"],
+             r["max(session_end)"], r["max(n_events)"]) for r in final}
+
+
+def test_out_of_order_within_batch_matches_oracle(spark, tmp_path):
+    """A single micro-batch delivered in scrambled order must produce
+    the same sessions as the batch oracle (per-batch sort)."""
+    rows = [(1, _nanos(m)) for m in (0, 10, 5, 900, 3, 905, 902)]
+    src = _write_batches(tmp_path, [rows])
+    result = run_sessionize_stream(
+        spark, str(src), glob="ev*.parquet",
+        checkpoint=str(tmp_path / "ckpt"))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ns").dt.floor("us")
+    assert _final_sessions(result) == expected_sessions(pdf)
+
+
+def test_cross_batch_late_event_repaired(spark, tmp_path):
+    """Late events that still belong to the OPEN session — inside its
+    span or chained onto its start — are merged across micro-batches,
+    both when the session continues and when it then closes."""
+    gap = SESSION_GAP_MIN
+    b1 = [(1, _nanos(m)) for m in (0, 10)]          # open session A
+    # late arrivals: inside A's span (5) and chained before its start
+    # (-20, within gap of 0); then A continues (30) and later closes
+    # when B starts after the gap
+    b2 = [(1, _nanos(m)) for m in (5, -20, 30)]
+    b3 = [(1, _nanos(m)) for m in (gap + 40, gap + 45)]   # session B
+    src = _write_batches(tmp_path, [b1, b2, b3])
+    result = run_sessionize_stream(
+        spark, str(src), glob="ev*.parquet", max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ckpt"))
+    pdf = pd.DataFrame(b1 + b2 + b3, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ns").dt.floor("us")
+    assert _final_sessions(result) == expected_sessions(pdf)
+
+
+def test_cross_batch_late_event_repaired_then_closed(spark, tmp_path):
+    """A late event repaired into the open session whose very next
+    in-order event closes that session: the corrected final row must
+    still be emitted."""
+    gap = SESSION_GAP_MIN
+    b1 = [(1, _nanos(m)) for m in (0, 10)]
+    b2 = [(1, _nanos(5)), (1, _nanos(gap + 20))]
+    src = _write_batches(tmp_path, [b1, b2])
+    result = run_sessionize_stream(
+        spark, str(src), glob="ev*.parquet", max_files_per_trigger=1,
+        checkpoint=str(tmp_path / "ckpt"))
+    pdf = pd.DataFrame(b1 + b2, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ns").dt.floor("us")
+    assert _final_sessions(result) == expected_sessions(pdf)
+
+
+def test_unrepairable_late_event_raises(spark, tmp_path):
+    """A late event that cannot join the open session (it belongs to
+    an older, already-emitted session) must fail loudly, never
+    silently corrupt the numbering."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    gap = SESSION_GAP_MIN
+    b1 = [(1, _nanos(0)), (1, _nanos(gap + 10))]  # A closed, B open
+    b2 = [(1, _nanos(5))]  # belongs to A — unrepairable
+    src = _write_batches(tmp_path, [b1, b2])
+    with pytest.raises(StreamingQueryException):
+        run_sessionize_stream(
+            spark, str(src), glob="ev*.parquet", max_files_per_trigger=1,
+            checkpoint=str(tmp_path / "ckpt"))

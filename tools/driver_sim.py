@@ -58,6 +58,11 @@ def main() -> int:
                 status, detail = "ROWS-ONLY", f"{cnt} rows"
         except Exception as ex:  # driver records errors per query
             status, detail = "ERROR", repr(ex)[:200]
+        finally:
+            # queries cache() optimization barriers that must outlive
+            # their return value; drop them once materialized so a
+            # long catalog run doesn't accumulate cached partitions
+            spark.catalog.clearCache()
         if status == "FAIL" or status == "ERROR":
             failures += 1
         print(f"  {status:9s} {name:32s} {time.time() - t0:5.1f}s  {detail}")
