@@ -148,3 +148,70 @@ def export_csv(df: DataFrame, path: str, order_by: list[str],
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def merge_upsert_plan(target: DataFrame, source: DataFrame,
+                      keys: list[str]) -> DataFrame:
+    """MERGE semantics as a relational plan: source rows REPLACE
+    matching target rows (last-writer-wins full-row update) and are
+    INSERTED when no target row matches; unmatched target rows pass
+    through.
+
+    One full-outer join on the merge keys is the whole plan — at
+    100 TB that is a single co-partitioned shuffle on the key (and
+    AQE broadcasts the source side when the changeset is small,
+    the common case for incremental upserts).
+    """
+    if target.columns != source.columns:
+        raise ValueError(
+            f"merge_upsert: schemas differ: {target.columns} vs "
+            f"{source.columns}")
+    vals = [c for c in target.columns if c not in keys]
+    tgt, src = target.alias("t"), source.alias("s")
+    merged = tgt.join(src, on=keys, how="full_outer")
+    return merged.select(
+        *keys,
+        *[F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+          for c in vals])
+
+
+def publish_atomic(df: DataFrame, path: str) -> None:
+    """Write a table snapshot and publish it atomically.
+
+    The anti-join/merge write paths are read-modify-write: a crash
+    mid-write must never leave readers a half table (the reference
+    has the same single-writer constraint via DuckDB's transactional
+    file — SURVEY §7 "What's hard" #3).  Spark-native equivalent
+    without a lakehouse format: write the new snapshot to a
+    temporary sibling directory, then ``os.rename`` it into place —
+    atomic on POSIX within a filesystem.  Readers see the old table
+    or the new one, never a mix.  (Concurrent WRITERS still need a
+    transactional table format such as Delta/Iceberg — single-writer
+    is the documented contract, matching the reference.)
+    """
+    import shutil
+    import uuid as _uuid
+
+    tmp = f"{path}.__staged_{_uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old_{_uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)      # atomic: current -> old
+    os.rename(tmp, path)          # atomic: staged -> current
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def merge_upsert(spark: SparkSession, source: DataFrame, warehouse: str,
+                 layer: str, name: str, keys: list[str]) -> None:
+    """Upsert ``source`` into a managed layer table atomically:
+    :func:`merge_upsert_plan` against the current snapshot, published
+    via :func:`publish_atomic`."""
+    path = table_path(warehouse, layer, name)
+    existing = read_layer_table(spark, warehouse, layer, name)
+    merged = (source if existing is None
+              else merge_upsert_plan(existing, source, keys))
+    # safe ordering: the merge plan reads the CURRENT directory while
+    # writing the staged snapshot; the rename swap happens only after
+    # that write (and therefore the read) completes
+    publish_atomic(merged, path)

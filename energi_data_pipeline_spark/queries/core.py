@@ -483,3 +483,50 @@ def core_cte_chain(spark, sf_dir):
         .agg(F.round(F.sum("rev").cast("double"), 6).alias("revenue"),
              F.count(F.lit(1)).alias("n_days"))
     )
+
+
+# ------------------------------------------------------ MERGE upsert
+MERGE_SQL = f"""
+WITH target AS (
+  SELECT user_id, event_type, COUNT(*) AS n_events,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events WHERE ts <= {WM_SQL} AND value IS NOT NULL
+  GROUP BY user_id, event_type),
+source AS (
+  SELECT user_id, event_type, COUNT(*) AS n_events,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events WHERE ts > {WM_SQL} AND value IS NOT NULL
+  GROUP BY user_id, event_type)
+SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+       COALESCE(t.event_type, s.event_type) AS event_type,
+       COALESCE(s.n_events, t.n_events) AS n_events,
+       COALESCE(s.avg_value, t.avg_value) AS avg_value
+FROM target t FULL OUTER JOIN source s
+  ON t.user_id = s.user_id AND t.event_type = s.event_type
+"""
+
+
+@query("core_merge_upsert", MERGE_SQL)
+def core_merge_upsert(spark, sf_dir):
+    """MERGE / upsert semantics (UPDATE matched + INSERT new + keep
+    unmatched target) as a single full-outer join on the merge key —
+    ``io.merge_upsert_plan``.  The scenario is the incremental
+    refresh the reference's ON CONFLICT DO NOTHING cannot express:
+    per-(user, type) stats where the fresh batch REPLACES stale rows
+    instead of being dropped.  One co-partitioned shuffle on the key;
+    AQE broadcasts the changeset side when it is small.  The atomic
+    publish half (staged write + rename swap) is
+    ``io.publish_atomic``, exercised in tests/test_io_merge.py."""
+    from ..io import merge_upsert_plan
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def snap(pred):
+        return (ev.filter(pred)
+                .groupBy("user_id", "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.round(F.avg("value"), 6).alias("avg_value")))
+
+    target = snap(F.col("ts") <= F.lit(WM))
+    source = snap(F.col("ts") > F.lit(WM))
+    return merge_upsert_plan(target, source, ["user_id", "event_type"])

@@ -511,3 +511,44 @@ def ext_window_running(spark, sf_dir):
                 F.round(F.max("value").over(w), 6).alias("running_max"),
                 F.first("event_id").over(w).alias("first_event_id"))
     )
+
+
+# ------------------------------------- time-range (interval) window
+RANGE_WIN_S = 3600  # trailing 1 hour
+
+RANGE_WIN_SQL = f"""
+SELECT user_id, ts, event_id, value,
+       ROUND(AVG(value) OVER w, 6) AS avg_1h,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(SUM(value) OVER w, 6) AS sum_1h
+FROM events
+WHERE event_type = 'view'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {RANGE_WIN_S} SECONDS PRECEDING
+                       AND CURRENT ROW)
+"""
+
+
+@query("ext_window_range_interval", RANGE_WIN_SQL)
+def ext_window_range_interval(spark, sf_dir):
+    """TIME-RANGE window frame (RANGE BETWEEN INTERVAL .. PRECEDING):
+    trailing-1-hour stats per user — the frame is defined by event
+    TIME, not row count, so sparse and dense periods get the same
+    wall-clock lookback (the row-count frames elsewhere cannot
+    express this).  Spark's rangeBetween needs a numeric ordering
+    key, so ts is ordered as epoch seconds with the offset in
+    seconds — semantically identical to the INTERVAL frame (peers =
+    equal timestamps in both).  Partitioned by user_id: one shuffle,
+    scale-out by user cardinality."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-RANGE_WIN_S, 0))
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", "event_id", "value",
+                F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+                F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+                F.round(F.sum("value").over(w), 6).alias("sum_1h"))
+    )

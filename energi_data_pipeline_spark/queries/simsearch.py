@@ -289,3 +289,108 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select("vec_id", "neighbor_id", "cosine",
                 (F.col("cosine") >= NEARDUP_T).alias("is_near_dup"))
     )
+
+
+# ------------------------------------------------------------ IVF ANN
+#: every CENT_STRIDE-th vector seeds a coarse cell — the cell count
+#: grows with the corpus (~sqrt-ish scaling is the IVF sweet spot).
+CENT_STRIDE = 32
+
+IVF_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm
+  FROM embeddings),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+  FROM vec WHERE vec_id % {CENT_STRIDE} = 0),
+assign AS (
+  SELECT v.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND((SELECT SUM(ae * be) FROM (
+                      SELECT CAST(UNNEST(v.embedding) AS DOUBLE) AS ae,
+                             CAST(UNNEST(c.c_emb) AS DOUBLE) AS be))
+                    / (v.nrm * c.c_nrm), 6) DESC, c.cent_id) AS rk
+  FROM vec v CROSS JOIN cent c),
+cell AS (
+  SELECT vec_id, cent_id FROM assign WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ca.cent_id AS cell_id,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                         CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM vec a
+  JOIN cell ca ON ca.vec_id = a.vec_id
+  JOIN cell cb ON cb.cent_id = ca.cent_id
+  JOIN vec b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id
+  WHERE a.vec_id % {QUERY_STRIDE} = 0),
+ranked AS (
+  SELECT query_id, neighbor_id, cell_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, cell_id, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("sims_ivf_ann", IVF_SQL)
+def sims_ivf_ann(spark, sf_dir):
+    """IVF-style ANN: a coarse quantizer (every CENT_STRIDE-th vector
+    is a centroid) partitions the corpus into cells; each query scans
+    only its own cell (nprobe=1).
+
+    This is the second scale path next to sign-LSH: cells adapt to
+    the data distribution (centroids are corpus points) where LSH
+    planes are data-oblivious.  The plan has exactly the 100 TB
+    shape: the centroid table is dimension-sized and BROADCASTS onto
+    the corpus for assignment (map-only argmin per vector — the
+    window is per-vector over {CENT_STRIDE}-ish candidate rows, never
+    a corpus-wide sort); the cell id then becomes the shuffle key and
+    each reducer scans one cell.  Ties and float drift are pinned by
+    rounding cosines to 6 decimals and breaking by id on both
+    engines."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm")).cache()
+    cent = vec.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id"))
+    cell = (
+        vec.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id",
+                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                        / (F.col("nrm") * F.col("c_nrm")), 6)
+                .alias("c_cos"))
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell_id")))
+    member = vec.join(cell, "vec_id")
+    queries = (member.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       F.col("nrm").alias("q_nrm"),
+                       F.col("cell_id").alias("q_cell")))
+    pairs = (
+        F.broadcast(queries)
+        .join(member, (F.col("cell_id") == F.col("q_cell"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("cell_id"),
+                F.round(_dot(F.col("q_emb"), F.col("embedding"))
+                        / (F.col("q_nrm") * F.col("nrm")), 6)
+                .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K))

@@ -396,3 +396,44 @@ def stream_static_join(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# ------------------------------------------ watermarked stream dedup
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, date_trunc('minute', ts) AS minute
+FROM events
+"""
+
+
+@query("stream_dedup_watermark", STREAM_DEDUP_SQL)
+def stream_dedup_watermark(spark, sf_dir):
+    """Streaming exact dedup with BOUNDED state:
+    ``withWatermark("ts", ...) + dropDuplicatesWithinWatermark`` on
+    (user_id, minute).  Plain ``dropDuplicates`` on an unbounded
+    stream grows state forever; the watermark variant evicts keys
+    older than the allowed lateness, so state is proportional to the
+    lateness window, not the stream history — the only shape that
+    survives an unbounded 100 TB feed.  Under Trigger.AvailableNow
+    the full input fits one micro-batch, so the result equals batch
+    DISTINCT and stays oracle-checkable."""
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "minute"])
+        .select("user_id", "minute")
+    )
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (deduped.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)

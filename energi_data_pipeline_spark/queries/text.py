@@ -270,3 +270,85 @@ def text_tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "term", F.round(score, 6).alias("tfidf"),
                 "rank")
     )
+
+
+# ------------------------------------------------------ PII redaction
+#: RE2- and Java-regex-compatible patterns (no backrefs/lookarounds)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{7,}"
+
+
+@query(
+    "text_pii_redact",
+    f"""SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                   '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{LONGNUM_RE}', '[NUM]', 'g') AS redacted,
+               length(text) - length(
+                   regexp_replace(regexp_replace(text,
+                       '{EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{LONGNUM_RE}', '[NUM]', 'g')) <> 0 AS changed
+        FROM documents""",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing: regex redaction of emails and long digit runs
+    (the curation step every LLM corpus pipeline runs before
+    training).  Patterns are restricted to the RE2/Java common
+    subset so Spark and the oracle agree byte-for-byte; pure
+    Catalyst `regexp_replace`, so the stage is map-only and
+    whole-stage-codegens at any scale."""
+    d = t(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
+        LONGNUM_RE, "[NUM]")
+    return d.select(
+        "doc_id", red.alias("redacted"),
+        ((F.length("text") - F.length(red)) != 0).alias("changed"))
+
+
+# ----------------------------------------------------- bigram counts
+TOP_BIGRAMS = 20
+
+BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT source, {TOKENS_SQL} AS tk FROM documents),
+bigrams AS (
+  SELECT source,
+         UNNEST(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks),
+counted AS (
+  SELECT source, bigram, COUNT(*) AS n
+  FROM bigrams GROUP BY source, bigram),
+ranked AS (
+  SELECT source, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n DESC, bigram) AS rank
+  FROM counted)
+SELECT source, bigram, n, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_BIGRAMS}
+"""
+
+
+@query("text_bigram_freq", BIGRAM_SQL)
+def text_bigram_freq(spark, sf_dir):
+    """Corpus n-gram statistics: top-{TOP_BIGRAMS} bigrams per source.
+    Bigrams are built JVM-side by zipping the token array with its
+    own tail (no Python, no explode-before-filter); the only shuffle
+    carries (source, bigram) partial counts — at 100 TB map-side
+    combine collapses the long tail before the exchange, and the
+    per-source top-k window runs over dimension-cardinality groups."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens_col(F.col("text"))
+    bigrams = F.filter(
+        F.zip_with(tk, F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        lambda x: x.contains(" "))
+    counted = (d.select("source", F.explode(bigrams).alias("bigram"))
+               .groupBy("source", "bigram")
+               .agg(F.count(F.lit(1)).alias("n")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("bigram"))
+    return (counted.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_BIGRAMS))

@@ -242,3 +242,171 @@ def tpch_q10_returned_items(spark, sf_dir):
     )
     return enriched.orderBy(F.col("revenue").desc(), "c_custkey") \
                    .limit(20)
+
+
+# ------------------------------------------------------------------ Q6
+Q6_SQL = """
+SELECT ROUND(CAST(CAST(SUM(CAST(l_extendedprice * l_discount
+                        AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6)
+       AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", Q6_SQL)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.  All
+    three predicates push to the parquet reader (min/max row-group
+    skipping on shipdate) and the single scalar aggregate reduces
+    map-side — the 100 TB plan is one scan stage and a 1-row
+    shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00")
+             .cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00")
+               .cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"),
+                  "revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ----------------------------------------------------------------- Q14
+Q14_SQL = """
+SELECT ROUND(
+         100.0 * CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6)
+       AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@query("tpch_q14_promo_effect", Q14_SQL)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join.
+    The month filter prunes lineitem first; part broadcasts (it is
+    the bounded dimension), so the plan is one scan + broadcast hash
+    join + map-side partial agg into a single row — no fact-side
+    shuffle at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00")
+         .cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00")
+           .cast("timestamp")))
+    joined = filtered.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"))
+    num = F.sum(promo.cast("decimal(38,10)")).cast("double")
+    den = F.sum(disc.cast("decimal(38,10)")).cast("double")
+    return joined.agg(
+        F.round(100.0 * num / den, 6).alias("promo_revenue"))
+
+
+# ----------------------------------------------------------------- Q17
+Q17_SQL = """
+SELECT ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("tpch_q17_small_qty_revenue", Q17_SQL)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated aggregate subquery decorrelated
+    into a per-part average join.  The per-partkey AVG is a partial
+    agg whose output has dimension cardinality, so it broadcasts back
+    onto the brand-filtered fact rows — the correlated subquery never
+    re-executes per row (the classic decorrelation Catalyst also
+    applies to IN/EXISTS)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#4") \
+                      .select("p_partkey")
+    # per-part avg over ALL lineitem (the subquery is not brand-
+    # filtered on the inside in TPC-H; keep the same semantics)
+    avg_qty = (li.groupBy("l_partkey")
+               .agg((0.2 * F.avg("l_quantity")).alias("qty_cap"))
+               .withColumnRenamed("l_partkey", "cap_partkey"))
+    return (
+        li.join(F.broadcast(brand_parts),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty),
+              F.col("l_partkey") == F.col("cap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,10)"))
+                .cast("double") / 7.0, 6).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ----------------------------------------------------------------- Q18
+Q18_QTY = 250
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE), 6) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(l_quantity) > {Q18_QTY})
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("tpch_q18_large_volume_customer", Q18_SQL)
+def tpch_q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered semi-join back onto the fact.
+    The per-order quantity sums reuse the SAME shuffle partitioning
+    as the final group-by (both key on l_orderkey), so the plan pays
+    one fact shuffle; the surviving (rare) large orders and customer
+    broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)"))
+                      .alias("oq"))
+                 .filter(F.col("oq") > Q18_QTY)
+                 .select(F.col("l_orderkey").alias("big_orderkey"),
+                         F.round(F.col("oq").cast("double"), 6)
+                         .alias("total_qty")))
+    return (
+        per_order
+        .join(orders, F.col("big_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

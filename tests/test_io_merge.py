@@ -1,0 +1,62 @@
+"""merge_upsert: MERGE-plan semantics + atomic snapshot publish.
+
+The reference's only conflict primitive is ON CONFLICT DO NOTHING
+(first-writer-wins); merge_upsert adds the UPDATE half (SURVEY §7
+"What's hard" #3) with a crash-safe publish: staged write + rename
+swap, so readers see the old or the new snapshot, never a mix.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from energi_data_pipeline_spark.io import (merge_upsert, merge_upsert_plan,
+                                           publish_atomic, table_path)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_plan_update_insert_keep(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, tag string, v int")
+    source = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k int, tag string, v int")
+    out = merge_upsert_plan(target, source, ["k"])
+    assert _rows(out) == {
+        (1, "a", 10),      # unmatched target kept
+        (2, "B", 99),      # matched -> source replaces
+        (3, "c", 30),
+        (4, "d", 40),      # source-only -> inserted
+    }
+
+
+def test_merge_plan_rejects_schema_drift(spark):
+    a = spark.createDataFrame([(1, 2)], "k int, v int")
+    b = spark.createDataFrame([(1, 2)], "k int, w int")
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_upsert_plan(a, b, ["k"])
+
+
+def test_publish_atomic_swaps_and_cleans(spark, tmp_path):
+    path = str(tmp_path / "t")
+    publish_atomic(spark.createDataFrame([(1,)], "k int"), path)
+    assert _rows(spark.read.parquet(path)) == {(1,)}
+    publish_atomic(spark.createDataFrame([(2,)], "k int"), path)
+    assert _rows(spark.read.parquet(path)) == {(2,)}
+    # no staged/old leftovers
+    leftovers = [d for d in os.listdir(tmp_path) if d != "t"]
+    assert leftovers == []
+
+
+def test_merge_upsert_end_to_end(spark, tmp_path):
+    wh = str(tmp_path)
+    s1 = spark.createDataFrame([(1, 100), (2, 200)], "k int, v int")
+    merge_upsert(spark, s1, wh, "gold", "acct", ["k"])
+    s2 = spark.createDataFrame([(2, 999), (3, 300)], "k int, v int")
+    merge_upsert(spark, s2, wh, "gold", "acct", ["k"])
+    got = spark.read.parquet(table_path(wh, "gold", "acct"))
+    assert _rows(got) == {(1, 100), (2, 999), (3, 300)}
