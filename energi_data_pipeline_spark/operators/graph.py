@@ -59,3 +59,92 @@ def connected_components(edges: DataFrame, src: str, dst: str,
             f"connected_components did not converge within {max_iter} "
             f"iterations ({changed} labels still changing)")
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (hi, lo), deduped."""
+    return (e.select(F.greatest("a", "b").alias("a"),
+                     F.least("a", "b").alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct())
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's minimum
+    neighborhood label (Kiveris et al. SoCC'14, public literature)."""
+    mins = (sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b")))
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u itself) to
+    the minimum of that neighborhood."""
+    le = sym.filter(F.col("v") < F.col("u"))
+    mins = le.groupBy("u").agg(F.min("v").alias("mn"))
+    out1 = (le.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("mn").alias("b")))
+    out2 = mins.select(F.col("u").alias("a"), F.col("mn").alias("b"))
+    return out1.union(out2)
+
+
+def connected_components_star(edges: DataFrame, src: str, dst: str,
+                              max_iter: int = 50) -> DataFrame:
+    """``(id, cluster_id)`` by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log^2 n) rounds regardless of diameter,
+    where min-label propagation needs diameter rounds — this is the
+    scale path for deep or skewed graphs (long similarity chains),
+    while :func:`connected_components` stays the cheaper choice for
+    the shallow near-dup graphs dedup usually produces.
+
+    Both star steps are one groupBy + one self-join per round —
+    shuffle keyed on the vertex id; high-degree vertices flatten
+    INTO stars instead of becoming stragglers (that is the point of
+    the algorithm).  Returns the same labeling as
+    :func:`connected_components` (property-tested equal).
+
+    Each round is lineage-truncated with ``localCheckpoint``:
+    ``cache()`` caps recompute but NOT the analyzed plan, and this
+    loop references the previous round four times (two star sides +
+    the convergence diff), so the plan tree doubles per round — AQE's
+    plan-string rendering alone OOMs the driver by round ~8 without
+    the checkpoint (measured).  On a real cluster use reliable
+    ``checkpoint()`` to survive executor loss on long runs."""
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()))
+    # vertices seen only in self-loops survive as singleton clusters
+    verts = (e0.select(F.col("a").alias("id"))
+             .union(e0.select(F.col("b").alias("id"))).distinct()
+             .localCheckpoint())
+    cur = _canon(e0).localCheckpoint()
+    if cur.isEmpty():
+        return verts.withColumn("cluster_id", F.col("id"))
+    for _ in range(max_iter):
+        sym = (cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
+               .union(cur.select(F.col("b").alias("u"),
+                                 F.col("a").alias("v"))))
+        after_large = _canon(_large_star(sym))
+        sym2 = (after_large
+                .select(F.col("a").alias("u"), F.col("b").alias("v"))
+                .union(after_large.select(F.col("a").alias("v"),
+                                          F.col("b").alias("u"))
+                       .select("u", "v")))
+        nxt = _canon(_small_star(sym2)).localCheckpoint()
+        changed = (nxt.exceptAll(cur).limit(1).count()
+                   + cur.exceptAll(nxt).limit(1).count())
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iter} rounds")
+    # fixpoint: every edge is (member, root); every other original
+    # vertex (roots, self-loop-only singletons) labels itself
+    children = cur.select(F.col("a").alias("id"),
+                          F.col("b").alias("cluster_id"))
+    selves = (verts.join(children.select("id"), "id", "left_anti")
+              .withColumn("cluster_id", F.col("id")))
+    return children.union(selves)

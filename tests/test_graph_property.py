@@ -40,3 +40,30 @@ def test_components_match_union_find(spark, edges):
     got = {(r["id"], r["cluster_id"])
            for r in connected_components(df, "src", "dst").collect()}
     assert got == set(union_find(edges).items())
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_st)
+def test_star_components_match_union_find(spark, edges):
+    from energi_data_pipeline_spark.operators.graph import (
+        connected_components_star)
+
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "src int, dst int")
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components_star(df, "src", "dst").collect()}
+    assert got == set(union_find(edges).items())
+
+
+def test_star_handles_deep_chain(spark):
+    """Diameter-59 path: min-label needs 59 rounds; star converges in
+    O(log^2 n) — this is the deep-graph case the operator exists for."""
+    from energi_data_pipeline_spark.operators.graph import (
+        connected_components_star)
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 260)], "s long, d long")
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components_star(chain, "s", "d").collect()}
+    assert got == {(i, 200) for i in range(200, 261)}
