@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .core import dsum, t
+from .core import DDOUBLE_SQL, dsum, t
 from . import query
 
 # ------------------------------------------------------- range join
@@ -552,3 +552,225 @@ def ext_window_range_interval(spark, sf_dir):
                 F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
                 F.round(F.sum("value").over(w), 6).alias("sum_1h"))
     )
+
+
+# -------------------------------------- time-spine resample + fill
+SPINE_START = "2024-01-01 00:00:00"
+SPINE_END = "2024-01-30 23:00:00"
+
+RESAMPLE_SQL = f"""
+WITH spine AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(TIMESTAMP '{SPINE_START}',
+                                      TIMESTAMP '{SPINE_END}',
+                                      INTERVAL 1 HOUR)) AS h) s),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts))
+SELECT spine.event_type, spine.h AS hour,
+       hourly.avg_value IS NOT NULL AS observed,
+       last_value(hourly.avg_value IGNORE NULLS)
+         OVER (PARTITION BY spine.event_type ORDER BY spine.h
+               ROWS UNBOUNDED PRECEDING) AS avg_value_filled
+FROM spine LEFT JOIN hourly
+  ON hourly.event_type = spine.event_type AND hourly.h = spine.h
+"""
+
+
+@query("ext_time_resample", RESAMPLE_SQL)
+def ext_time_resample(spark, sf_dir):
+    """Gap-filling resample: a dense hourly spine per event_type,
+    left-joined to hourly averages, missing hours FORWARD-FILLED with
+    the last observed value (``last(ignorenulls)``) — the standard
+    time-series regularization step sparse telemetry needs before
+    windowed models.  Scale shape: the spine and the post-aggregation
+    series are DIMENSION-sized (types x hours), not corpus-sized —
+    the only corpus-scale work is the hourly partial aggregate, which
+    map-side combines before one shuffle; the fill window runs over
+    the tiny aggregated series."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    spine = (
+        ev.select("event_type").distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(F.sequence(
+                    F.lit(SPINE_START).cast("timestamp"),
+                    F.lit(SPINE_END).cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"))).alias("h"))))
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select("event_type", F.col("h").alias("hour"),
+                F.col("avg_value").isNotNull().alias("observed"),
+                F.last("avg_value", ignorenulls=True).over(w)
+                .alias("avg_value_filled"))
+    )
+
+
+# ------------------------------------------------- funnel analysis
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                 WHEN c.t_click IS NOT NULL THEN 2
+                 ELSE 1 END AS INTEGER) AS stage_reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query("ext_funnel", FUNNEL_SQL)
+def ext_funnel(spark, sf_dir):
+    """Ordered funnel (view -> later click -> later purchase) as
+    cascaded conditional min-aggregates: each stage keeps the
+    earliest qualifying event strictly after the previous stage's
+    timestamp.  Every stage aggregates and joins on user_id — ONE
+    shuffle grain reused throughout (AQE coalesces the per-user
+    stage tables, which are user-cardinality, far below event
+    cardinality).  No window over the full event stream, no
+    sessionize: the 100 TB plan is three filtered partial aggs."""
+    ev = t(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    stage = (F.when(F.col("t_purchase").isNotNull(), 3)
+             .when(F.col("t_click").isNotNull(), 2)
+             .otherwise(1)).cast("int")
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .select("user_id", "t_view", "t_click", "t_purchase",
+                    stage.alias("stage_reached")))
+
+
+# ---------------------------------------------- cohort retention
+COHORT_SQL = """
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS week
+  FROM events e)
+SELECT f.cohort_week,
+       CAST((EPOCH(a.week) - EPOCH(f.cohort_week)) / 604800 AS INTEGER)
+         AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+@query("ext_cohort_retention", COHORT_SQL)
+def ext_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later active week (offset in whole weeks).  first-seen and
+    weekly-activity are both user-grain partial aggregates on the
+    user_id shuffle key; the final count-distinct runs over
+    (cohorts x weeks) — dimension-sized output however large the
+    event stream."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = (ev.groupBy("user_id")
+                  .agg(F.date_trunc("week", F.min("ts"))
+                       .alias("cohort_week")))
+    activity = (ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")).distinct())
+    offset = ((F.unix_timestamp("week")
+               - F.unix_timestamp("cohort_week")) / 604800).cast("int")
+    return (first_seen.join(activity, "user_id")
+            .groupBy("cohort_week", offset.alias("week_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+# --------------------------------------- arg-extremes (max_by/min_by)
+ARG_EXTREMES_SQL = """
+SELECT event_type,
+       (MAX({'v': value, 'i': event_id})).v AS max_value,
+       (MAX({'v': value, 'i': event_id})).i AS max_value_event,
+       (MIN({'v': value, 'i': event_id})).v AS min_value,
+       (MIN({'v': value, 'i': event_id})).i AS min_value_event
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("ext_arg_extremes", ARG_EXTREMES_SQL)
+def ext_arg_extremes(spark, sf_dir):
+    """arg-max/arg-min per group ("which event had the extreme
+    value"): MAX over a (value, id) struct — lexicographic struct
+    ordering gives a DETERMINISTIC id tie-break, where bare
+    max_by/arg_max pick an arbitrary winner on ties (and the two
+    engines would disagree).  Pure partial aggregate: map-side
+    combine, one 5-group shuffle, at any scale."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mx = F.max(F.struct(F.col("value").alias("v"),
+                        F.col("event_id").alias("i")))
+    mn = F.min(F.struct(F.col("value").alias("v"),
+                        F.col("event_id").alias("i")))
+    return (ev.groupBy("event_type")
+            .agg(mx.getField("v").alias("max_value"),
+                 mx.getField("i").alias("max_value_event"),
+                 mn.getField("v").alias("min_value"),
+                 mn.getField("i").alias("min_value_event")))
+
+
+# ------------------------------------------- FILTER-clause aggregates
+FILTERED_AGG_SQL = f"""
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value > 100) AS n_large,
+       ROUND({DDOUBLE_SQL.format(
+           expr="SUM(CAST(value AS DECIMAL(38,10))) "
+                "FILTER (WHERE value > 100)")}, 6) AS sum_large,
+       COUNT(*) FILTER (WHERE value IS NULL) AS n_null,
+       ROUND(CAST(COUNT(*) FILTER (WHERE value > 100) AS DOUBLE)
+             / COUNT(*), 6) AS large_frac
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("ext_filtered_agg", FILTERED_AGG_SQL)
+def ext_filtered_agg(spark, sf_dir):
+    """Conditional (FILTER-clause) aggregation: per-group counts and
+    sums over different predicates in ONE pass — the idiom that
+    replaces N self-joins with N conditional aggregates.  Spark
+    expresses the FILTER clause as count_if / sum(CASE WHEN); one
+    scan, one shuffle of 5 partially-aggregated groups."""
+    ev = t(spark, sf_dir, "events")
+    big = F.col("value") > 100
+    return (ev.groupBy("event_type").agg(
+        F.count_if(big).alias("n_large"),
+        F.round(F.sum(F.when(big, F.col("value"))
+                      .cast("decimal(38,10)")).cast("double"), 6)
+        .alias("sum_large"),
+        F.count_if(F.col("value").isNull()).alias("n_null"),
+        F.round(F.count_if(big).cast("double") / F.count(F.lit(1)), 6)
+        .alias("large_frac")))

@@ -437,3 +437,57 @@ def stream_dedup_watermark(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# -------------------------------------------- stream-stream join
+SS_JOIN_SQL = """
+SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("stream_stream_join", SS_JOIN_SQL)
+def stream_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join: clicks matched to same-user purchases
+    within the following hour.  Both sides carry a watermark and the
+    join condition bounds event time, so Spark can size and EVICT the
+    join state — without the time bound an unbounded stream would
+    buffer both streams forever.  At 100 TB user_id is the state key
+    and each side holds at most one lateness-window of events.  Under
+    Trigger.AvailableNow the result equals the batch range join, so
+    it stays oracle-checkable."""
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    sink = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+
+    def side(event_type, ts_alias, user_alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(F.col("user_id").alias(user_alias),
+                    F.expr("timestamp_micros(ts DIV 1000)")
+                    .alias(ts_alias))
+            .withWatermark(ts_alias, "1 hour"))
+
+    clicks = side("click", "click_ts", "user_id")
+    purchases = side("purchase", "purchase_ts", "p_user_id")
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+        .select("user_id", "click_ts", "purchase_ts"))
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
