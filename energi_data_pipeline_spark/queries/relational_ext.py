@@ -774,3 +774,92 @@ def ext_filtered_agg(spark, sf_dir):
         F.count_if(F.col("value").isNull()).alias("n_null"),
         F.round(F.count_if(big).cast("double") / F.count(F.lit(1)), 6)
         .alias("large_frac")))
+
+
+# ------------------------------------------------ data-quality audit
+DQ_SQL = """
+WITH orphans AS (
+  SELECT COUNT(*) AS n_orphan
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL),
+ev AS (
+  SELECT COUNT(*) AS n_events,
+         COUNT(*) FILTER (WHERE value IS NULL) AS n_null_value,
+         COUNT(*) FILTER (WHERE value < 0) AS n_negative,
+         COUNT(*) FILTER (WHERE ts < TIMESTAMP '2024-01-01 00:00:00'
+                          OR ts >= TIMESTAMP '2024-02-01 00:00:00')
+           AS n_out_of_range,
+         COUNT(DISTINCT event_id) AS n_distinct_ids
+  FROM events)
+SELECT ev.n_events, ev.n_null_value, ev.n_negative, ev.n_out_of_range,
+       ev.n_events - ev.n_distinct_ids AS n_dup_ids,
+       orphans.n_orphan AS n_orphan_lineitems
+FROM ev, orphans
+"""
+
+
+@query("ext_dq_checks", DQ_SQL)
+def ext_dq_checks(spark, sf_dir):
+    """Data-quality audit in two scans: null/range/negative counts
+    and primary-key duplicate count on events (one pass of
+    conditional aggregates), plus referential-integrity orphan count
+    via a lineitem->orders anti join.  This is the validation gate a
+    production pipeline runs before publishing a snapshot; everything
+    is partial-aggregatable, and the anti join shuffles on the join
+    key like any fact join (AQE broadcasts orders' key column when
+    small)."""
+    ev = t(spark, sf_dir, "events")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    n_orphan = (li.join(orders.select("o_orderkey"),
+                        li.l_orderkey == F.col("o_orderkey"), "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_orphan")))
+    lo = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    ev_stats = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("value").isNull()).alias("n_null_value"),
+        F.count_if(F.col("value") < 0).alias("n_negative"),
+        F.count_if((F.col("ts") < lo) | (F.col("ts") >= hi))
+        .alias("n_out_of_range"),
+        F.count_distinct("event_id").alias("n_distinct_ids"))
+    return (ev_stats.crossJoin(n_orphan)
+            .select("n_events", "n_null_value", "n_negative",
+                    "n_out_of_range",
+                    (F.col("n_events") - F.col("n_distinct_ids"))
+                    .alias("n_dup_ids"),
+                    F.col("n_orphan").alias("n_orphan_lineitems")))
+
+
+# -------------------------------------------- latest record per key
+LATEST_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+       value AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("ext_latest_per_key", LATEST_SQL)
+def ext_latest_per_key(spark, sf_dir):
+    """Latest-record-per-key (the SCD/upsert compaction primitive:
+    collapse a change log to current state).  row_number over
+    (key ORDER BY ts DESC, id DESC) with a deterministic id
+    tie-break; one shuffle on the key.  At 100 TB prefer sort-based
+    aggregation over the same key the table is bucketed by — the
+    plan then needs no exchange at all (tests/test_storage_layout.py
+    proves the bucketed-join case)."""
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type",
+                    F.col("ts").alias("last_ts"),
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("value").alias("last_value")))

@@ -107,3 +107,35 @@ def test_no_python_udf_outside_multimodal(spark, registry):
         p = plan_of(spark, registry, name)
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
+
+
+def test_tpch_snowflake_broadcasts(spark, registry):
+    # Q5's four dimension sides must all ride broadcasts; the only
+    # shuffle join allowed is orders⋈lineitem on orderkey
+    p = plan_of(spark, registry, "tpch_q5_local_supplier")
+    assert p.count("BroadcastHashJoin") >= 3
+    p14 = plan_of(spark, registry, "tpch_q14_promo_effect")
+    assert "BroadcastHashJoin" in p14
+    assert "SortMergeJoin" not in p14
+
+
+def test_funnel_has_no_window(spark, registry):
+    # the funnel is cascaded conditional aggregates — a window over
+    # the full event stream would be the wrong (serial-ish) shape
+    p = plan_of(spark, registry, "ext_funnel")
+    assert "windowspecdefinition" not in p.lower()
+
+
+def test_resample_aggregates_before_fill_join(spark, registry):
+    # the corpus-scale work must be the hourly partial aggregate;
+    # the spine join and fill window run over dimension-sized data
+    p = plan_of(spark, registry, "ext_time_resample", mode="simple")
+    assert "HashAggregate" in p
+    assert "partial" in p.lower() or "partial_" in p.lower()
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, registry):
+    # the centroid table must broadcast onto the corpus (map-only
+    # assignment); a shuffle join there would move the corpus twice
+    p = plan_of(spark, registry, "sims_ivf_ann")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
