@@ -410,3 +410,307 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+# ------------------------------------------------------------------ Q4
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", Q4_SQL)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (dates adapted to the synthetic schema, which
+    has no commit/receipt dates): priority counts over orders having
+    at least one lineitem shipped after the order date.  The EXISTS
+    decorrelates to a LEFT SEMI join on orderkey — one shuffle, and
+    the semi join short-circuits per key instead of multiplying
+    rows."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    o_filt = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00")
+         .cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00")
+           .cast("timestamp")))
+    shipped_late = (
+        o_filt.join(
+            li.select("l_orderkey", "l_shipdate"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi"))
+    return (shipped_late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+# ------------------------------------------------------------------ Q7
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+  WHERE s.s_suppkey = l.l_suppkey
+    AND o.o_orderkey = l.l_orderkey
+    AND c.c_custkey = o.o_custkey
+    AND s.s_nationkey = n1.n_nationkey
+    AND c.c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_volume_shipping", Q7_SQL)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year.  Both nation filters broadcast through supplier and
+    customer; the only shuffle join is lineitem⋈orders on orderkey.
+    The symmetric nation-pair disjunction is applied AFTER both
+    broadcasts tag the rows — no union of two mirrored plans."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n = nation.filter(F.col("n_name").isin(pair))
+    s_n = (supp.join(F.broadcast(n),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c_n = (cust.join(F.broadcast(n),
+                     F.col("c_nationkey") == F.col("n_nationkey"))
+           .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o_c = (orders.join(F.broadcast(c_n),
+                       F.col("o_custkey") == F.col("c_custkey"))
+           .select("o_orderkey", "cust_nation"))
+    return (
+        li.join(F.broadcast(s_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o_c, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select("supp_nation", "cust_nation",
+                F.year("l_shipdate").cast("int").alias("l_year"),
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume"), "revenue"))
+    )
+
+
+# ----------------------------------------------------------------- Q13
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_customer_distribution", Q13_SQL)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: two-level aggregation — orders per customer
+    (LEFT join keeps zero-order customers), then the histogram of
+    those counts.  First agg shuffles on custkey; the second input is
+    customer-cardinality and its output is the tiny count histogram.
+    This is THE skew-prone shape (power-law customers), which AQE's
+    skew-join splitting handles without a manual salt."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+# ----------------------------------------------------------------- Q22
+#: every synthetic customer has orders, so the classic "never ordered"
+#: anti-join is empty at any SF; "no order above this price" keeps the
+#: identical NOT-EXISTS shape with a non-trivial result (88 @ sf0.01).
+Q22_BIG_ORDER = 400_000
+
+Q22_SQL = f"""
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0),
+eligible AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+  FROM customer c, avg_bal
+  WHERE c.c_acctbal > avg_bal.a
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > {Q22_BIG_ORDER}))
+SELECT n.n_name AS nation, COUNT(*) AS numcust,
+       ROUND(CAST(CAST(SUM(CAST(e.c_acctbal AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE), 6) AS totacctbal
+FROM eligible e JOIN nation n ON e.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("tpch_q22_global_sales_opportunity", Q22_SQL)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (nation stands in for the phone country code
+    the synthetic schema lacks): wealthy customers with no large
+    order.  The scalar average broadcasts as a one-row cross join;
+    the NOT EXISTS decorrelates to a LEFT ANTI join on custkey
+    (anti-join side pre-filtered to large orders); nation broadcasts
+    onto the (small) surviving set."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("a")))
+    eligible = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders.filter(F.col("o_totalprice") > Q22_BIG_ORDER)
+              .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti"))
+    return (
+        eligible.join(F.broadcast(nation),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             dsum(F.col("c_acctbal"), "totacctbal"))
+    )
+
+
+# ------------------------------------------------------------------ Q8
+Q8_SQL = """
+WITH all_nations AS (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p, supplier s, lineitem l, orders o, customer c,
+       nation n1, nation n2, region r
+  WHERE p.p_partkey = l.l_partkey
+    AND s.s_suppkey = l.l_suppkey
+    AND l.l_orderkey = o.o_orderkey
+    AND o.o_custkey = c.c_custkey
+    AND c.c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r.r_regionkey
+    AND r.r_name = 'EUROPE'
+    AND s.s_nationkey = n2.n_nationkey
+    AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 00:00:00'
+    AND p.p_type = 'STANDARD')
+SELECT o_year,
+       ROUND(
+         CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3'
+                   THEN volume ELSE 0 END AS DECIMAL(38,10)))
+              AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(volume AS DECIMAL(38,10)))
+              AS VARCHAR) AS DOUBLE), 6) AS mkt_share
+FROM all_nations
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_national_market_share", Q8_SQL)
+def tpch_q8_national_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a part-type's trade
+    volume into one region, by year.  Every dimension side (part
+    filter, supplier->nation, customer->nation->region) broadcasts;
+    the only shuffle join is lineitem⋈orders; the share is a
+    conditional-aggregate ratio over exact decimal sums."""
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    europe_cust = (
+        cust.join(F.broadcast(
+            nation.join(F.broadcast(
+                region.filter(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey"))
+    supp_n = (supp.join(F.broadcast(nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation"))
+    o_filt = (orders.filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp")))
+        .join(F.broadcast(europe_cust),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey",
+                F.year("o_orderdate").cast("int").alias("o_year")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flagged = (
+        li.join(F.broadcast(part
+                            .filter(F.col("p_type") == "STANDARD")
+                            .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o_filt, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_year", vol.alias("volume"), "supp_nation"))
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                       F.col("volume")).otherwise(F.lit(0.0))
+                .cast("decimal(38,10)")).cast("double")
+    den = F.sum(F.col("volume").cast("decimal(38,10)")).cast("double")
+    return (flagged.groupBy("o_year")
+            .agg(F.round(num / den, 6).alias("mkt_share")))
+
+
+# ----------------------------------------------------------------- Q15
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE), 6)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", Q15_SQL)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the revenue "view" aggregates per supplier,
+    then the scalar MAX selects the top supplier(s).  The max is a
+    one-row broadcast back onto the supplier-cardinality aggregate
+    (never the fact table); equality compares the ROUNDED decimal
+    sum, so both engines pick the same winner even on exact revenue
+    ties."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00")
+             .cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00")
+               .cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "total_revenue")))
+    best = revenue.agg(F.max("total_revenue").alias("best"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best"))
+        .join(F.broadcast(supp),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue"))

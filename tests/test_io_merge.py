@@ -60,3 +60,37 @@ def test_merge_upsert_end_to_end(spark, tmp_path):
     merge_upsert(spark, s2, wh, "gold", "acct", ["k"])
     got = spark.read.parquet(table_path(wh, "gold", "acct"))
     assert _rows(got) == {(1, 100), (2, 999), (3, 300)}
+
+
+# ------------------------------------------------- property testing
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+rows_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8),
+              st.integers(min_value=-100, max_value=100)),
+    min_size=0, max_size=12)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(target=rows_st, source=rows_st)
+def test_merge_plan_matches_dict_semantics(spark, target, source):
+    """merge_upsert_plan == dict.update on last-per-key maps (within
+    each input, highest v wins as the deterministic representative)."""
+    def dedupe(rows):
+        best: dict[int, int] = {}
+        for k, v in rows:
+            if k not in best or v > best[k]:
+                best[k] = v
+        return best
+
+    t_map, s_map = dedupe(target), dedupe(source)
+    tdf = spark.createDataFrame(
+        list(t_map.items()) or [(None, None)], "k int, v int").dropna()
+    sdf = spark.createDataFrame(
+        list(s_map.items()) or [(None, None)], "k int, v int").dropna()
+    out = {(r["k"], r["v"])
+           for r in merge_upsert_plan(tdf, sdf, ["k"]).collect()}
+    want = dict(t_map)
+    want.update(s_map)
+    assert out == set(want.items())
