@@ -394,3 +394,54 @@ def sims_ivf_ann(spark, sf_dir):
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= TOP_K))
+
+
+# ------------------------------------------- int8 quantization
+QUANT_SQL = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         (SELECT MAX(ABS(CAST(e AS DOUBLE)))
+          FROM (SELECT UNNEST(embedding) AS e)) AS max_abs
+  FROM embeddings)
+SELECT vec_id,
+       ROUND(max_abs, 6) AS max_abs,
+       CASE WHEN max_abs = 0
+            THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding, x ->
+                   CAST(ROUND(CAST(x AS DOUBLE) / max_abs * 127)
+                        AS INTEGER))
+       END AS q8
+FROM m
+"""
+
+
+@query("sims_quantize_int8", QUANT_SQL)
+def sims_quantize_int8(spark, sf_dir):
+    """Symmetric int8 vector quantization (per-vector absmax scale) —
+    the standard 4x memory/bandwidth cut before storing or shipping
+    embeddings for ANN at scale.  Pure map stage: one JVM
+    higher-order-function pass per vector, no shuffle, no UDF;
+    both engines round half-away-from-zero so codes match exactly.
+    Zero vectors quantize to zeros (scale guard).
+
+    The scale column is internally named ``__scale``, NOT ``max_abs``:
+    a column reference inside a higher-order-function lambda resolves
+    against a SIBLING lateral alias in the same select (here the
+    6-rounded display value) where a plain expression resolves
+    against the child — with the shared name, q8 silently quantized
+    with the rounded scale and flipped an exact .5 boundary (caught
+    by the parity gate: element 13 of vec 229 at sf0.001, -56 vs
+    -57)."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    xd = lambda x: x.cast("double")  # noqa: E731
+    m = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(xd(x))))
+    q = F.when(F.col("__scale") == 0,
+               F.transform(F.col("embedding"), lambda x: F.lit(0))) \
+        .otherwise(F.transform(
+            F.col("embedding"),
+            lambda x: F.round(xd(x) / F.col("__scale") * 127)
+            .cast("int")))
+    return (emb.withColumn("__scale", m)
+            .select("vec_id",
+                    F.round("__scale", 6).alias("max_abs"),
+                    q.alias("q8")))

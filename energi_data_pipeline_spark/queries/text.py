@@ -352,3 +352,83 @@ def text_bigram_freq(spark, sf_dir):
         F.col("n").desc(), F.col("bigram"))
     return (counted.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= TOP_BIGRAMS))
+
+
+# ---------------------------------------- BPE-style pretokenization
+#: GPT-2-ish pretokenizer, restricted to the RE2/Java common subset
+#: (no lookahead): word / number / punctuation-run / space-run.
+BPE_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+@query(
+    "text_bpe_token_count",
+    f"""WITH toks AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(text, '{BPE_RE}') AS tk
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(tk) AS INTEGER) AS n_bpe_tokens,
+               CAST(len(list_filter(tk, x ->
+                    regexp_matches(x, '^ ?[a-zA-Z]+$')))
+                    AS INTEGER) AS n_word_tokens,
+               ROUND(CAST(length(text) AS DOUBLE)
+                     / GREATEST(len(tk), 1), 6) AS chars_per_token
+        FROM toks""",
+)
+def text_bpe_token_count(spark, sf_dir):
+    """Token counting with a BPE-style pretokenizer regex (word /
+    number / punct-run / space-run splits — the GPT-2 pattern minus
+    lookahead so RE2 and Java regex agree).  This is the cheap
+    LLM-cost estimator: BPE subword counts track this pretoken count
+    closely, and the whole thing is one JVM regexp pass per document
+    — embarrassingly parallel at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+    words = F.filter(tk, lambda x: x.rlike("^ ?[a-zA-Z]+$"))
+    return d.select(
+        "doc_id",
+        F.size(tk).cast("int").alias("n_bpe_tokens"),
+        F.size(words).cast("int").alias("n_word_tokens"),
+        F.round(F.length("text").cast("double")
+                / F.greatest(F.size(tk), F.lit(1)), 6)
+        .alias("chars_per_token"))
+
+
+# -------------------------------------------------- stopword ratio
+_SW = EN_STOP + DA_STOP
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _SW) + "]"
+
+
+@query(
+    "text_stopword_ratio",
+    f"""WITH toks AS (
+          SELECT doc_id,
+                 list_transform({TOKENS_SQL}, x -> lower(x)) AS tk
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(tk) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(tk, x ->
+                    list_contains({_SW_SQL}, x))) AS INTEGER)
+                 AS n_stopwords,
+               ROUND(CAST(len(list_filter(tk, x ->
+                    list_contains({_SW_SQL}, x))) AS DOUBLE)
+                     / GREATEST(len(tk), 1), 6) AS stopword_ratio
+        FROM toks""",
+)
+def text_stopword_ratio(spark, sf_dir):
+    """Stopword ratio — the classic fluency signal in LLM corpus
+    quality filters (near-zero on boilerplate/code/tables, ~0.3-0.5
+    on natural prose).  The stopword list is a tiny array literal
+    evaluated JVM-side per token; map-only, no shuffle, no
+    broadcast table needed at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    sw = F.array(*[F.lit(w) for w in _SW])
+    n_stop = F.size(F.filter(tk, lambda x: F.array_contains(sw, x)))
+    return d.select(
+        "doc_id",
+        F.size(tk).cast("int").alias("n_tokens"),
+        n_stop.cast("int").alias("n_stopwords"),
+        F.round(n_stop.cast("double")
+                / F.greatest(F.size(tk), F.lit(1)), 6)
+        .alias("stopword_ratio"))
