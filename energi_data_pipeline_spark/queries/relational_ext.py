@@ -863,3 +863,48 @@ def ext_latest_per_key(spark, sf_dir):
                     F.col("ts").alias("last_ts"),
                     F.col("event_id").alias("last_event_id"),
                     F.col("value").alias("last_value")))
+
+
+# ------------------------------------- event-sequence pattern match
+SEQ_PATTERN = "vc*p"  # view, any clicks, purchase — adjacent in time
+
+SEQ_MATCH_SQL = f"""
+SELECT user_id,
+       string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+         AS seq,
+       CAST(length(string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id)) AS INTEGER)
+         AS n_events,
+       CAST(len(regexp_extract_all(
+              string_agg(substr(event_type, 1, 1), ''
+                         ORDER BY ts, event_id),
+              '{SEQ_PATTERN}')) AS INTEGER) AS n_conversions
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("ext_sequence_match", SEQ_MATCH_SQL)
+def ext_sequence_match(spark, sf_dir):
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each
+    user's history collapses to an ordered type-initial string, and a
+    regex counts view->clicks->purchase runs.  The collect is per
+    USER (bounded by one user's history, thousands of times smaller
+    than the stream) and the sort is inside the array — one shuffle
+    on user_id, no window over the global stream.  Determinism: the
+    struct sort orders by (ts, event_id), a unique key."""
+    ev = t(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id",
+                  F.struct(F.col("ts"), F.col("event_id"),
+                           F.substring("event_type", 1, 1).alias("c"))
+                  .alias("s"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss")))
+    seq = F.concat_ws(
+        "", F.transform(F.col("ss"), lambda s: s.getField("c")))
+    return per_user.select(
+        "user_id", seq.alias("seq"),
+        F.length(seq).cast("int").alias("n_events"),
+        F.size(F.regexp_extract_all(seq, F.lit(SEQ_PATTERN), 0))
+        .cast("int").alias("n_conversions"))
