@@ -215,3 +215,51 @@ def merge_upsert(spark: SparkSession, source: DataFrame, warehouse: str,
     # writing the staged snapshot; the rename swap happens only after
     # that write (and therefore the read) completes
     publish_atomic(merged, path)
+
+
+# ----------------------------------------------- snapshot versioning
+def publish_version(df: DataFrame, path: str, keep: int = 3) -> int:
+    """Write ``df`` as the next numbered snapshot of a versioned
+    table and atomically flip the ``_CURRENT`` pointer to it.
+
+    Lakehouse-lite time travel without a table format dependency:
+    each publish writes ``v=<n>/`` (immutable), then renames a
+    one-line pointer file into place — readers that resolved the
+    pointer keep reading their (immutable) snapshot while new
+    readers see the new one; a crash before the pointer flip leaves
+    the previous version current.  ``keep`` bounds retained history
+    (old versions vacuumed AFTER the flip).  Concurrent writers
+    still need a real transactional format (Delta/Iceberg) — same
+    single-writer contract as the reference.  Returns the new
+    version number.
+    """
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    versions = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(path)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit())
+    new_v = (versions[-1] + 1) if versions else 0
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={new_v}"))
+    pointer_tmp = os.path.join(path, f"_CURRENT.__tmp_{new_v}")
+    with open(pointer_tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(new_v))
+    os.rename(pointer_tmp, os.path.join(path, "_CURRENT"))  # atomic flip
+    for old in versions[:max(0, len(versions) + 1 - keep)]:
+        shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+    return new_v
+
+
+def read_version(spark: SparkSession, path: str,
+                 version: int | None = None) -> DataFrame:
+    """Read a versioned table: the ``_CURRENT`` snapshot by default,
+    or time-travel to an explicit retained ``version``."""
+    if version is None:
+        with open(os.path.join(path, "_CURRENT"), encoding="utf-8") as fh:
+            version = int(fh.read().strip())
+    vdir = os.path.join(path, f"v={version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {version} not retained at {path} "
+            f"(older than the keep window, or never written)")
+    return spark.read.parquet(vdir)

@@ -94,3 +94,30 @@ def test_merge_plan_matches_dict_semantics(spark, target, source):
     want = dict(t_map)
     want.update(s_map)
     assert out == set(want.items())
+
+
+# ------------------------------------------------ snapshot versioning
+def test_publish_version_time_travel(spark, tmp_path):
+    from energi_data_pipeline_spark.io import publish_version, read_version
+
+    path = str(tmp_path / "vt")
+    assert publish_version(
+        spark.createDataFrame([(1,)], "k int"), path) == 0
+    assert publish_version(
+        spark.createDataFrame([(2,)], "k int"), path) == 1
+    assert _rows(read_version(spark, path)) == {(2,)}          # current
+    assert _rows(read_version(spark, path, 0)) == {(1,)}       # travel
+
+
+def test_publish_version_vacuums_old(spark, tmp_path):
+    import pytest as _pytest
+    from energi_data_pipeline_spark.io import publish_version, read_version
+
+    path = str(tmp_path / "vt")
+    for i in range(5):
+        publish_version(
+            spark.createDataFrame([(i,)], "k int"), path, keep=2)
+    assert _rows(read_version(spark, path)) == {(4,)}
+    assert _rows(read_version(spark, path, 3)) == {(3,)}
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        read_version(spark, path, 0)
