@@ -42,3 +42,38 @@ def ext_asof_join(spark, sf_dir):
         "event_id", "ts", "user_id",
         F.col("o_orderkey").alias("asof_orderkey"),
         F.col("o_orderdate").alias("asof_orderdate"))
+
+
+ASOF_FWD_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.ts, e.user_id,
+       o.o_orderkey AS next_orderkey,
+       o.o_orderdate AS next_orderdate
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts <= o.o_orderdate
+"""
+
+
+@query("ext_asof_join_forward", ASOF_FWD_SQL)
+def ext_asof_join_forward(spark, sf_dir):
+    """Forward as-of: for every event, the EARLIEST order of the same
+    user at or after the event ("time to next purchase" analyses).
+    Same one-shuffle union+window composition as the backward join,
+    mirrored (first-ignoring-nulls over the unbounded-following
+    frame); the oracle is DuckDB's native ASOF with the inequality
+    flipped."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = t(spark, sf_dir, "orders")
+    o = (orders.groupBy(F.col("o_custkey").alias("user_id"),
+                        "o_orderdate")
+         .agg(F.max("o_orderkey").alias("o_orderkey")))
+    joined = asof_join(
+        ev, o, on=["user_id"], left_time="ts", right_time="o_orderdate",
+        values=["o_orderkey", "o_orderdate"], direction="forward")
+    return joined.select(
+        "event_id", "ts", "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_orderdate").alias("next_orderdate"))

@@ -67,3 +67,44 @@ def test_asof_matches_pandas_merge_asof(spark, lrows, rrows):
 def test_asof_edges(spark, lrows, rrows):
     assert run_asof(spark, lrows, rrows) \
         == expected_merge_asof(lrows, rrows)
+
+
+# --------------------------------------------------- forward as-of
+def expected_merge_asof_fwd(lrows, rrows):
+    left = pd.DataFrame(lrows, columns=["k", "t"]) \
+        .sort_values(["t", "k"], kind="stable")
+    right = pd.DataFrame(rrows, columns=["k", "t", "v"]).sort_values("t")
+    out = pd.merge_asof(left, right, on="t", by="k",
+                        direction="forward", allow_exact_matches=True)
+    return sorted((int(r.k), int(r.t), None if pd.isna(r.v) else int(r.v))
+                  for r in out.itertuples())
+
+
+def run_asof_fwd(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(int(k), int(t)) for k, t in lrows], "k int, t int")
+    right = spark.createDataFrame(
+        [(int(k), int(t), int(v)) for k, t, v in rrows],
+        "k int, rt int, v int")
+    out = asof_join(left, right, on=["k"], left_time="t",
+                    right_time="rt", values=["v"], direction="forward")
+    return sorted((r["k"], r["t"], r["v"]) for r in out.collect())
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_forward_matches_pandas(spark, lrows, rrows):
+    assert run_asof_fwd(spark, lrows, rrows) \
+        == expected_merge_asof_fwd(lrows, rrows)
+
+
+@pytest.mark.parametrize("lrows,rrows", [
+    ([(0, 10)], [(0, 10, 1)]),            # exact-time tie: inclusive
+    ([(0, 15)], [(0, 10, 1)]),            # left after all rights: NULL
+    ([(0, 10), (0, 8)], [(0, 9, 7), (0, 11, 8)]),
+    ([(1, 10)], [(0, 5, 1)]),             # key only on the left: NULL
+])
+def test_asof_forward_edges(spark, lrows, rrows):
+    assert run_asof_fwd(spark, lrows, rrows) \
+        == expected_merge_asof_fwd(lrows, rrows)
