@@ -118,3 +118,84 @@ def sample_frames(df: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("resized_bytes", IntegerType()),
+    StructField("resized_payload", BinaryType()),
+])
+
+#: stride of the fake downsample (every k-th byte survives).
+RESIZE_STRIDE = 4
+
+
+def downsample_stub(payload: bytes) -> bytes:
+    """Deterministic stand-in for an image downscale: keep every
+    ``RESIZE_STRIDE``-th byte.  Real deployment: PIL ``thumbnail`` —
+    the binary->binary signature, schema and batching are what the
+    engine owns; the kernel is swappable."""
+    return (payload or b"")[::RESIZE_STRIDE]
+
+
+def resize_payloads(df: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` -> downsampled payload + sizes,
+    Arrow-batched binary->binary (the thumbnail/transcode shape:
+    output bytes stay a fraction of input bytes, so batch memory
+    shrinks through the operator)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            small = pdf["payload"].map(downsample_stub)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].map(
+                    lambda b: 0 if b is None else len(b)).astype("int32"),
+                "resized_bytes": small.map(len).astype("int32"),
+                "resized_payload": small,
+            })
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("win_idx", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("rms", DoubleType()),
+])
+
+#: samples (bytes) per analysis window.
+AUDIO_WIN = 32
+
+
+def audio_windows(df: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` -> per-window RMS energy, treating
+    each byte as one PCM sample (the audio-feature shape: fixed-size
+    windows over a long 1-D signal, one output row per window).
+
+    numpy vectorizes within the Arrow batch; the window expansion
+    happens inside mapInPandas so memory follows frames-per-batch,
+    and rounding to 6 decimals pins the one float op (sqrt of an
+    exact integer mean) for the oracle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(payload or b"", dtype=np.uint8)
+                for w in range(0, len(x), AUDIO_WIN):
+                    win = x[w:w + AUDIO_WIN].astype(np.float64)
+                    rms = float(np.sqrt(np.mean(win * win)))
+                    rows.append((doc_id, w // AUDIO_WIN, len(win),
+                                 round(rms, 6)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)

@@ -110,3 +110,70 @@ def mm_decode_features(spark, sf_dir):
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return extract_features(payloads)
+
+
+@query(
+    "mm_resize_stride",
+    """SELECT doc_id,
+              CAST(length(text) AS INTEGER) AS n_bytes,
+              CAST(ceil(length(text) / 4.0) AS INTEGER) AS resized_bytes,
+              lower(hex(encode(array_to_string(list_transform(
+                  range(1, length(text) + 1, 4),
+                  i -> substr(text, i, 1)), '')))) AS resized_hex
+       FROM documents""",
+)
+def mm_resize_stride(spark, sf_dir):
+    """Thumbnail/transcode plumbing: binary -> smaller binary through
+    an Arrow-batched mapInPandas (every 4th byte survives the stub
+    downsample; swap for a PIL thumbnail in deployment).  Output
+    bytes are a fraction of input bytes, so batch memory SHRINKS
+    through the operator — the right direction for a 100 TB media
+    re-encode.  The ASCII corpus makes byte slicing replayable in
+    SQL (as mm_frame_sample exploits)."""
+    from ..operators.multimodal import resize_payloads
+
+    d = spread(t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    out = resize_payloads(payloads)
+    return out.select(
+        "doc_id", "n_bytes", "resized_bytes",
+        F.lower(F.hex("resized_payload")).alias("resized_hex"))
+
+
+@query(
+    "mm_audio_rms",
+    """WITH p AS (
+         SELECT doc_id, text, length(text) AS n
+         FROM documents WHERE length(text) > 0),
+       w AS (
+         SELECT doc_id, n, text,
+                unnest(range(0, CAST(ceil(n / 32.0) AS INTEGER)))
+                  AS win_idx
+         FROM p)
+       SELECT doc_id,
+              CAST(win_idx AS INTEGER) AS win_idx,
+              CAST(LEAST(32, n - win_idx * 32) AS INTEGER) AS n_samples,
+              ROUND(sqrt(CAST(list_sum(list_transform(
+                      range(win_idx * 32 + 1,
+                            LEAST(win_idx * 32 + 32, n) + 1),
+                      i -> ascii(substr(text, i, 1))
+                           * ascii(substr(text, i, 1)))) AS DOUBLE)
+                    / LEAST(32, n - win_idx * 32)), 6) AS rms
+       FROM w""",
+)
+def mm_audio_rms(spark, sf_dir):
+    """Audio-feature plumbing: the payload is treated as a 1-D PCM
+    signal (one byte = one sample) and each 32-sample window emits
+    its RMS energy — the fixed-window signal-analysis shape
+    (spectrograms, VAD, loudness) as Arrow-batched mapInPandas with
+    numpy vectorization inside the batch.  The mean of squares is
+    exact integer arithmetic in float64, so rounding the single sqrt
+    to 6 decimals makes the oracle replay bit-equal."""
+    from ..operators.multimodal import audio_windows
+
+    d = spread(t(spark, sf_dir, "documents")
+               .filter(F.length("text") > 0))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return audio_windows(payloads)
