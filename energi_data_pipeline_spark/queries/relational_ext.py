@@ -908,3 +908,69 @@ def ext_sequence_match(spark, sf_dir):
         F.length(seq).cast("int").alias("n_events"),
         F.size(F.regexp_extract_all(seq, F.lit(SEQ_PATTERN), 0))
         .cast("int").alias("n_conversions"))
+
+
+# ------------------------------------------ SCD2 dimension build
+SCD2_SQL = """
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current,
+       value
+FROM events
+WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+"""
+
+
+@query("ext_scd2_intervals", SCD2_SQL)
+def ext_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type 2: a change log becomes
+    validity intervals — each record is valid from its own timestamp
+    until the key's next change (open-ended + flagged for the current
+    row).  One lead() window per key, one shuffle on the key; the
+    standard dimension-history build every warehouse needs, and the
+    interval table is what ext_asof_join then probes."""
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy("ts", "event_id"))
+    nxt = F.lead("ts").over(w)
+    return (ev.filter(F.col("event_type") == "signup")
+            .select("user_id", "event_type",
+                    F.col("ts").alias("valid_from"),
+                    nxt.alias("valid_to"),
+                    nxt.isNull().alias("is_current"),
+                    "value"))
+
+
+# ------------------------------------------------ value histogram
+HIST_BIN_W = 50.0
+HIST_BINS = 10
+
+HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(LEAST(FLOOR(value / {HIST_BIN_W}), {HIST_BINS - 1})
+            AS INTEGER) AS bin,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS avg_in_bin
+FROM events
+WHERE value IS NOT NULL AND value >= 0
+GROUP BY event_type, bin
+"""
+
+
+@query("ext_histogram", HISTOGRAM_SQL)
+def ext_histogram(spark, sf_dir):
+    """Equal-width histogram per group ({HIST_BINS} bins of width
+    {HIST_BIN_W}, top bin open): binning is a pure projection, so the
+    whole query is one partial-aggregated shuffle of (type, bin)
+    groups — the profiling primitive that runs before choosing
+    filters/clips on a new 100 TB column."""
+    ev = t(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value") / HIST_BIN_W),
+                      F.lit(HIST_BINS - 1)).cast("int")
+    return (ev.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+            .groupBy("event_type", bin_col.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_in_bin")))
