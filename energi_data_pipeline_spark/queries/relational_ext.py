@@ -974,3 +974,83 @@ def ext_histogram(spark, sf_dir):
             .groupBy("event_type", bin_col.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("value"), 6).alias("avg_in_bin")))
+
+
+# --------------------------------------------- unpivot (wide->long)
+UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+         l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem)
+"""
+
+
+@query("ext_unpivot_long", UNPIVOT_SQL)
+def ext_unpivot_long(spark, sf_dir):
+    """Unpivot / melt (the inverse of ext_pivot_event_counts): four
+    measure columns become (measure, value) rows via the native
+    ``unpivot`` operator — Spark expands rows INSIDE the scan
+    projection (an Expand node), one pass, no self-union of four
+    scans like the naive SQL formulation."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber",
+                      F.col("l_quantity").alias("quantity"),
+                      F.col("l_extendedprice").alias("extendedprice"),
+                      F.col("l_discount").alias("discount"),
+                      F.col("l_tax").alias("tax"))
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["quantity", "extendedprice", "discount", "tax"],
+                     "measure", "value"))
+
+
+# ------------------------------------- interval-overlap sweep line
+OVERLAP_WIN_MIN = 60
+
+OVERLAP_SQL = f"""
+WITH deltas AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL {OVERLAP_WIN_MIN} MINUTES, -1
+  FROM events),
+running AS (
+  SELECT event_type, t, delta,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM deltas)
+SELECT event_type,
+       CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
+FROM running GROUP BY event_type
+"""
+
+
+@query("ext_interval_overlap", OVERLAP_SQL)
+def ext_interval_overlap(spark, sf_dir):
+    """Max concurrent intervals (sweep line): each event opens a
+    {OVERLAP_WIN_MIN}-minute interval; +1/-1 deltas sorted by time
+    with a running sum give instantaneous concurrency, maxed per
+    type.  Half-open semantics are pinned by ordering closes (-1)
+    before opens (+1) at equal timestamps on both engines.  The
+    classic capacity/concurrency primitive, O(n log n) via one
+    window instead of the quadratic self-join."""
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    opens = ev.select("event_type", F.col("ts").alias("t"),
+                      F.lit(1).alias("delta"))
+    closes = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {OVERLAP_WIN_MIN} MINUTES"))
+        .alias("t"),
+        F.lit(-1).alias("delta"))
+    w = (Window.partitionBy("event_type").orderBy("t", "delta")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (opens.unionByName(closes)
+            .withColumn("concurrent", F.sum("delta").over(w))
+            .groupBy("event_type")
+            .agg(F.max("concurrent").cast("bigint")
+                 .alias("max_concurrent")))

@@ -432,3 +432,46 @@ def text_stopword_ratio(spark, sf_dir):
         F.round(n_stop.cast("double")
                 / F.greatest(F.size(tk), F.lit(1)), 6)
         .alias("stopword_ratio"))
+
+
+# ------------------------------------------------ character entropy
+@query(
+    "text_char_entropy",
+    """WITH cs AS (
+         SELECT doc_id, text,
+                CAST(length(text) AS DOUBLE) AS n,
+                list_sort(list_distinct(
+                    list_transform(range(1, length(text) + 1),
+                                   i -> substr(text, i, 1)))) AS uniq
+         FROM documents WHERE length(text) > 0)
+       SELECT doc_id,
+              CAST(len(uniq) AS INTEGER) AS n_distinct_chars,
+              ROUND(-list_sum(list_transform(uniq, c ->
+                  (CAST(length(text) - length(replace(text, c, ''))
+                        AS DOUBLE) / n)
+                  * log2(CAST(length(text) - length(replace(text, c, ''))
+                              AS DOUBLE) / n))), 6) AS entropy_bits
+       FROM cs""",
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the
+    compressibility/quality signal that separates natural prose
+    (~4 bits/char) from boilerplate and degenerate repetition.  Char
+    frequencies come from length-difference counting (JVM string ops,
+    no explode); the -sum(p*log2 p) fold runs left-to-right over the
+    SORTED distinct-char list on both engines, so float accumulation
+    order matches and round(.,6) pins the result."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text").cast("double")
+    chars = F.array_sort(F.array_distinct(F.split(F.col("text"), "")))
+    # NB split('') yields no trailing empty string in Spark 4
+    freq = lambda c: (F.length("text")  # noqa: E731
+                      - F.length(F.replace(F.col("text"), c))
+                      ).cast("double") / n
+    ent = F.aggregate(
+        chars, F.lit(0.0),
+        lambda acc, c: acc - freq(c) * F.log2(freq(c)))
+    return d.select(
+        "doc_id",
+        F.size(chars).cast("int").alias("n_distinct_chars"),
+        F.round(ent, 6).alias("entropy_bits"))
