@@ -45,6 +45,17 @@ HEADLINE = [
 ]
 
 
+def warmup_dir(sf_dir: str) -> str | None:
+    """Smallest sibling sf* directory of the benched one (never the
+    benched dir itself), or None when no sibling exists — derived,
+    not hardcoded, so the warm-up works wherever the data lives."""
+    p = Path(sf_dir)
+    sibs = sorted(
+        (d for d in p.parent.glob("sf*") if d.is_dir() and d != p),
+        key=lambda d: float(d.name.replace("sf", "") or "inf"))
+    return str(sibs[0]) if sibs else None
+
+
 def run_spark(sf_dir: str) -> dict[str, float]:
     from energi_data_pipeline_spark.queries import load_all
     from energi_data_pipeline_spark.session import get_spark
@@ -53,16 +64,17 @@ def run_spark(sf_dir: str) -> dict[str, float]:
     registry = load_all()
     # warm-up: JIT + parquet footer caches, not part of any query time
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # Warm every headline code path ONCE at the smallest SF (100x
-    # less data): JVM JIT + codegen compilation + streaming-engine
-    # init (micro-batch planner, state store, memory sink) are
+    # Warm every headline code path ONCE at the smallest SIBLING SF
+    # (100x less data): JVM JIT + codegen compilation + streaming-
+    # engine init (micro-batch planner, state store, memory sink) are
     # one-time costs a resident engine has long paid — measured ~3s
     # of pure first-touch compilation on a 0.5s query.  The warm-up
     # touches none of the measured SF's data, so the timed runs
     # below still pay their full scans/shuffles/aggregations.
-    for name in HEADLINE:
+    warm = warmup_dir(sf_dir)
+    for name in (HEADLINE if warm else []):
         try:
-            registry[name].fn(spark, "/root/testdata/sf0.001") \
+            registry[name].fn(spark, warm) \
                 .write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # a warm-up miss only costs accuracy, not the run
@@ -115,8 +127,19 @@ def main() -> None:
         "sf": sf,
         "duckdb_baseline": duck_times,
         "duckdb_total": round(sum(duck_times.values()), 3),
+        "notes": ("sessionization is benched via its batch "
+                  "window-function twin (sessionization_batch); the "
+                  "stateful applyInPandasWithState variant is "
+                  "equality-tested in tests/test_streaming_state.py"),
     }
-    print(json.dumps(result))
+    # The JSON must be the LAST bytes this process emits: Spark's
+    # streaming StateStore maintenance thread logs a shutdown stack
+    # trace AFTER main() returns, which truncated the round-2 bench
+    # artifact (the driver keeps only a bounded output tail).
+    # Flush, then hard-exit before any JVM shutdown hook can print.
+    print(json.dumps(result), flush=True)
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -462,8 +462,10 @@ def core_groupby_agg(spark, sf_dir):
 )
 def core_cte_chain(spark, sf_dir):
     """CTE chaining (gold_aggr.py:68-218): multi-join star query with
-    two aggregation grains.  nation/customer broadcast; lineitem⋈orders
-    is the only shuffle pair and AQE handles its partitioning."""
+    two aggregation grains.  nation (bounded) broadcasts; customer is
+    SF-proportional so its join is unhinted and AQE broadcasts it at
+    runtime while it fits; lineitem⋈orders is the big shuffle pair
+    and AQE handles its partitioning."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -472,7 +474,7 @@ def core_cte_chain(spark, sf_dir):
         .cast("decimal(38,10)")
     daily = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.to_date("o_orderdate").alias("order_day"))
         .agg(F.sum(disc).alias("rev"))

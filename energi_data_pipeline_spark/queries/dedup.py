@@ -338,7 +338,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     1. distinct grams per doc computed map-side (``array_distinct``
        inside the array, no shuffle);
-    2. document frequency per (source, gram) — a broadcastable agg;
+    2. document frequency per (source, gram) — a COUNT window over
+       the exploded gram stream, NOT a groupBy + join-back: one
+       shuffle on (source, gram) produces the df-annotated rows
+       directly, with no broadcast (gram vocabulary grows with the
+       corpus) and no second pass over ``grams``;
     3. each doc keeps only its *prefix*: the ``n - ceil(t*n) + 1``
        rarest grams (global (df, gram) order).  Any pair with
        J >= t MUST share a prefix gram, so joining prefixes instead
@@ -349,8 +353,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
     Blocking on ``source`` bounds the candidate space; the result is
     bit-identical to the naive relational oracle.  At 100 TB the
-    (source, gram) join key is the shuffle key and the df table
-    broadcasts — the quadratic all-pairs compare never materializes."""
+    (source, gram) window key and the prefix join key shard the work
+    — the quadratic all-pairs compare never materializes."""
     d = spread(t(spark, sf_dir, "documents"))
     s = norm_col()
     # dynamic-position substring needs the SQL expression form
@@ -377,13 +381,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ).cache()
     docs.count()
     grams = docs.select("doc_id", "source", "n", F.explode("ga").alias("g"))
-    dfreq = grams.groupBy("source", "g").agg(
-        F.count(F.lit(1)).alias("df"))
+    w_df = Window.partitionBy("source", "g")
     # prefix length for Jaccard >= t on an n-gram set of size n
     pref_len = F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)) + 1
     w_doc = Window.partitionBy("doc_id").orderBy("df", "g")
     prefix = (
-        grams.join(F.broadcast(dfreq), ["source", "g"])
+        grams.withColumn("df", F.count(F.lit(1)).over(w_df))
         .withColumn("rk", F.row_number().over(w_doc))
         .filter(F.col("rk") <= pref_len)
         .select("doc_id", "source", "g", "n")

@@ -29,6 +29,13 @@ TOP_K = 5
 QUERY_STRIDE = 50  # vec_id % 50 == 0 -> 10 queries at sf0.01
 N_PLANES = 8
 DIM = 64
+#: brute-force fan-out: the corpus is hash-split into this many
+#: blocks and the query set is replicated once per block, turning
+#: the all-pairs compare into an equi-join on the block id — no
+#: broadcast of the (corpus-proportional) query sample and no
+#: cartesian product.  Sized like a shuffle-partition count: it
+#: bounds reducer-side work, not memory.
+N_BLOCKS = 32
 
 DOT_SQL_FRAGMENT = """
   (SELECT SUM(a_e * b_e) FROM (
@@ -74,20 +81,32 @@ FROM ranked WHERE rank <= {TOP_K}
 
 @query("sims_cosine_topk_bruteforce", COSINE_TOPK_SQL)
 def sims_cosine_topk_bruteforce(spark, sf_dir):
-    """Brute-force cosine top-k: broadcast the (small) query set
-    against the corpus; dot products fold JVM-side; rank on the
-    rounded cosine with deterministic id tie-break."""
+    """Brute-force cosine top-k — the exactness baseline, O(Q·N) by
+    definition.  The query sample is a constant fraction of the
+    corpus (``vec_id % stride``), so broadcasting it would OOM the
+    executors at 100 TB; instead the corpus is split into N_BLOCKS
+    by ``pmod(vec_id)`` and the queries are replicated once per
+    block (explode of a literal block sequence), making the
+    all-pairs compare an equi-join on the block id.  Shuffle volume
+    is corpus ×1 + queries ×N_BLOCKS; each reducer nested-loops one
+    corpus block against the query set.  Dot products fold JVM-side;
+    rank on the rounded cosine with deterministic id tie-break."""
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"))
+    corpus = vec.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
     queries = (vec.filter(F.col("vec_id") % QUERY_STRIDE == 0)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"),
-                       F.col("nrm").alias("q_nrm")))
+                       F.col("nrm").alias("q_nrm"))
+               .withColumn("blk", F.explode(
+                   F.sequence(F.lit(0), F.lit(N_BLOCKS - 1)))))
     pairs = (
-        F.broadcast(queries)
-        .join(vec, F.col("vec_id") != F.col("query_id"))
+        queries
+        .join(corpus, "blk")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -185,7 +204,10 @@ def sims_ann_lsh_bucketed(spark, sf_dir):
     """Sign-random-projection ANN: 8 deterministic hyperplanes give a
     256-bucket code; neighbor search joins only within a bucket.
     At 100 TB the bucket is the shuffle key — each reducer scans one
-    bucket instead of the corpus."""
+    bucket instead of the corpus.  The query sample is
+    corpus-proportional, so the bucket join carries no broadcast
+    hint: AQE broadcasts it at runtime while it fits and falls back
+    to the bucket-partitioned shuffle join beyond that."""
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
@@ -199,7 +221,7 @@ def sims_ann_lsh_bucketed(spark, sf_dir):
         F.col("bucket").alias("q_bucket"),
     ).filter(F.col("query_id") % QUERY_STRIDE == 0)
     pairs = (
-        F.broadcast(queries)
+        queries
         .join(vec, (F.col("bucket") == F.col("q_bucket"))
               & (F.col("vec_id") != F.col("query_id")))
         .select(
@@ -352,9 +374,10 @@ def sims_ivf_ann(spark, sf_dir):
     the corpus for assignment (map-only argmin per vector — the
     window is per-vector over {CENT_STRIDE}-ish candidate rows, never
     a corpus-wide sort); the cell id then becomes the shuffle key and
-    each reducer scans one cell.  Ties and float drift are pinned by
-    rounding cosines to 6 decimals and breaking by id on both
-    engines."""
+    each reducer scans one cell.  The query sample, by contrast, is
+    corpus-proportional, so the cell join is unhinted (AQE broadcasts
+    it while it fits).  Ties and float drift are pinned by rounding
+    cosines to 6 decimals and breaking by id on both engines."""
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
@@ -381,7 +404,7 @@ def sims_ivf_ann(spark, sf_dir):
                        F.col("nrm").alias("q_nrm"),
                        F.col("cell_id").alias("q_cell")))
     pairs = (
-        F.broadcast(queries)
+        queries
         .join(member, (F.col("cell_id") == F.col("q_cell"))
               & (F.col("vec_id") != F.col("query_id")))
         .select("query_id",
@@ -405,12 +428,13 @@ WITH m AS (
   FROM embeddings)
 SELECT vec_id,
        ROUND(max_abs, 6) AS max_abs,
-       CASE WHEN max_abs = 0
-            THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding, x ->
-                   CAST(ROUND(CAST(x AS DOUBLE) / max_abs * 127)
-                        AS INTEGER))
-       END AS q8
+       array_to_string(
+         CASE WHEN max_abs = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x ->
+                     CAST(ROUND(CAST(x AS DOUBLE) / max_abs * 127)
+                          AS INTEGER))
+         END, ',') AS q8
 FROM m
 """
 
@@ -423,6 +447,14 @@ def sims_quantize_int8(spark, sf_dir):
     higher-order-function pass per vector, no shuffle, no UDF;
     both engines round half-away-from-zero so codes match exactly.
     Zero vectors quantize to zeros (scale guard).
+
+    The code vector surfaces as a comma-joined STRING, not
+    ``array<int>``: the external driver's result canonicalizer
+    (pandas ``sort_values``) cannot hash list-typed cells — the one
+    red row of round 2 was this exact column.  ``concat_ws`` /
+    ``array_to_string`` is lossless for int codes, and downstream
+    consumers would read the parquet codes, not this verification
+    surface.
 
     The scale column is internally named ``__scale``, NOT ``max_abs``:
     a column reference inside a higher-order-function lambda resolves
@@ -444,4 +476,4 @@ def sims_quantize_int8(spark, sf_dir):
     return (emb.withColumn("__scale", m)
             .select("vec_id",
                     F.round("__scale", 6).alias("max_abs"),
-                    q.alias("q8")))
+                    F.concat_ws(",", q).alias("q8")))

@@ -368,11 +368,17 @@ GROUP BY c.c_mktsegment
 @query("stream_static_join", STREAM_STATIC_SQL)
 def stream_static_join(spark, sf_dir):
     """Stream-static enrichment: the event stream joins a static
-    customer dimension (broadcast — no stream-side shuffle, no state
-    store for the join) before a windowless global aggregation.
-    This is the standard dimension-enrichment shape: the static side
-    is re-read per micro-batch, so a slowly-changing dim picks up
-    updates without restarting the stream."""
+    customer dimension (no state store for the join) before a
+    windowless global aggregation.  The dim is SF-proportional and
+    would be re-broadcast every micro-batch, so the join is unhinted:
+    the static planner (AQE is off in stateful streaming) broadcasts
+    it per batch while its file-size estimate fits the
+    autoBroadcastJoinThreshold and falls back to a shuffle join
+    beyond that, instead of OOMing on a hardcoded hint.  This is the
+    standard
+    dimension-enrichment shape: the static side is re-read per
+    micro-batch, so a slowly-changing dim picks up updates without
+    restarting the stream."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema  # ts is int64 nanos
@@ -383,7 +389,7 @@ def stream_static_join(spark, sf_dir):
     agged = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-        .join(F.broadcast(customer), "user_id")
+        .join(customer, "user_id")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.avg("value"), 6).alias("avg_value"))

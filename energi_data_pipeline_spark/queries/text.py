@@ -244,10 +244,14 @@ FROM scored WHERE rn <= {TOP_TERMS}
 def text_tfidf_top_terms(spark, sf_dir):
     """Per-document top-{TOP_TERMS} terms by TF-IDF, fully
     relational: term frequencies and document frequencies are two
-    hash aggregations over the exploded token stream, the corpus
-    size rides a broadcast, and ranking is a per-doc window.  No
-    Python, no vocabulary collection on the driver — the 100 TB
-    shape of keyword extraction."""
+    hash aggregations over the exploded token stream, the (scalar)
+    corpus size rides a broadcast, and ranking is a per-doc window.
+    The vocabulary side (df) grows with the corpus under Heaps' law,
+    so the tf⋈df join is unhinted — both aggregations already
+    shuffle on ``term``, so at scale the join reuses that
+    partitioning with zero extra exchange, and AQE broadcasts df
+    while it is small.  No Python, no vocabulary collection on the
+    driver — the 100 TB shape of keyword extraction."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
@@ -263,7 +267,7 @@ def text_tfidf_top_terms(spark, sf_dir):
              * F.log(F.col("n_docs").cast("double") / F.col("df")))
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), "term")
     return (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_TERMS)
@@ -284,10 +288,9 @@ LONGNUM_RE = r"[0-9]{7,}"
                regexp_replace(regexp_replace(text,
                    '{EMAIL_RE}', '[EMAIL]', 'g'),
                    '{LONGNUM_RE}', '[NUM]', 'g') AS redacted,
-               length(text) - length(
-                   regexp_replace(regexp_replace(text,
-                       '{EMAIL_RE}', '[EMAIL]', 'g'),
-                       '{LONGNUM_RE}', '[NUM]', 'g')) <> 0 AS changed
+               regexp_replace(regexp_replace(text,
+                   '{EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{LONGNUM_RE}', '[NUM]', 'g') <> text AS changed
         FROM documents""",
 )
 def text_pii_redact(spark, sf_dir):
@@ -296,14 +299,19 @@ def text_pii_redact(spark, sf_dir):
     training).  Patterns are restricted to the RE2/Java common
     subset so Spark and the oracle agree byte-for-byte; pure
     Catalyst `regexp_replace`, so the stage is map-only and
-    whole-stage-codegens at any scale."""
+    whole-stage-codegens at any scale.  ``changed`` compares
+    CONTENT, not lengths: a redaction can preserve total length
+    (7-char 'a@bc.de' -> '[EMAIL]') and length deltas can cancel
+    across multiple hits, and both engines computing the same wrong
+    formula is exactly the bug class the parity oracle cannot
+    catch."""
     d = t(spark, sf_dir, "documents")
     red = F.regexp_replace(
         F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"),
         LONGNUM_RE, "[NUM]")
     return d.select(
         "doc_id", red.alias("redacted"),
-        ((F.length("text") - F.length(red)) != 0).alias("changed"))
+        (red != F.col("text")).alias("changed"))
 
 
 # ----------------------------------------------------- bigram counts

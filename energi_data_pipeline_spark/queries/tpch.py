@@ -9,10 +9,19 @@ warehouse workload:
 
 * Q1  — full-scan grouped aggregate (partial agg does ~all the work
         map-side; the shuffle carries 4 groups);
-* Q3  — selective dim filter → fact join → top-k (broadcast the
-        filtered customer side, takeOrdered instead of global sort);
-* Q5  — 6-way snowflake join (region→nation→customer and supplier
-        broadcast; the only shuffle joins are orders⋈lineitem);
+* Q3  — selective dim filter → fact join → top-k (takeOrdered
+        instead of global sort);
+* Q5  — 6-way snowflake join (region→nation broadcast; the big
+        shuffle join is orders⋈lineitem);
+
+Broadcast policy: explicit `F.broadcast()` hints appear ONLY on
+sides whose size is bounded independent of scale factor (nation,
+region, scalar/near-scalar aggregates).  Customer, supplier and
+part — and any subset or per-key aggregate of them — grow linearly
+with SF, so a hardcoded hint would OOM the executors at 100 TB;
+those joins carry no hint and AQE converts them to broadcast at
+runtime whenever the side is actually small (plan-asserted in
+tests/test_plan_shapes.py).
 * Q10 — join + group-by-customer + top-k revenue.
 
 Float parity: money sums go through DECIMAL(38,10) (exact,
@@ -107,9 +116,10 @@ LIMIT 10
 @query("tpch_q3_shipping_priority", Q3_SQL)
 def tpch_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dimension filter → fact join →
-    global top-k.  The filtered customer keys broadcast (no shuffle
-    of orders on custkey); the top-10 runs as takeOrdered (per-
-    partition heaps merged on the driver), never a global sort."""
+    global top-k.  The filtered customer keys are SF-proportional,
+    so no broadcast hint — AQE broadcasts them at runtime when they
+    fit; the top-10 runs as takeOrdered (per-partition heaps merged
+    on the driver), never a global sort."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -119,7 +129,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     return (
         li.filter(F.col("l_shipdate") > cutoff)
         .join(orders.filter(F.col("o_orderdate") < cutoff)
-              .join(F.broadcast(building),
+              .join(building,
                     F.col("o_custkey") == F.col("c_custkey"))
               .select("o_orderkey", "o_orderdate", "o_orderpriority"),
               F.col("l_orderkey") == F.col("o_orderkey"))
@@ -155,11 +165,12 @@ GROUP BY n_name
 @query("tpch_q5_local_supplier", Q5_SQL)
 def tpch_q5_local_supplier(spark, sf_dir):
     """TPC-H Q5 shape: 6-way snowflake join with the co-location
-    constraint c_nationkey = s_nationkey.  All four dimension-side
-    tables (region→nation, supplier, customer) broadcast; the only
-    shuffle join is orders⋈lineitem on orderkey — at 100 TB that is
-    the single repartition the query needs, and AQE picks the
-    build side."""
+    constraint c_nationkey = s_nationkey.  Only the bounded
+    region→nation chain carries a broadcast hint; supplier and
+    customer are SF-proportional, so their joins are unhinted and
+    AQE broadcasts them at runtime while they fit.  The big shuffle
+    join is orders⋈lineitem on orderkey — at 100 TB that is the
+    single unavoidable fact repartition."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -178,12 +189,12 @@ def tpch_q5_local_supplier(spark, sf_dir):
          .cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00")
            .cast("timestamp")))
-    o_cust = o_filt.join(F.broadcast(cust),
+    o_cust = o_filt.join(cust,
                          F.col("o_custkey") == F.col("c_custkey")) \
                    .select("o_orderkey", "c_nationkey")
     return (
         li.join(o_cust, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_n),
+        .join(supp_n,
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
@@ -215,8 +226,9 @@ LIMIT 20
 def tpch_q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue per customer, top-20.
     Quarter-filtered orders join lineitem on orderkey (shuffle);
-    customer and nation broadcast onto the aggregated (small) result
-    — enriching AFTER the group-by keeps the shuffle rows narrow."""
+    customer (unhinted — SF-proportional, AQE decides) and nation
+    (hinted — bounded) enrich the aggregated result AFTER the
+    group-by, keeping the shuffle rows narrow."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -235,7 +247,7 @@ def tpch_q10_returned_items(spark, sf_dir):
     )
     enriched = (
         rev_per_cust
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation),
               F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -299,10 +311,11 @@ WHERE l_partkey = p_partkey
 @query("tpch_q14_promo_effect", Q14_SQL)
 def tpch_q14_promo_effect(spark, sf_dir):
     """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join.
-    The month filter prunes lineitem first; part broadcasts (it is
-    the bounded dimension), so the plan is one scan + broadcast hash
-    join + map-side partial agg into a single row — no fact-side
-    shuffle at any scale."""
+    The month filter prunes lineitem first; part is SF-proportional,
+    so the join is unhinted — AQE broadcasts the pruned 2-column part
+    side while it fits, and falls back to a shuffle join beyond that
+    instead of OOMing.  Partial agg reduces to a single row either
+    way."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -313,7 +326,7 @@ def tpch_q14_promo_effect(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00")
            .cast("timestamp")))
     joined = filtered.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        part.select("p_partkey", "p_type"),
         F.col("l_partkey") == F.col("p_partkey"))
     num = F.sum(promo.cast("decimal(38,10)")).cast("double")
     den = F.sum(disc.cast("decimal(38,10)")).cast("double")
@@ -338,11 +351,12 @@ WHERE p_partkey = l_partkey
 @query("tpch_q17_small_qty_revenue", Q17_SQL)
 def tpch_q17_small_qty_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated aggregate subquery decorrelated
-    into a per-part average join.  The per-partkey AVG is a partial
-    agg whose output has dimension cardinality, so it broadcasts back
-    onto the brand-filtered fact rows — the correlated subquery never
-    re-executes per row (the classic decorrelation Catalyst also
-    applies to IN/EXISTS)."""
+    into a per-part average join.  The per-partkey AVG output has
+    part cardinality (SF-proportional), so neither it nor the brand
+    filter carries a broadcast hint — AQE picks broadcast at runtime
+    while they fit; the correlated subquery never re-executes per row
+    (the classic decorrelation Catalyst also applies to
+    IN/EXISTS)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     brand_parts = part.filter(F.col("p_brand") == "Brand#4") \
@@ -353,9 +367,9 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
                .agg((0.2 * F.avg("l_quantity")).alias("qty_cap"))
                .withColumnRenamed("l_partkey", "cap_partkey"))
     return (
-        li.join(F.broadcast(brand_parts),
+        li.join(brand_parts,
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avg_qty),
+        .join(avg_qty,
               F.col("l_partkey") == F.col("cap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(F.round(
@@ -389,8 +403,9 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18 shape: HAVING-filtered semi-join back onto the fact.
     The per-order quantity sums reuse the SAME shuffle partitioning
     as the final group-by (both key on l_orderkey), so the plan pays
-    one fact shuffle; the surviving (rare) large orders and customer
-    broadcast."""
+    one fact shuffle; the surviving (rare) large orders and the
+    customer join are unhinted — AQE broadcasts whichever side is
+    actually small at runtime."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -404,7 +419,7 @@ def tpch_q18_large_volume_customer(spark, sf_dir):
     return (
         per_order
         .join(orders, F.col("big_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -474,10 +489,11 @@ GROUP BY supp_nation, cust_nation, l_year
 @query("tpch_q7_volume_shipping", Q7_SQL)
 def tpch_q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: bilateral trade volume between two nations by
-    year.  Both nation filters broadcast through supplier and
-    customer; the only shuffle join is lineitem⋈orders on orderkey.
-    The symmetric nation-pair disjunction is applied AFTER both
-    broadcasts tag the rows — no union of two mirrored plans."""
+    year.  The bounded nation filter broadcasts into supplier and
+    customer; the tagged supplier/customer sides themselves are
+    SF-proportional and join unhinted (AQE broadcasts them while
+    they fit).  The symmetric nation-pair disjunction is applied
+    AFTER both tags exist — no union of two mirrored plans."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -491,11 +507,11 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     c_n = (cust.join(F.broadcast(n),
                      F.col("c_nationkey") == F.col("n_nationkey"))
            .select("c_custkey", F.col("n_name").alias("cust_nation")))
-    o_c = (orders.join(F.broadcast(c_n),
+    o_c = (orders.join(c_n,
                        F.col("o_custkey") == F.col("c_custkey"))
            .select("o_orderkey", "cust_nation"))
     return (
-        li.join(F.broadcast(s_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o_c, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .select("supp_nation", "cust_nation",
@@ -621,10 +637,12 @@ GROUP BY o_year
 @query("tpch_q8_national_market_share", Q8_SQL)
 def tpch_q8_national_market_share(spark, sf_dir):
     """TPC-H Q8 shape: one nation's share of a part-type's trade
-    volume into one region, by year.  Every dimension side (part
-    filter, supplier->nation, customer->nation->region) broadcasts;
-    the only shuffle join is lineitem⋈orders; the share is a
-    conditional-aggregate ratio over exact decimal sums."""
+    volume into one region, by year.  Only the bounded nation/region
+    sides carry broadcast hints; the part filter and the tagged
+    supplier/customer sides are SF-proportional and join unhinted
+    (AQE broadcasts them while they fit).  The big shuffle join is
+    lineitem⋈orders; the share is a conditional-aggregate ratio over
+    exact decimal sums."""
     part = t(spark, sf_dir, "part")
     supp = t(spark, sf_dir, "supplier")
     li = t(spark, sf_dir, "lineitem")
@@ -649,17 +667,17 @@ def tpch_q8_national_market_share(spark, sf_dir):
         F.col("o_orderdate").between(
             F.lit("1995-01-01 00:00:00").cast("timestamp"),
             F.lit("1996-12-31 00:00:00").cast("timestamp")))
-        .join(F.broadcast(europe_cust),
+        .join(europe_cust,
               F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey",
                 F.year("o_orderdate").cast("int").alias("o_year")))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     flagged = (
-        li.join(F.broadcast(part
-                            .filter(F.col("p_type") == "STANDARD")
-                            .select("p_partkey")),
+        li.join(part
+                .filter(F.col("p_type") == "STANDARD")
+                .select("p_partkey"),
                 F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_n),
+        .join(supp_n,
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o_filt, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("o_year", vol.alias("volume"), "supp_nation"))
@@ -693,9 +711,10 @@ def tpch_q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: the revenue "view" aggregates per supplier,
     then the scalar MAX selects the top supplier(s).  The max is a
     one-row broadcast back onto the supplier-cardinality aggregate
-    (never the fact table); equality compares the ROUNDED decimal
-    sum, so both engines pick the same winner even on exact revenue
-    ties."""
+    (never the fact table); the supplier join itself is unhinted
+    (SF-proportional side, AQE decides); equality compares the
+    ROUNDED decimal sum, so both engines pick the same winner even
+    on exact revenue ties."""
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     revenue = (
@@ -711,6 +730,6 @@ def tpch_q15_top_supplier(spark, sf_dir):
     return (
         revenue.crossJoin(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("best"))
-        .join(F.broadcast(supp),
+        .join(supp,
               F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue"))

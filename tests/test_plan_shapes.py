@@ -57,9 +57,56 @@ def test_dim_join_broadcasts(spark, registry):
 
 def test_star_joins_broadcast_small_dims(spark, registry):
     p = plan_of(spark, registry, "core_cte_chain")
-    # customer and nation ride broadcasts; only lineitem join orders may
-    # shuffle (and AQE usually broadcasts that too at test scale)
+    # nation rides an explicit broadcast; customer carries NO hint
+    # (SF-proportional side) but the planner must still pick a
+    # broadcast from its size estimate at test scale — proving the
+    # removed hint was redundant here and only a hazard at 100 TB
     assert p.count("BroadcastHashJoin") >= 2
+
+
+#: every F.broadcast() in the package must target a side whose size
+#: is bounded independent of scale factor.  Hardcoded hints on
+#: customer/supplier/part subsets or corpus-derived samples OOM the
+#: executors at 100 TB (the round-2 systemic finding) — AQE already
+#: broadcasts those at runtime whenever they actually fit.
+BOUNDED_BROADCAST_SIDES = {
+    "nation", "nations", "region",   # fixed-cardinality TPC-H dims
+    "dim", "dim_cols",               # dim_time (time-range bounded)
+    "cent",                          # IVF coarse centroids
+    "best", "avg_bal", "n",          # scalar / one-row aggregates
+    "type_avg",                      # per-p_type agg (fixed key space)
+    "donors_src",                    # k-1 rows per window bucket
+}
+
+
+def test_no_hardcoded_broadcast_on_scaling_sides():
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent \
+        / "energi_data_pipeline_spark"
+    offenders = []
+    for src in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(src.read_text().splitlines(), 1):
+            for ident in re.findall(r"F\.broadcast\(\s*(\w+)", line):
+                if ident not in BOUNDED_BROADCAST_SIDES:
+                    offenders.append(f"{src.name}:{i} broadcast({ident})")
+    assert not offenders, offenders
+
+
+def test_unhinted_dim_joins_still_broadcast_at_test_scale(
+        spark, registry):
+    # the SF-proportional join sides (customer, part, supplier
+    # subsets) are unhinted for 100 TB safety; executing at test
+    # scale, the planner must still run them as broadcast joins from
+    # size estimates / AQE — no perf regression from the hint removal
+    for name in ("core_cte_chain", "tpch_q14_promo_effect",
+                 "tpch_q18_large_volume_customer"):
+        df = registry[name].fn(spark, SF)
+        df.collect()
+        p = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple")
+        assert "BroadcastHashJoin" in p, name
 
 
 def test_no_single_partition_window_in_scaled_paths(spark, registry):
@@ -110,10 +157,13 @@ def test_no_python_udf_outside_multimodal(spark, registry):
 
 
 def test_tpch_snowflake_broadcasts(spark, registry):
-    # Q5's four dimension sides must all ride broadcasts; the only
-    # shuffle join allowed is orders⋈lineitem on orderkey
-    p = plan_of(spark, registry, "tpch_q5_local_supplier")
+    # Q5: only the bounded region→nation chain is hinted; customer
+    # and supplier still ride broadcasts at test scale via size
+    # estimates.  One shuffle join (orders⋈lineitem) is allowed.
+    p = plan_of(spark, registry, "tpch_q5_local_supplier",
+                mode="simple")
     assert p.count("BroadcastHashJoin") >= 3
+    assert p.count("SortMergeJoin") <= 1
     p14 = plan_of(spark, registry, "tpch_q14_promo_effect")
     assert "BroadcastHashJoin" in p14
     assert "SortMergeJoin" not in p14
