@@ -87,8 +87,14 @@ def table_path(warehouse: str, layer: str, name: str) -> str:
 
 def read_layer_table(spark: SparkSession, warehouse: str, layer: str,
                      name: str) -> DataFrame | None:
-    """Read a managed layer table; None if it does not exist yet."""
+    """Read a managed layer table; None if it does not exist yet.
+
+    Repairs a hard-killed :func:`publish_atomic` swap first (the
+    previous snapshot renamed back into place), so a crash between
+    the swap's two renames is invisible to readers — they see the
+    old snapshot, never a missing table."""
     path = table_path(warehouse, layer, name)
+    recover_atomic(path)
     try:
         return spark.read.parquet(path)
     except Exception:
@@ -185,21 +191,52 @@ def publish_atomic(df: DataFrame, path: str) -> None:
     without a lakehouse format: write the new snapshot to a
     temporary sibling directory, then ``os.rename`` it into place —
     atomic on POSIX within a filesystem.  Readers see the old table
-    or the new one, never a mix.  (Concurrent WRITERS still need a
-    transactional table format such as Delta/Iceberg — single-writer
-    is the documented contract, matching the reference.)
+    or the new one, never a mix.
+
+    Crash-safety of the two-rename swap itself: the previous
+    snapshot moves to the FIXED name ``{path}.__old`` (not a random
+    suffix), a failure of the second rename restores it immediately,
+    and a hard kill between the renames is repaired by
+    :func:`recover_atomic` — which every reader calls — by renaming
+    ``__old`` back into place.  So the contract holds under any
+    single fault: old or new, never a mix, never a missing table.
+    (Concurrent WRITERS still need a transactional table format such
+    as Delta/Iceberg — single-writer is the documented contract,
+    matching the reference.)
     """
     import shutil
     import uuid as _uuid
 
+    recover_atomic(path)  # repair any prior hard-killed swap first
     tmp = f"{path}.__staged_{_uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old_{_uuid.uuid4().hex[:8]}"
+    old = f"{path}.__old"
     if os.path.exists(path):
+        # a leftover __old here means a previous swap crashed AFTER
+        # publishing its new snapshot (only the cleanup was lost)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         os.rename(path, old)      # atomic: current -> old
-    os.rename(tmp, path)          # atomic: staged -> current
-    if os.path.exists(old):
+        try:
+            os.rename(tmp, path)  # atomic: staged -> current
+        except BaseException:
+            os.rename(old, path)  # restore the previous snapshot
+            raise
         shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)      # first publish: staged -> current
+
+
+def recover_atomic(path: str) -> bool:
+    """Repair a :func:`publish_atomic` swap that was hard-killed
+    between its two renames: if the table directory is missing but
+    ``{path}.__old`` exists, rename the stranded previous snapshot
+    back into place.  Idempotent; returns True when a repair ran."""
+    old = f"{path}.__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
 
 
 def merge_upsert(spark: SparkSession, source: DataFrame, warehouse: str,

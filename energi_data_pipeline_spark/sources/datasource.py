@@ -145,17 +145,36 @@ class EnergyPowerStreamReader(SimpleDataSourceStreamReader):
     resume-from-state semantics (bronze_ingest.py:23) without any
     side state file.  ``readBetweenOffsets`` replays a committed
     span after restart.
+
+    **Open-minute holdback** (``hold_open_minute`` option, default on
+    for the live ``url`` path, off for ``fixture_path``): the cursor
+    compare is minute-truncated and strictly greater, so advancing
+    the offset INTO a minute whose rows are still being published
+    would permanently skip the rest of that minute — silent
+    at-most-once loss.  Instead the newest minute in a fetch is
+    treated as possibly still open: its rows are withheld and the
+    offset stops at the last COMPLETE minute; the held rows ship in
+    a later batch once a newer minute proves the boundary closed.
+    A fixture is a closed feed, so holding back its final minute
+    would just lose it — hence the path-dependent default.
     """
 
     def __init__(self, options: dict):
         self.options = options
         self.start_cursor = options.get("cursor", INITIAL_CURSOR)
+        default = "true" if options.get("url") else "false"
+        self.hold_open_minute = str(
+            options.get("hold_open_minute", default)).lower() == "true"
 
     def initialOffset(self) -> dict:
         return {"cursor": self.start_cursor}
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         records = _fetch_records(self.options, start["cursor"])
+        if self.hold_open_minute and records:
+            open_minute = records[-1][CURSOR_FIELD][:16]
+            records = [r for r in records
+                       if r[CURSOR_FIELD][:16] != open_minute]
         if not records:
             return iter([]), start
         next_cursor = records[-1][CURSOR_FIELD]

@@ -47,6 +47,7 @@ def test_batch_read_matches_driver_side_path(registered, fixture_path):
                     F.date_trunc("minute", F.to_timestamp("minutes1_utc")))
         .orderBy("minutes1_utc"))
     via_driver = (records_to_bronze(registered, records)
+                  .drop("_extras", "_load_id")  # lineage-only columns
                   .orderBy("minutes1_utc"))
     assert [r.asDict() for r in via_source.collect()] \
         == [r.asDict() for r in via_driver.collect()]
@@ -81,6 +82,54 @@ def test_stream_incremental_offsets(registered, fixture_path, tmp_path):
     # new rows (the reference's resume-from-state behavior)
     run_once()
     assert registered.read.parquet(out).count() == n_all
+
+
+def test_stream_holds_back_partially_published_minute(
+        registered, tmp_path):
+    """The round-2 at-most-once bug: a live minute whose price-area
+    rows are still being published must NOT be skipped when the
+    offset passes it.  With hold_open_minute the newest minute is
+    withheld until a later minute proves it complete — no loss."""
+    records = [r for r in make_power_records() if r["Minutes1UTC"]]
+    # phase 1: the feed has published only PART of the last minute
+    closed, last = records[:-3], records[-3:]
+    path = tmp_path / "live_feed.json"
+    path.write_text(json.dumps(closed + last[:1]))
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (registered.readStream.format("energy_power")
+             .option("fixture_path", str(path))
+             .option("hold_open_minute", "true").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    open_minute = last[0]["Minutes1UTC"][:16]
+    got1 = registered.read.parquet(out)
+    n1 = got1.count()
+    # everything before the open minute shipped; the open minute and
+    # the offset both held back
+    assert n1 == sum(1 for r in closed + last[:1]
+                     if r["Minutes1UTC"][:16] < open_minute)
+    assert got1.filter(
+        F.col("Minutes1UTC").startswith(open_minute)).count() == 0
+    # phase 2: the rest of the minute (and nothing newer) publishes —
+    # rows the buggy cursor would have skipped forever
+    path.write_text(json.dumps(records))
+    run_once()
+    got2 = registered.read.parquet(out)
+    # the once-open minute's rows are all delivered IF a newer minute
+    # exists in the feed; here the fixture ends at that minute, so it
+    # stays held (still open) — assert no loss of any CLOSED minute
+    closed_minutes = {r["Minutes1UTC"][:16] for r in records}
+    newest = max(closed_minutes)
+    expect = sum(1 for r in records if r["Minutes1UTC"][:16] < newest)
+    assert got2.count() == expect
+    assert got2.filter(
+        F.col("Minutes1UTC").startswith(newest)).count() == 0
 
 
 def test_schema_covers_all_measures(registered, fixture_path):

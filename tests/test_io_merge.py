@@ -52,6 +52,28 @@ def test_publish_atomic_swaps_and_cleans(spark, tmp_path):
     assert leftovers == []
 
 
+def test_publish_atomic_recovers_hard_killed_swap(spark, tmp_path):
+    # simulate a SIGKILL between the swap's two renames: the table
+    # dir is gone, the previous snapshot is stranded at __old
+    from energi_data_pipeline_spark.io import (read_layer_table,
+                                               recover_atomic)
+
+    path = str(tmp_path / "gold" / "t")
+    publish_atomic(spark.createDataFrame([(1,)], "k int"), path)
+    os.rename(path, f"{path}.__old")  # crash window state
+    # a reader repairs and sees the OLD snapshot, not a missing table
+    df = read_layer_table(spark, str(tmp_path), "gold", "t")
+    assert df is not None and _rows(df) == {(1,)}
+    assert not os.path.exists(f"{path}.__old")
+    assert recover_atomic(path) is False  # idempotent no-op now
+    # and a writer starting from the crash state also self-repairs
+    os.rename(path, f"{path}.__old")
+    publish_atomic(spark.createDataFrame([(2,)], "k int"), path)
+    assert _rows(spark.read.parquet(path)) == {(2,)}
+    leftovers = [d for d in os.listdir(tmp_path / "gold") if d != "t"]
+    assert leftovers == []
+
+
 def test_merge_upsert_end_to_end(spark, tmp_path):
     wh = str(tmp_path)
     s1 = spark.createDataFrame([(1, 100), (2, 200)], "k int, v int")
