@@ -84,9 +84,41 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
+#: The round-3 driver window: the 50 entries (in this order) that
+#: have NEVER carried a driver-issued green row.  Pinned explicitly
+#: so that queries added later cannot displace them out of the
+#: driver's first-50 verify window before they get their row; new
+#: (also-unverified) entries queue directly behind this window and
+#: rotate in the following round.
+_VERIFY_FRONT_WINDOW = (
+    "sims_quantize_int8", "mm_frame_sample", "mm_decode_features",
+    "mm_resize_stride", "mm_audio_rms", "ext_asof_join",
+    "ext_asof_join_forward", "ext_range_join_binned",
+    "ext_rollup_lineitem", "ext_set_ops", "ext_json_extract",
+    "ext_percentiles", "ext_ranking_topk", "ext_pivot_event_counts",
+    "ext_count_distinct", "ext_array_stats", "ext_corr_stats",
+    "ext_salted_join", "ext_cube_grouping", "ext_exists_semi_anti",
+    "ext_scalar_subquery", "ext_window_running",
+    "ext_window_range_interval", "ext_time_resample", "ext_funnel",
+    "ext_cohort_retention", "ext_arg_extremes", "ext_filtered_agg",
+    "ext_dq_checks", "ext_latest_per_key", "ext_sequence_match",
+    "ext_scd2_intervals", "ext_histogram", "ext_unpivot_long",
+    "ext_interval_overlap", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "tpch_q10_returned_items", "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping", "tpch_q13_customer_distribution",
+    "tpch_q22_global_sales_opportunity", "tpch_q8_national_market_share",
+    "tpch_q15_top_supplier", "curation_pipeline",
+)
+
+
 def load_all() -> dict[str, QueryDef]:
-    """Import all query modules and return the populated registry,
-    never-driver-verified entries first (see _DRIVER_VERIFIED)."""
+    """Import all query modules and return the populated registry:
+    the pinned never-driver-verified window first, then any other
+    not-yet-verified entries (new additions), then the verified
+    backlog (see _DRIVER_VERIFIED / _VERIFY_FRONT_WINDOW)."""
     from . import core  # noqa: F401
     from . import gold_energy  # noqa: F401
     from . import dedup  # noqa: F401
@@ -98,5 +130,8 @@ def load_all() -> dict[str, QueryDef]:
     from . import relational_ext  # noqa: F401
     from . import tpch  # noqa: F401
     from . import curation  # noqa: F401  (composes dedup+text -> last)
-    ordered = sorted(REGISTRY, key=lambda n: n in _DRIVER_VERIFIED)
+    front = {n: i for i, n in enumerate(_VERIFY_FRONT_WINDOW)}
+    ordered = sorted(REGISTRY, key=lambda n: (
+        (0, front[n]) if n in front else
+        (1, 0) if n not in _DRIVER_VERIFIED else (2, 0)))
     return {n: REGISTRY[n] for n in ordered}

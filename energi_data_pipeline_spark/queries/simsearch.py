@@ -477,3 +477,84 @@ def sims_quantize_int8(spark, sf_dir):
             .select("vec_id",
                     F.round("__scale", 6).alias("max_abs"),
                     F.concat_ws(",", q).alias("q8")))
+
+
+# --------------------------------- kNN label-consistency evaluation
+KNN_LABEL_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding, label,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, a.label AS q_label, b.label AS n_label,
+         b.vec_id AS neighbor_id,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                         CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM vec a JOIN vec b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % {QUERY_STRIDE} = 0),
+ranked AS (
+  SELECT query_id, q_label, n_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, q_label AS label,
+       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_matching,
+       ROUND(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / {TOP_K}, 6) AS consistency
+FROM ranked WHERE rank <= {TOP_K}
+GROUP BY query_id, q_label
+"""
+
+
+@query("sims_knn_label_consistency", KNN_LABEL_SQL)
+def sims_knn_label_consistency(spark, sf_dir):
+    """Embedding-quality evaluation: for each sampled query vector,
+    the fraction of its exact top-{TOP_K} cosine neighbors sharing
+    its label — the standard intrinsic check that an embedding space
+    is fit for similarity-based curation (low consistency means
+    cosine neighborhoods ignore the supervision signal).
+
+    Same 100 TB shape as the brute-force baseline: the corpus is
+    split into N_BLOCKS by pmod(vec_id) and queries replicate per
+    block (equi-join on the block id, no broadcast of the
+    corpus-proportional sample, no cartesian), then a per-query
+    window ranks and a tiny grouped aggregate folds the label
+    matches."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select(
+        "vec_id", "embedding", "label",
+        _norm(F.col("embedding")).alias("nrm"))
+    corpus = vec.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
+    queries = (vec.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("q_label"),
+                       F.col("embedding").alias("q_emb"),
+                       F.col("nrm").alias("q_nrm"))
+               .withColumn("blk", F.explode(
+                   F.sequence(F.lit(0), F.lit(N_BLOCKS - 1)))))
+    pairs = (
+        queries
+        .join(corpus, "blk")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "q_label",
+            F.col("label").alias("n_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")), 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    matches = F.sum(
+        F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .groupBy("query_id", F.col("q_label").alias("label"))
+            .agg(matches.cast("int").alias("n_matching"),
+                 F.round(matches.cast("double") / TOP_K, 6)
+                 .alias("consistency")))

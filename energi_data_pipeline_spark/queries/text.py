@@ -483,3 +483,146 @@ def text_char_entropy(spark, sf_dir):
         "doc_id",
         F.size(chars).cast("int").alias("n_distinct_chars"),
         F.round(ent, 6).alias("entropy_bits"))
+
+
+# --------------------------------------------- repetition signals
+#: Gopher-style repetition gates (Rae et al. 2021, public paper):
+#: a document dominated by one token or by repeated bigrams is
+#: boilerplate/degenerate and should not be trained on.
+TOP_TOKEN_MAX = 0.2
+DUP_BIGRAM_MAX = 0.5
+
+REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform({TOKENS_SQL}, x -> lower(x)) AS tk
+  FROM documents),
+bg AS (
+  SELECT doc_id, tk,
+         CAST(GREATEST(len(tk) - 1, 0) AS DOUBLE) AS bg_n,
+         CAST(len(list_distinct(list_transform(
+             range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])))
+           AS DOUBLE) AS bg_uniq
+  FROM base),
+cnt AS (
+  SELECT doc_id, bg_n, bg_uniq, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, bg_n, bg_uniq, unnest(tk) AS tok FROM bg)
+  GROUP BY doc_id, bg_n, bg_uniq, tok),
+agg AS (
+  SELECT doc_id, bg_n, bg_uniq,
+         CAST(SUM(c) AS DOUBLE) AS n_tokens,
+         CAST(COUNT(*) AS DOUBLE) AS n_distinct,
+         CAST(MAX(c) AS DOUBLE) AS top_cnt
+  FROM cnt GROUP BY doc_id, bg_n, bg_uniq)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       ROUND(1.0 - n_distinct / n_tokens, 6) AS dup_token_ratio,
+       ROUND(top_cnt / n_tokens, 6) AS top_token_ratio,
+       ROUND(CASE WHEN bg_n = 0 THEN 0.0
+                  ELSE 1.0 - bg_uniq / bg_n END, 6) AS dup_bigram_ratio,
+       (top_cnt / n_tokens < {TOP_TOKEN_MAX}
+        AND (CASE WHEN bg_n = 0 THEN 0.0
+                  ELSE 1.0 - bg_uniq / bg_n END) < {DUP_BIGRAM_MAX})
+         AS passes_repetition
+FROM agg
+"""
+
+
+@query("text_repetition_score", REPETITION_SQL)
+def text_repetition_score(spark, sf_dir):
+    """Within-document repetition signals (the Gopher rule family):
+    duplicate-token fraction, most-frequent-token coverage, and
+    duplicate-bigram fraction, gated into ``passes_repetition``.
+
+    Single scan, single shuffle: the per-doc bigram metrics are
+    computed MAP-SIDE from the token array (zip-with-tail, distinct
+    count) and ride along as group keys, so the only exchange is the
+    (doc_id, token) partial count — the same shape as TF — followed
+    by a per-doc rollup.  No join back to the corpus, no second
+    scan; at 100 TB this is one map stage + one combine-heavy
+    aggregation."""
+    from pyspark.sql import Window  # noqa: F401  (parity w/ siblings)
+
+    d = t(spark, sf_dir, "documents")
+    tk = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    bigrams = F.filter(
+        F.zip_with(tk, F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        lambda x: x.contains(" "))
+    base = d.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.greatest(F.size(tk) - 1, F.lit(0)).cast("double").alias("bg_n"),
+        F.size(F.array_distinct(bigrams)).cast("double").alias("bg_uniq"))
+    cnt = (base.select("doc_id", "bg_n", "bg_uniq",
+                       F.explode("tk").alias("tok"))
+           .groupBy("doc_id", "bg_n", "bg_uniq", "tok")
+           .agg(F.count(F.lit(1)).alias("c")))
+    agg = (cnt.groupBy("doc_id", "bg_n", "bg_uniq")
+           .agg(F.sum("c").cast("double").alias("n_tokens"),
+                F.count(F.lit(1)).cast("double").alias("n_distinct"),
+                F.max("c").cast("double").alias("top_cnt")))
+    dup_bg = F.when(F.col("bg_n") == 0, F.lit(0.0)) \
+        .otherwise(1.0 - F.col("bg_uniq") / F.col("bg_n"))
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6)
+        .alias("dup_token_ratio"),
+        F.round(F.col("top_cnt") / F.col("n_tokens"), 6)
+        .alias("top_token_ratio"),
+        F.round(dup_bg, 6).alias("dup_bigram_ratio"),
+        ((F.col("top_cnt") / F.col("n_tokens") < TOP_TOKEN_MAX)
+         & (dup_bg < DUP_BIGRAM_MAX)).alias("passes_repetition"))
+
+
+# ------------------------------------- declared-vs-detected lang QA
+LANG_AGREE_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, source, lang,
+         CAST({_stop_hits_sql(EN_STOP)} AS DOUBLE) AS en_hits,
+         CAST({_stop_hits_sql(DA_STOP)} AS DOUBLE) AS da_hits
+  FROM documents),
+pred AS (
+  SELECT source, lang,
+         CASE WHEN en_hits = 0 AND da_hits = 0 THEN 'unknown'
+              WHEN en_hits >= da_hits THEN 'en'
+              ELSE 'da' END AS lang_pred
+  FROM feats)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       ROUND(CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS agreement_ratio
+FROM pred
+GROUP BY source, lang
+"""
+
+
+@query("text_langid_agreement", LANG_AGREE_SQL)
+def text_langid_agreement(spark, sf_dir):
+    """Metadata-vs-content audit: per (source, declared lang), how
+    often the stopword-profile detector agrees with the ``lang``
+    column.  This is the standard corpus-QA slice that surfaces
+    mislabeled crawls before training (a source whose declared 'en'
+    agrees 40% of the time is a labeling bug, not English).  Pure
+    map expressions into a tiny grouped aggregate — map-side combine
+    leaves per-(source,lang) partial counts, so the shuffle carries
+    dimension-cardinality rows at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens_col(F.col("text"))
+    en = F.array(*[F.lit(w) for w in EN_STOP])
+    da = F.array(*[F.lit(w) for w in DA_STOP])
+    en_hits = F.size(F.filter(tk, lambda x: F.array_contains(en, x))) \
+        .cast("double")
+    da_hits = F.size(F.filter(tk, lambda x: F.array_contains(da, x))) \
+        .cast("double")
+    pred = F.when((en_hits == 0) & (da_hits == 0), "unknown") \
+        .when(en_hits >= da_hits, "en").otherwise("da")
+    agree = F.sum(F.when(pred == F.col("lang"), 1).otherwise(0))
+    return (d.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 agree.cast("bigint").alias("n_agree"),
+                 F.round(agree.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("agreement_ratio")))

@@ -91,3 +91,27 @@ def test_date_partitioned_write_prunes(spark, tmp_path):
     n_day = df.count()
     n_all = spark.read.parquet(out).count()
     assert 0 < n_day < n_all
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    # the 100 TB star-join layout: fact partitioned by the join key,
+    # dim carries the selective filter — the runtime must prune fact
+    # partitions from the dim-side broadcast (DPP), not scan all of
+    # them and filter after the join
+    out = str(tmp_path / "events_by_type")
+    ev = read_table(spark, SF, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    types = [r["event_type"] for r in
+             ev.select("event_type").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(t, float(i)) for i, t in enumerate(sorted(types))],
+        "event_type string, w double").filter(F.col("w") < 1.0)
+    joined = (fact.join(dim, "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    p = plan_str(joined)
+    assert "dynamicpruningexpression" in p.lower()
+    # the pruned plan still computes the true result
+    keep = {t for i, t in enumerate(sorted(types)) if i < 1}
+    expect = ev.filter(F.col("event_type").isin(*keep)).count()
+    assert joined.first()["n"] == expect
