@@ -44,6 +44,11 @@ HEADLINE = [
     "mm_binary_metadata",
 ]
 
+#: measured executions per query, min reported (symmetric for Spark
+#: and DuckDB) — removes scheduler/contention noise, keeps all real
+#: per-run work
+N_RUNS = 2
+
 
 def warmup_dir(sf_dir: str) -> str | None:
     """Smallest sibling sf* directory of the benched one (never the
@@ -80,16 +85,25 @@ def run_spark(sf_dir: str) -> dict[str, float]:
             pass  # a warm-up miss only costs accuracy, not the run
         spark.catalog.clearCache()
 
+    # min of N_RUNS measured executions per query (symmetric with the
+    # DuckDB side): the min is the steady-state time with scheduler /
+    # page-cache / CPU-contention noise removed — each run still pays
+    # the query's full scans, shuffles and cache materializations
+    # (caches are dropped between runs)
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # drop the query's cache()-barrier partitions (cache cost
-        # stays inside the measured time; memory does not accumulate
-        # across queries)
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # drop the query's cache()-barrier partitions (cache cost
+            # stays inside the measured time; memory does not
+            # accumulate across queries or runs)
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
     spark.stop()
     return times
 
@@ -107,9 +121,13 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
         oracle = registry[name].oracle
         if oracle is None:
             continue
-        t0 = time.perf_counter()
-        con.execute(oracle).fetchall()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            con.execute(oracle).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     con.close()
     return times
 
@@ -127,7 +145,12 @@ def main() -> None:
         "sf": sf,
         "duckdb_baseline": duck_times,
         "duckdb_total": round(sum(duck_times.values()), 3),
-        "notes": ("sessionization is benched via its batch "
+        "runs_per_query": N_RUNS,
+        "aggregation": "min",
+        "notes": ("per-query time = min of runs_per_query measured "
+                  "executions, Spark and DuckDB alike (steady-state, "
+                  "noise removed; caches dropped between runs); "
+                  "sessionization is benched via its batch "
                   "window-function twin (sessionization_batch); the "
                   "stateful applyInPandasWithState variant is "
                   "equality-tested in tests/test_streaming_state.py"),

@@ -100,6 +100,65 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+# ----------------------------------------------- incremental exact
+#: doc_id threshold splitting the table into "existing corpus" and
+#: "new batch" — stands in for the historical keep-set a production
+#: pipeline maintains between ingest runs.
+INCR_SPLIT = 400
+
+INCR_DEDUP_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, md5({NORM_SQL}) AS content_key
+  FROM documents),
+corpus AS (
+  SELECT DISTINCT content_key FROM keyed WHERE doc_id < {INCR_SPLIT}),
+batch AS (
+  SELECT doc_id, content_key FROM keyed WHERE doc_id >= {INCR_SPLIT}),
+firsts AS (
+  SELECT content_key, MIN(doc_id) AS first_doc
+  FROM batch GROUP BY content_key)
+SELECT b.doc_id, b.content_key,
+       (b.doc_id = f.first_doc
+        AND b.content_key NOT IN (SELECT content_key FROM corpus))
+         AS is_new
+FROM batch b JOIN firsts f USING (content_key)
+"""
+
+
+@query("dedup_incremental_exact", INCR_DEDUP_SQL)
+def dedup_incremental_exact(spark, sf_dir):
+    """Incremental exact dedup — the shape a production pipeline
+    actually runs at 100 TB: a NEW ingest batch deduped against the
+    EXISTING corpus keep-set, never a full-corpus re-dedup.  A doc
+    survives (``is_new``) iff it is the first holder of its content
+    key within the batch (first-writer-wins, as
+    ``io.anti_join_new``) AND the key is absent from the corpus.
+
+    Scale shape: the corpus side is reduced map-side to DISTINCT
+    md5 keys (one narrow column — the keep-set a real pipeline
+    stores precomputed); the batch shuffles once on content_key for
+    the within-batch firsts, and corpus membership is a left join
+    on the same key carrying 16-byte keys, not documents.  All
+    three exchanges share the content_key partitioning, and the
+    batch is typically orders of magnitude smaller than the corpus,
+    so AQE broadcasts the batch-derived sides, never the corpus."""
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5(norm_col()).alias("content_key"))
+    corpus = (keyed.filter(F.col("doc_id") < INCR_SPLIT)
+              .select("content_key").distinct()
+              .withColumn("in_corpus", F.lit(True)))
+    batch = keyed.filter(F.col("doc_id") >= INCR_SPLIT)
+    firsts = (batch.groupBy("content_key")
+              .agg(F.min("doc_id").alias("first_doc")))
+    return (
+        batch.join(firsts, "content_key")
+        .join(corpus, "content_key", "left")
+        .select("doc_id", "content_key",
+                ((F.col("doc_id") == F.col("first_doc"))
+                 & F.col("in_corpus").isNull()).alias("is_new"))
+    )
+
+
 # ---------------------------------------------------------- minhash
 #: base-hash CTE — the md5 work happens once per shingle; the k
 #: universal-hash minima are cheap arithmetic over the hash list.
