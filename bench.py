@@ -48,6 +48,10 @@ HEADLINE = [
 #: and DuckDB) — removes scheduler/contention noise, keeps all real
 #: per-run work
 N_RUNS = 2
+#: skip re-runs once a measurement exceeds this: noise is a fixed
+#: few-hundred-ms effect, negligible at this duration (and it keeps
+#: the whole bench comfortably inside the driver's capture window)
+RERUN_CUTOFF_S = 10.0
 
 
 def warmup_dir(sf_dir: str) -> str | None:
@@ -103,6 +107,8 @@ def run_spark(sf_dir: str) -> dict[str, float]:
             # stays inside the measured time; memory does not
             # accumulate across queries or runs)
             spark.catalog.clearCache()
+            if best > RERUN_CUTOFF_S:
+                break
         times[name] = round(best, 3)
     spark.stop()
     return times
@@ -127,6 +133,8 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
             con.execute(oracle).fetchall()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            if best > RERUN_CUTOFF_S:
+                break
         times[name] = round(best, 3)
     con.close()
     return times
