@@ -121,3 +121,74 @@ def curation_dataset_split(spark, sf_dir):
         .when(bucket < SPLIT_VAL, F.lit("val"))
         .otherwise(F.lit("test")).alias("split"),
     )
+
+
+# ------------------------------------- benchmark decontamination
+#: every EVAL_STRIDE-th doc stands in for the held-out benchmark set
+#: a real pipeline loads separately.
+EVAL_STRIDE = 97
+
+from ..io import spread  # noqa: E402
+from .dedup import SHINGLES_SQL, shingles_from_tokens  # noqa: E402
+from .text import tokens_col  # noqa: E402
+
+DECONTAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS g
+  FROM sh WHERE doc_id % {EVAL_STRIDE} = 0),
+train AS (
+  SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_STRIDE} <> 0),
+train_g AS (
+  SELECT doc_id, unnest(sh) AS g FROM train),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_overlap
+  FROM train_g t JOIN eval_sh e ON t.g = e.g
+  GROUP BY t.doc_id)
+SELECT tr.doc_id,
+       CAST(len(tr.sh) AS INTEGER) AS n_shingles,
+       CAST(COALESCE(h.n_overlap, 0) AS INTEGER) AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM train tr LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("curation_decontaminate", DECONTAM_SQL)
+def curation_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / the standard
+    n-gram overlap protocol, public literature): flag every training
+    document sharing at least one token shingle with the held-out
+    eval set, reporting how many of its distinct shingles collide.
+
+    Scale shape: the eval side reduces to DISTINCT shingles — eval
+    sets are tiny and fixed-size, so the semi-ish join on the
+    shingle key is the scan-the-corpus-once pattern (AQE broadcasts
+    the eval shingles; unhinted, since 'tiny' is a property of eval
+    sets, not a structural guarantee).  The shingle arrays reuse the
+    MinHash family's cache-barrier pattern: the token split and the
+    shingle transform each evaluate once per document, never once
+    per element access."""
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", tokens_col(F.col("text")).alias("tk")).cache()
+    sh = toks.select(
+        "doc_id", shingles_from_tokens(F.col("tk")).alias("sh")).cache()
+    sh.count()  # materialize before eval/train branches race it
+    eval_g = (sh.filter(F.col("doc_id") % EVAL_STRIDE == 0)
+              .select(F.explode("sh").alias("g")).distinct())
+    train = sh.filter(F.col("doc_id") % EVAL_STRIDE != 0)
+    hits = (train.select("doc_id", F.explode("sh").alias("g"))
+            .join(eval_g, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (
+        train.select("doc_id", F.size("sh").cast("int")
+                     .alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select("doc_id", "n_shingles",
+                F.coalesce("n_overlap", F.lit(0)).cast("int")
+                .alias("n_overlap"),
+                (F.coalesce("n_overlap", F.lit(0)) > 0)
+                .alias("contaminated"))
+    )
