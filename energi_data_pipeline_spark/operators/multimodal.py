@@ -199,3 +199,61 @@ def audio_windows(df: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
 
     return df.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("phash", LongType()),
+])
+
+#: blockhash width in bits (= number of byte blocks).
+PHASH_BITS = 16
+
+
+def blockhash_stub(payload: bytes) -> int:
+    """Deterministic stand-in for a perceptual image hash
+    (blockhash.io's block-mean algorithm over raw bytes instead of
+    decoded luma): split the payload into PHASH_BITS equal byte
+    ranges; bit b is set iff block b's byte mean exceeds the overall
+    byte mean.  Real deployment: decode + DCT/block-mean over
+    pixels — the bit-vector signature and everything downstream
+    (banding, Hamming verify) is identical."""
+    import numpy as np
+
+    x = np.frombuffer(payload or b"", dtype=np.uint8)
+    n = len(x)
+    if n == 0:
+        return 0
+    # integer sums are exact in int64, and mean comparisons divide
+    # exact integers in float64 — bit-reproducible in SQL
+    total = int(x.sum(dtype=np.int64))
+    h = 0
+    for b in range(PHASH_BITS):
+        lo = (b * n) // PHASH_BITS
+        hi = ((b + 1) * n) // PHASH_BITS
+        if hi > lo:
+            blk = int(x[lo:hi].sum(dtype=np.int64))
+            if blk / (hi - lo) > total / n:
+                h |= 1 << b
+    return h
+
+
+def perceptual_hashes(df: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` -> per-item blockhash fingerprint,
+    Arrow-batched (the image near-dup signature pass: one map over
+    the media column, constant bytes out per item)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(
+                    lambda b: 0 if b is None else len(b)).astype("int32"),
+                "phash": payloads.map(blockhash_stub).astype("int64"),
+            })
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)

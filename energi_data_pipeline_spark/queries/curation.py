@@ -192,3 +192,111 @@ def curation_decontaminate(spark, sf_dir):
                 (F.coalesce("n_overlap", F.lit(0)) > 0)
                 .alias("contaminated"))
     )
+
+
+# ------------------------------------- sequence packing (concat-chunk)
+from pyspark.sql import Window  # noqa: E402
+
+from .text import TOKENS_SQL  # noqa: E402
+
+#: tokens per packed training sequence.
+PACK_BUDGET = 256
+
+PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len({TOKENS_SQL}) AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n_tok AS start_off
+  FROM d)
+SELECT doc_id, source,
+       CAST(n_tok AS INTEGER) AS n_tokens,
+       CAST(start_off AS BIGINT) AS start_offset,
+       CAST(start_off // {PACK_BUDGET} AS INTEGER) AS pack_id,
+       (start_off % {PACK_BUDGET}) + n_tok <= {PACK_BUDGET}
+         AS fits_in_pack
+FROM c
+"""
+
+
+@query("curation_sequence_pack", PACK_SQL)
+def curation_sequence_pack(spark, sf_dir):
+    """Sequence packing, concat-and-chunk flavor (the GPT-style
+    pretraining layout, public literature): documents are laid out
+    in a deterministic order (doc_id) within each shard (source),
+    the token stream is cut into {PACK_BUDGET}-token sequences, and
+    each document reports its start offset, its pack id, and whether
+    it fits entirely inside one pack (``fits_in_pack`` false means
+    the packer splits it across a pack boundary).
+
+    Scale shape: one shuffle on ``source`` and a running-sum window
+    per shard — packing is inherently sequential WITHIN a shard, so
+    the shard key is exactly the parallelism unit a 100 TB packer
+    uses (source x date in production; plain source here).  No
+    global sort, no driver-side loop; the window's running sum is
+    the only state and it streams."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens_col(F.col("text")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).cast("bigint")
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tok"))
+        .select(
+            "doc_id", "source",
+            F.col("n_tok").cast("int").alias("n_tokens"),
+            start.alias("start_offset"),
+            F.floor(start / PACK_BUDGET).cast("int").alias("pack_id"),
+            ((start % PACK_BUDGET) + F.col("n_tok") <= PACK_BUDGET)
+            .alias("fits_in_pack"))
+    )
+
+
+# --------------------------------------- mixture (re-)weighting sample
+#: per-source sampling rate: 20 + hash(source) % 80 percent — a
+#: deterministic stand-in for the tuned per-domain weights a real
+#: mixture config supplies.
+MIX_BASE, MIX_SPREAD = 20, 80
+
+MIX_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         {MIX_BASE} + ('0x' || substr(md5('w_' || source), 1, 14))::BIGINT
+           % {MIX_SPREAD} AS rate_pct,
+         ('0x' || substr(md5('mix_' || CAST(doc_id AS VARCHAR)),
+                         1, 14))::BIGINT % 100 AS bucket
+  FROM documents)
+SELECT doc_id, source,
+       CAST(rate_pct AS INTEGER) AS rate_pct,
+       CAST(bucket AS INTEGER) AS bucket,
+       bucket < rate_pct AS sampled
+FROM r
+"""
+
+
+@query("curation_mixture_sample", MIX_SQL)
+def curation_mixture_sample(spark, sf_dir):
+    """Data-mixture sampling: every source (domain) gets a sampling
+    rate and each document keeps/drops by a deterministic hash
+    Bernoulli — the down/up-weighting step that turns a raw crawl
+    into a training mixture (the DoReMi/Pile-style domain-weights
+    shape, public literature).  Hash-based, not random: the same
+    mixture reproduces across runs, engines, and re-shards, and the
+    decision column ``sampled`` is emitted instead of filtering so
+    the oracle verifies BOTH kept and dropped rows.
+
+    Scale shape: pure map stage — two md5s per row, no shuffle at
+    all; at 100 TB this pipelines into whatever scan precedes it."""
+    d = t(spark, sf_dir, "documents")
+    rate = (F.lit(MIX_BASE)
+            + stable_hash64(F.concat(F.lit("w_"), F.col("source")))
+            % MIX_SPREAD)
+    bucket = stable_hash64(
+        F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))) % 100
+    return d.select(
+        "doc_id", "source",
+        rate.cast("int").alias("rate_pct"),
+        bucket.cast("int").alias("bucket"),
+        (bucket < rate).alias("sampled"))

@@ -540,3 +540,65 @@ def dedup_connected_components_star(spark, sf_dir):
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
     cc = connected_components_star(pairs, src="doc_a", dst="doc_b")
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# ------------------------------------- cluster resolution (keep-best)
+KEEP_BEST_SQL = """
+WITH RECURSIVE pairs AS ({lsh}),
+e(u, v) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+cc AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id
+  FROM reach GROUP BY a),
+j AS (
+  SELECT cc.doc_id, cc.cluster_id, d.n_chars
+  FROM cc JOIN documents d USING (doc_id)),
+r AS (
+  SELECT doc_id, cluster_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM j)
+SELECT doc_id, cluster_id, n_chars, rk = 1 AS is_kept
+FROM r
+"""
+
+
+@query(
+    "dedup_cluster_keep_best",
+    KEEP_BEST_SQL.format(lsh=REGISTRY["dedup_minhash_lsh_pairs"].oracle),
+)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """Cluster RESOLUTION — the step after clustering that the
+    pairwise queries stop short of: within every near-dup cluster
+    (MinHash-LSH pairs closed into components), keep the single best
+    representative by an explicit quality rule (longest document,
+    ties to the lowest doc_id) instead of the blind lowest-id rule.
+    Real pipelines keep the best copy, not the first copy — the
+    short teaser survives and the full article dies under min-id.
+
+    Scale shape: reuses the banded-LSH + min-label-propagation
+    plans (never all-pairs); the resolution itself is one join from
+    cluster labels to the documents' quality column on the doc_id
+    key and a per-cluster window — cluster sizes are bounded by the
+    LSH threshold, so the window partitions are tiny however large
+    the corpus."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b") \
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    return (
+        cc.join(d, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "n_chars",
+                (F.col("rk") == 1).alias("is_kept"))
+    )

@@ -177,3 +177,94 @@ def mm_audio_rms(spark, sf_dir):
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return audio_windows(payloads)
+
+
+# ------------------------------------ perceptual-hash near-dup pairs
+from ..operators.multimodal import PHASH_BITS  # noqa: E402
+
+#: 4-bit bands over the 16-bit hash; Hamming acceptance threshold.
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+HAMMING_T = 2
+
+_PHASH_SQL = f"""
+p AS (SELECT doc_id, text, length(text) AS n FROM documents),
+h AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN 0 ELSE (
+           SELECT SUM(CASE WHEN x.hi > x.lo AND
+                    (SELECT SUM(ascii(substr(text, i, 1)))
+                     FROM (SELECT unnest(range(x.lo + 1, x.hi + 1)) AS i))
+                      / (x.hi - x.lo) >
+                    (SELECT SUM(ascii(substr(text, j, 1)))
+                     FROM (SELECT unnest(range(1, n + 1)) AS j)) / n
+                  THEN 1 << bb.b ELSE 0 END)
+           FROM (SELECT unnest(range({PHASH_BITS})) AS b) bb,
+                LATERAL (SELECT (bb.b * n) // {PHASH_BITS} AS lo,
+                                ((bb.b + 1) * n) // {PHASH_BITS} AS hi) x
+         ) END AS phash
+  FROM p)
+"""
+
+PHASH_PAIRS_SQL = f"""
+WITH {_PHASH_SQL},
+bands AS (
+  SELECT doc_id, phash, bb.b AS band,
+         (phash >> ({PHASH_BAND_BITS} * bb.b))
+           & {(1 << PHASH_BAND_BITS) - 1} AS key
+  FROM h, (SELECT unnest(range({PHASH_BANDS})) AS b) bb),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
+                  c.doc_id AS doc_b, c.phash AS ph_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {HAMMING_T}
+"""
+
+
+@query("mm_phash_near_dup", PHASH_PAIRS_SQL)
+def mm_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual hash: every payload
+    gets a {PHASH_BITS}-bit block-mean hash (blockhash.io's
+    algorithm over raw bytes — the decode step is the documented
+    stub, see operators.multimodal.blockhash_stub), candidates
+    BUCKET-join on {PHASH_BAND_BITS}-bit hash bands (a near-dup
+    within Hamming {HAMMING_T} must agree exactly on at least one
+    band — pigeonhole over {PHASH_BANDS} bands), and the exact
+    Hamming distance verifies.
+
+    This is the dedup-family LSH shape applied to the MEDIA column:
+    the hash pass is Arrow-batched mapInPandas (constant bytes out
+    per item), banding explodes {PHASH_BANDS} rows per item, and
+    the join key space is (band, band-value) — never the quadratic
+    pair space.  The oracle replays the byte arithmetic in SQL
+    (ASCII corpus: byte == char, as the whole mm family exploits);
+    all means divide exact integers, so the bits are engine-exact."""
+    from ..operators.multimodal import perceptual_hashes
+
+    d = spread(t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    hashes = perceptual_hashes(payloads).select("doc_id", "phash").cache()
+    band = F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1)))
+    mask = (1 << PHASH_BAND_BITS) - 1
+    # the shift count depends on the band column, so the band key is
+    # a SQL expression over both columns (F.shiftright wants a
+    # literal count)
+    banded = (hashes.withColumn("band", band)
+              .withColumn("key", F.expr(
+                  f"shiftright(phash, {PHASH_BAND_BITS} * band)"
+                  f" & {mask}")))
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("phash").alias("ph_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("phash").alias("ph_b"), "band", "key")
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "ph_a", "doc_b", "ph_b").distinct())
+    hamming = F.bit_count(
+        F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= HAMMING_T))

@@ -20,6 +20,21 @@ from . import query
 #: half-width of the neighborhood AND the bin size (seconds).
 RANGE_S = 1800
 
+
+def epoch_micros(df, colname: str = "ts"):
+    """Microseconds since epoch for a timestamp column, independent
+    of the session time zone AND of whether the parquet writer
+    produced TIMESTAMP (instant) or TIMESTAMP_NTZ (naive) — the
+    driver's synthetic data has flipped between the two across
+    rounds.  ``unix_micros`` rejects NTZ input outright, so the NTZ
+    branch measures the naive wall-clock against a naive epoch
+    (exactly DuckDB's ``epoch_us`` over its naive TIMESTAMP)."""
+    if dict(df.dtypes).get(colname) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {colname})")
+    return F.unix_micros(colname)
+
 RANGE_JOIN_SQL = f"""
 WITH a AS (SELECT * FROM events WHERE event_type = 'click')
 SELECT a.event_id, a.ts, a.user_id,
@@ -43,7 +58,7 @@ def ext_range_join_binned(spark, sf_dir):
     this is an equi-shuffle with fan-out 3 — the oracle runs the
     naive interval join and the results hash-match."""
     ev = t(spark, sf_dir, "events")
-    bin_col = F.floor(F.unix_micros("ts") / F.lit(RANGE_S * 1_000_000))
+    bin_col = F.floor(epoch_micros(ev) / F.lit(RANGE_S * 1_000_000))
     anchors = (
         ev.filter(F.col("event_type") == "click")
         .select(F.col("event_id").alias("a_id"),
@@ -542,8 +557,10 @@ def ext_window_range_interval(spark, sf_dir):
     scale-out by user cardinality."""
     ev = t(spark, sf_dir, "events")
     from pyspark.sql import Window
+    # unix_timestamp accepts TIMESTAMP and TIMESTAMP_NTZ alike
+    # (cast-to-long rejects NTZ), with the same second truncation
     w = (Window.partitionBy("user_id")
-         .orderBy(F.col("ts").cast("long"))
+         .orderBy(F.unix_timestamp("ts"))
          .rangeBetween(-RANGE_WIN_S, 0))
     return (
         ev.filter(F.col("event_type") == "view")
@@ -1054,3 +1071,68 @@ def ext_interval_overlap(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.max("concurrent").cast("bigint")
                  .alias("max_concurrent")))
+
+
+# --------------------------------------- robust outliers (median/MAD)
+#: modified z-score threshold (Iglewicz & Hoaglin, public literature).
+MAD_Z_T = 3.5
+
+OUTLIER_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.value,
+       ROUND(d.med, 6) AS median_value,
+       ROUND(m.mad, 6) AS mad,
+       CASE WHEN m.mad = 0 THEN NULL
+            ELSE ROUND(0.6745 * (d.value - d.med) / m.mad, 6)
+       END AS robust_z,
+       CASE WHEN m.mad = 0 THEN NULL
+            ELSE abs(ROUND(0.6745 * (d.value - d.med) / m.mad, 6))
+                 > {MAD_Z_T}
+       END AS is_outlier
+FROM dev d JOIN mad m USING (event_type)
+"""
+
+
+@query("ext_outlier_mad", OUTLIER_MAD_SQL)
+def ext_outlier_mad(spark, sf_dir):
+    """Robust per-group outlier detection: modified z-score from the
+    MEDIAN and the median-absolute-deviation (Iglewicz & Hoaglin's
+    0.6745 / 3.5 rule, public literature) — the mean/stddev z-score
+    breaks down exactly when outliers are present, the MAD one does
+    not.  The outlier flag compares the 6-rounded score on both
+    engines so the decision boundary cannot drift with fp jitter;
+    a zero MAD (constant group) yields NULL, not a division blowup.
+
+    Scale shape: two grouped exact percentiles on the event_type
+    key (the 100 TB swap is ``approx_percentile``'s mergeable
+    t-digest — kept exact here because the oracle must hash-match)
+    and two joins back on the same key; the per-type medians table
+    is dimension-sized, so AQE broadcasts it unhinted."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.select("event_id", "event_type", "value") \
+        .join(med, "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+        .alias("mad"))
+    z = F.round(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 6)
+    guard = F.col("mad") == 0
+    return (
+        dev.join(mad, "event_type")
+        .select("event_id", "event_type", "value",
+                F.round("med", 6).alias("median_value"),
+                F.round("mad", 6).alias("mad"),
+                F.when(guard, F.lit(None)).otherwise(z).alias("robust_z"),
+                F.when(guard, F.lit(None).cast("boolean"))
+                .otherwise(F.abs(z) > MAD_Z_T).alias("is_outlier"))
+    )

@@ -558,3 +558,126 @@ def sims_knn_label_consistency(spark, sf_dir):
             .agg(matches.cast("int").alias("n_matching"),
                  F.round(matches.cast("double") / TOP_K, 6)
                  .alias("consistency")))
+
+
+# --------------------------------- product quantization (PQ) + ADC
+#: sub-vector blocks (DIM/M_BLOCKS dims each) and the codebook
+#: stride: every CB_STRIDE-th corpus vector seeds one centroid per
+#: block, so the codebook adapts to the data and grows slowly with
+#: the corpus, like the IVF coarse quantizer above.
+M_BLOCKS = 4
+BLOCK_DIM = DIM // M_BLOCKS
+CB_STRIDE = 64
+
+_PQ_D2_SQL = """
+ROUND((SELECT SUM((CAST(ve AS DOUBLE) - CAST(ce AS DOUBLE))
+                  * (CAST(ve AS DOUBLE) - CAST(ce AS DOUBLE)))
+       FROM (SELECT UNNEST(v.embedding[b.m * {bd} + 1 : (b.m + 1) * {bd}])
+                      AS ve,
+                    UNNEST(c.c_emb[b.m * {bd} + 1 : (b.m + 1) * {bd}])
+                      AS ce)), 6)
+""".format(bd=BLOCK_DIM)
+
+PQ_ADC_SQL = f"""
+WITH vec AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb
+  FROM vec WHERE vec_id % {CB_STRIDE} = 0),
+assign AS (
+  SELECT v.vec_id, b.m, c.cent_id,
+         {_PQ_D2_SQL} AS d2
+  FROM vec v
+  CROSS JOIN (SELECT unnest(range({M_BLOCKS})) AS m) b
+  CROSS JOIN cent c),
+codes AS (
+  SELECT vec_id, m, cent_id FROM (
+    SELECT vec_id, m, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, cent_id) AS rk
+    FROM assign) WHERE rk = 1),
+qd AS (
+  SELECT vec_id AS query_id, m, cent_id, d2
+  FROM assign WHERE vec_id % {QUERY_STRIDE} = 0),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         SUM(CAST(q.d2 AS DECIMAL(38,10))) AS s
+  FROM codes c JOIN qd q ON q.m = c.m AND q.cent_id = c.cent_id
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 6) AS approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s, neighbor_id) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, approx_d2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _block_d2(a_sub, b_sub):
+    """Exact squared L2 distance between two sub-vectors, JVM-side."""
+    diffs = F.zip_with(
+        a_sub, b_sub,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")))
+    return F.round(
+        F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x), 6)
+
+
+@query("sims_pq_adc", PQ_ADC_SQL)
+def sims_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., TPAMI'11 — public literature): every vector is
+    compressed to {M_BLOCKS} centroid codes (one per
+    {BLOCK_DIM}-dim block; codebook = every {CB_STRIDE}-th corpus
+    vector, data-adaptive like the IVF quantizer), and a query
+    scores a candidate as the SUM of its precomputed
+    query-to-centroid block distances — the {M_BLOCKS * 8}-byte
+    code replaces the raw vector for the whole scan.
+
+    Scale shape, the reason PQ exists at 100 TB: the corpus-wide
+    work touches only the CODES table (a few bytes per vector, a
+    ~64x scan-volume cut vs raw float32); the per-query distance
+    table is queries x centroids x blocks — centroid-cardinality,
+    never corpus-cardinality — and joins to the codes on the
+    (block, centroid) key, so AQE broadcasts it while it fits and
+    shuffles on the code key beyond that.  The per-candidate ADC
+    sum accumulates the 6-rounded block distances in
+    DECIMAL(38,10), so ranking order (and the hash) is
+    order-independent and engine-exact.  The code-assignment pass
+    broadcasts the codebook onto the corpus exactly like the IVF
+    centroid assignment (bounded side, policy-compliant hint)."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select("vec_id", "embedding").cache()
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(M_BLOCKS - 1)))
+    # one row per (vector, block): slice indexes are 1-based
+    sub = F.expr(f"slice(embedding, m * {BLOCK_DIM} + 1, {BLOCK_DIM})")
+    v_blocks = (vec.withColumn("m", blocks)
+                .select("vec_id", "m", sub.alias("sub")))
+    cent = (vec.filter(F.col("vec_id") % CB_STRIDE == 0)
+            .withColumn("m", blocks)
+            .select(F.col("vec_id").alias("cent_id"), "m",
+                    sub.alias("c_sub")))
+    assign = (
+        v_blocks.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "cent_id",
+                _block_d2(F.col("sub"), F.col("c_sub")).alias("d2")))
+    aw = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    codes = (assign.withColumn("rk", F.row_number().over(aw))
+             .filter(F.col("rk") == 1)
+             .select("vec_id", "m", "cent_id"))
+    qd = (assign.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+          .select(F.col("vec_id").alias("query_id"), "m", "cent_id",
+                  "d2"))
+    adc = (
+        codes.join(qd, ["m", "cent_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("d2").cast("decimal(38,10)")).alias("s")))
+    w = Window.partitionBy("query_id").orderBy("s", "neighbor_id")
+    return (adc.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("s").cast("double"), 6)
+                    .alias("approx_d2"), "rank"))

@@ -39,6 +39,26 @@ def _stateful_shuffle_partitions(spark, input_path: str) -> str:
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     return prev
 
+def _with_event_time(df, ltz: bool = False):
+    """``ts`` as a proper event-time column whether the parquet
+    stored TIMESTAMP(NANOS) (surfaced by Spark as int64 nanos —
+    floored to microseconds, the same truncation DuckDB applies) or
+    a native micros/NTZ timestamp (pass-through untouched).  The
+    driver's synthetic data has used both encodings across rounds.
+
+    ``ltz=True`` additionally casts TIMESTAMP_NTZ to TIMESTAMP:
+    ``withWatermark`` demands an instant-typed event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  ``tune()`` pins the
+    session zone to UTC, so the cast preserves wall-clock values
+    and the collected results still match the naive oracle."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ltz and dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 STREAM_SQL = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
        event_type,
@@ -58,13 +78,13 @@ def stream_tumbling_window(spark, sf_dir):
     with ``withWatermark`` bounding the state store."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    schema = spark.read.parquet(path).schema
     sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     agged = (
         # file stream sources take a directory + glob, not a file
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        _with_event_time(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.round(F.avg("value"), 6).alias("avg_value"),
              F.count(F.lit(1)).alias("n_events"))
@@ -143,15 +163,14 @@ def run_sessionize_stream(spark, src_dir, glob="events.parquet",
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = spark.read.option("pathGlobFilter", glob) \
-        .parquet(src_dir).schema  # ts is int64 nanos
+        .parquet(src_dir).schema
     sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     events = (
-        reader.parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        _with_event_time(reader.parquet(src_dir))
         .select("user_id", "ts")
     )
     gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
@@ -287,7 +306,9 @@ def sessionization_batch(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_ok = (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    # unix_timestamp works for both TIMESTAMP and TIMESTAMP_NTZ
+    # (cast-to-long rejects NTZ), same whole-second truncation
+    gap_ok = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
               ) > SESSION_GAP_MIN * 60
     flagged = ev.withColumn(
         "new_sess",
@@ -332,12 +353,12 @@ def stream_sliding_window(spark, sf_dir):
     than the allowed lateness."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    schema = spark.read.parquet(path).schema
     sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
     agged = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        _with_event_time(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"),
                  "event_type")
         .agg(F.round(F.avg("value"), 6).alias("avg_value"),
@@ -381,7 +402,7 @@ def stream_static_join(spark, sf_dir):
     restarting the stream."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    schema = spark.read.parquet(path).schema
     sink = f"stream_static_{uuid.uuid4().hex[:8]}"
     from ..io import read_table
     customer = read_table(spark, sf_dir, "customer") \
@@ -424,12 +445,13 @@ def stream_dedup_watermark(spark, sf_dir):
     DISTINCT and stays oracle-checkable."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    schema = spark.read.parquet(path).schema
     sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     deduped = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        _with_event_time(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(sf_dir),
+            ltz=True)
         .withColumn("minute", F.date_trunc("minute", F.col("ts")))
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "minute"])
@@ -466,17 +488,18 @@ def stream_stream_join(spark, sf_dir):
     it stays oracle-checkable."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # ts is int64 nanos
+    schema = spark.read.parquet(path).schema
     sink = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
 
     def side(event_type, ts_alias, user_alias):
         return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+            _with_event_time(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir), ltz=True)
             .filter(F.col("event_type") == event_type)
             .select(F.col("user_id").alias(user_alias),
-                    F.expr("timestamp_micros(ts DIV 1000)")
-                    .alias(ts_alias))
+                    F.col("ts").alias(ts_alias))
             .withWatermark(ts_alias, "1 hour"))
 
     clicks = side("click", "click_ts", "user_id")

@@ -626,3 +626,74 @@ def text_langid_agreement(spark, sf_dir):
                  agree.cast("bigint").alias("n_agree"),
                  F.round(agree.cast("double") / F.count(F.lit(1)), 6)
                  .alias("agreement_ratio")))
+
+
+# --------------------------------------- unigram LM quality scoring
+from .core import DDOUBLE_SQL  # noqa: E402
+
+UNIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform({TOKENS_SQL}, t -> lower(t))) AS term
+  FROM documents),
+tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+total AS (SELECT SUM(c) AS n FROM tf),
+dt AS (SELECT doc_id, term, COUNT(*) AS tf_doc
+       FROM toks GROUP BY doc_id, term),
+lp AS (
+  SELECT dt.doc_id,
+         SUM(dt.tf_doc) AS n_tok,
+         SUM(CAST(dt.tf_doc * ln(tf.c / total.n) AS DECIMAL(38,10)))
+           AS s
+  FROM dt JOIN tf USING (term) CROSS JOIN total
+  GROUP BY dt.doc_id)
+SELECT doc_id,
+       CAST(n_tok AS INTEGER) AS n_tokens,
+       ROUND({DDOUBLE_SQL.format(expr="s")}, 6) AS total_logprob,
+       ROUND({DDOUBLE_SQL.format(expr="s")} / n_tok, 6) AS avg_logprob
+FROM lp
+"""
+
+
+@query("text_unigram_logprob", UNIGRAM_SQL)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring: each document's average token
+    log-probability under the corpus's own unigram distribution —
+    the cheap stand-in for the KenLM/CCNet perplexity filter (public
+    literature: Wenzek et al., CCNet, LREC'20): documents far below
+    the corpus-typical logprob are boilerplate/gibberish candidates.
+
+    Scale shape: one shuffle on ``term`` builds the LM (map-side
+    combine reduces each partition to its distinct terms first), one
+    shuffle on ``(doc_id, term)`` builds per-doc term frequencies,
+    and the score join runs on the already-shuffled ``term`` key.
+    The vocabulary side grows Heaps-law-slowly, so it is left
+    UNHINTED (AQE broadcasts it while it fits); the corpus-total is
+    a one-row scalar aggregate — genuinely bounded, so its broadcast
+    hint is policy-compliant.  The per-doc sum accumulates in
+    DECIMAL(38,10) (order-independent), so the hash matches the
+    oracle bit-for-bit despite summing floats."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(F.col("text")),
+                              lambda x: F.lower(x))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c").alias("n"))
+    dt = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf_doc"))
+    scored = (
+        dt.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "tf_doc",
+                (F.col("tf_doc") * F.log(F.col("c") / F.col("n")))
+                .alias("lp")))
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf_doc").alias("n_tok"),
+        F.sum(F.col("lp").cast("decimal(38,10)")).alias("s"))
+    s_dbl = F.col("s").cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tokens"),
+        F.round(s_dbl, 6).alias("total_logprob"),
+        F.round(s_dbl / F.col("n_tok"), 6).alias("avg_logprob"))

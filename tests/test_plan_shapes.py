@@ -72,8 +72,9 @@ def test_star_joins_broadcast_small_dims(spark, registry):
 BOUNDED_BROADCAST_SIDES = {
     "nation", "nations", "region",   # fixed-cardinality TPC-H dims
     "dim", "dim_cols",               # dim_time (time-range bounded)
-    "cent",                          # IVF coarse centroids
+    "cent",                          # IVF / PQ coarse centroids
     "best", "avg_bal", "n",          # scalar / one-row aggregates
+    "total",                         # one-row corpus-total aggregate
     "type_avg",                      # per-p_type agg (fixed key space)
     "donors_src",                    # k-1 rows per window bucket
 }
