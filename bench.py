@@ -50,8 +50,12 @@ HEADLINE = [
 N_RUNS = 2
 #: skip re-runs once a measurement exceeds this: noise is a fixed
 #: few-hundred-ms effect, negligible at this duration (and it keeps
-#: the whole bench comfortably inside the driver's capture window)
-RERUN_CUTOFF_S = 10.0
+#: the whole bench comfortably inside the driver's capture window).
+#: 30s, NOT 10s: dedup_ngram_jaccard's first execution pays ~15s of
+#: one-time JIT/codegen+page-cache cost against a ~4.5s steady state,
+#: and a 10s cutoff skipped exactly the re-run that would have
+#: measured it — recording the cold outlier as the query's time.
+RERUN_CUTOFF_S = 30.0
 
 
 def warmup_dir(sf_dir: str) -> str | None:

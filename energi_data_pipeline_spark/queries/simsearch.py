@@ -681,3 +681,106 @@ def sims_pq_adc(spark, sf_dir):
             .select("query_id", "neighbor_id",
                     F.round(F.col("s").cast("double"), 6)
                     .alias("approx_d2"), "rank"))
+
+
+# --------------------------- label-centroid margin (space QA)
+LABEL_MARGIN_SQL = f"""
+WITH pos AS (
+  SELECT vec_id, label, ii.i + 1 AS pos,
+         CAST(embedding[ii.i + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range({DIM})) AS i) ii),
+cent_long AS (
+  SELECT label, pos,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM pos GROUP BY label, pos),
+cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS c_emb
+  FROM cent_long GROUP BY label),
+centn AS (
+  SELECT c_label, c_emb,
+         sqrt((SELECT SUM(x * x) FROM (SELECT UNNEST(c_emb) AS x)))
+           AS c_nrm
+  FROM cent),
+vec AS (
+  SELECT vec_id, label, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm
+  FROM embeddings),
+scored AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         ROUND((SELECT SUM(CAST(ae AS DOUBLE) * be) FROM (
+                  SELECT UNNEST(v.embedding) AS ae,
+                         UNNEST(c.c_emb) AS be))
+               / (v.nrm * c.c_nrm), 6) AS cosine
+  FROM vec v CROSS JOIN centn c),
+own AS (
+  SELECT vec_id, label, cosine AS cos_own
+  FROM scored WHERE label = c_label),
+other AS (
+  SELECT vec_id, c_label AS best_other_label, cosine AS cos_other,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, c_label) AS rk
+  FROM scored WHERE label <> c_label)
+SELECT o.vec_id, o.label, o.cos_own, t.best_other_label, t.cos_other,
+       ROUND(o.cos_own - t.cos_other, 6) AS margin
+FROM own o JOIN other t USING (vec_id) WHERE t.rk = 1
+"""
+
+
+@query("sims_label_centroid_margin", LABEL_MARGIN_SQL)
+def sims_label_centroid_margin(spark, sf_dir):
+    """Embedding-space class-separation audit: every label gets an
+    exact per-dimension mean centroid; every vector reports the
+    cosine to its OWN label's centroid, the best cosine to any OTHER
+    centroid, and the margin between them.  Negative margins mark
+    vectors sitting in the wrong class region — the
+    nearest-class-mean QA pass (Fisher-criterion flavor, public
+    literature) that catches label noise and collapsed classes
+    before similarity-based curation trusts the space.
+
+    Scale shape: centroid building is one shuffle on (label, dim)
+    with map-side partial sums (DECIMAL-accumulated so the mean is
+    order-exact), folding the corpus to labels x dims rows; the
+    scoring pass replicates the label-count-bounded centroid table
+    onto the corpus (the one genuinely bounded broadcast) and keeps
+    a per-vector window over label-count rows.  Nothing ever pairs
+    corpus rows with corpus rows."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    pos = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("i", "vf"))
+    v = F.col("vf").cast("double")
+    cl = pos.groupBy("label", "i").agg(
+        (F.sum(v.cast("decimal(38,10)")).cast("double")
+         / F.count(F.lit(1))).alias("c"))
+    cent = (cl.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda x: x["c"]).alias("c_emb"))
+            .select(F.col("label").alias("c_label"), "c_emb",
+                    _norm(F.col("c_emb")).alias("c_nrm")))
+    vec = emb.select("vec_id", "label", "embedding",
+                     _norm(F.col("embedding")).alias("nrm"))
+    scored = (
+        vec.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "c_label",
+                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                        / (F.col("nrm") * F.col("c_nrm")), 6)
+                .alias("cosine")))
+    own = (scored.filter(F.col("label") == F.col("c_label"))
+           .select("vec_id", "label",
+                   F.col("cosine").alias("cos_own")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), "c_label")
+    other = (scored.filter(F.col("label") != F.col("c_label"))
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") == 1)
+             .select("vec_id",
+                     F.col("c_label").alias("best_other_label"),
+                     F.col("cosine").alias("cos_other")))
+    return (own.join(other, "vec_id")
+            .select("vec_id", "label", "cos_own", "best_other_label",
+                    "cos_other",
+                    F.round(F.col("cos_own") - F.col("cos_other"), 6)
+                    .alias("margin")))

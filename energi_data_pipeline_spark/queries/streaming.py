@@ -520,3 +520,64 @@ def stream_stream_join(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# ------------------------------------------- top-k per window
+TOPK_PER_WIN = 3
+
+TOPK_WIN_SQL = f"""
+WITH agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+         event_type,
+         COUNT(*) AS n_events,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events
+  GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type)
+SELECT bucket_start, event_type, n_events, avg_value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY bucket_start
+                               ORDER BY n_events DESC, event_type)
+            AS INTEGER) AS rank
+FROM agg
+QUALIFY rank <= {TOPK_PER_WIN}
+"""
+
+
+@query("stream_topk_per_window", TOPK_WIN_SQL)
+def stream_topk_per_window(spark, sf_dir):
+    """Streaming top-k: the busiest {TOPK_PER_WIN} event types per
+    5-minute window.  Ranking is not allowed inside a streaming
+    aggregation (no windows-over-aggregates in update plans), so
+    this runs the standard two-stage shape: the Structured
+    Streaming engine maintains the per-(window, type) counts
+    incrementally (the state the stream owns), and the rank is a
+    window function over the SINK table — in production the rank
+    runs in the serving query or a foreachBatch epilogue, both
+    dimension-sized.  State and shuffle scale with windows x types,
+    never with the event volume."""
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    sink = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    agged = (
+        _with_event_time(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type",
+                "n_events", "avg_value")
+    )
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (agged.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    from pyspark.sql import Window
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.col("n_events").desc(), "event_type")
+    return (spark.table(sink)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOPK_PER_WIN))
