@@ -300,3 +300,29 @@ def read_version(spark: SparkSession, path: str,
             f"version {version} not retained at {path} "
             f"(older than the keep window, or never written)")
     return spark.read.parquet(vdir)
+
+
+def compact_table(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 << 20) -> int:
+    """Small-file compaction: rewrite a table directory into
+    ``ceil(total_bytes / target_file_bytes)`` parquet files and swap
+    it in atomically (:func:`publish_atomic`).
+
+    Incremental writers (insert_if_absent per micro-batch, per-batch
+    merges) accrete files far smaller than a scan-efficient split;
+    at 100 TB a table of 4 MB files pays ~30x the open/footer cost
+    of 128 MB files and floods the driver with splits.  Compaction
+    is the standard maintenance pass (OPTIMIZE in lakehouse
+    formats); ``coalesce`` avoids a shuffle — each output file
+    concatenates whole input partitions.  Returns the target file
+    count.  Single-writer contract, like every publish in this
+    module."""
+    import math
+
+    recover_atomic(path)
+    n_bytes = sum(
+        f.stat().st_size for f in os.scandir(path)
+        if f.is_file() and not f.name.startswith((".", "_")))
+    n_files = max(1, math.ceil(n_bytes / target_file_bytes))
+    publish_atomic(spark.read.parquet(path).coalesce(n_files), path)
+    return n_files

@@ -1136,3 +1136,61 @@ def ext_outlier_mad(spark, sf_dir):
                 F.when(guard, F.lit(None).cast("boolean"))
                 .otherwise(F.abs(z) > MAD_Z_T).alias("is_outlier"))
     )
+
+
+# ------------------------------------------- key-skew diagnostics
+SKEW_TOP = 10
+
+SKEW_SQL = f"""
+WITH kc AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+total AS (
+  SELECT COUNT(*) AS n_keys,
+         ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_cnt
+  FROM kc),
+topk AS (
+  SELECT user_id, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rk
+  FROM kc)
+SELECT CAST(t.rk AS INTEGER) AS rank, t.user_id,
+       CAST(t.cnt AS BIGINT) AS cnt,
+       CAST(s.n_keys AS BIGINT) AS n_keys,
+       s.avg_cnt,
+       ROUND(t.cnt / s.avg_cnt, 6) AS skew_factor
+FROM topk t CROSS JOIN total s
+WHERE t.rk <= {SKEW_TOP}
+"""
+
+
+@query("ext_skew_stats", SKEW_SQL)
+def ext_skew_stats(spark, sf_dir):
+    """Shuffle-key skew diagnostics: the {SKEW_TOP} heaviest join/agg
+    keys with their multiple of the average key load — the profile a
+    data engineer reads BEFORE picking salting factors or trusting
+    AQE's skew-join split at 100 TB (a key at 1000x average needs
+    intervention; 3x does not).
+
+    Scale shape: per-key counts are one map-side-combined shuffle;
+    the top-k is sort+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps merged on the driver,
+    k rows moved — NEVER a global sort); the rank window and the
+    scalar stats join then run over {SKEW_TOP} rows."""
+    ev = t(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("cnt").cast("double") / F.count(F.lit(1)), 6)
+        .alias("avg_cnt"))
+    topk = kc.orderBy(F.col("cnt").desc(), "user_id").limit(SKEW_TOP)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("cnt").desc(), "user_id")
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(total))
+        .select("rank", "user_id",
+                F.col("cnt").cast("bigint").alias("cnt"),
+                F.col("n_keys").cast("bigint").alias("n_keys"),
+                "avg_cnt",
+                F.round(F.col("cnt") / F.col("avg_cnt"), 6)
+                .alias("skew_factor"))
+    )

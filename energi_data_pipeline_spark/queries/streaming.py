@@ -581,3 +581,84 @@ def stream_topk_per_window(spark, sf_dir):
     return (spark.table(sink)
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= TOPK_PER_WIN))
+
+
+# ------------------------------------- latest-state table (upsert)
+LATEST_STATE_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+       value AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("stream_latest_state", LATEST_STATE_SQL)
+def stream_latest_state(spark, sf_dir):
+    """A continuously-maintained LATEST-STATE table (current value
+    per (user_id, event_type)) driven by the stream: every
+    micro-batch reduces to its per-key winners, merges them into the
+    managed table with ORDERED last-writer-wins (greatest (ts,
+    event_id) survives — so replays and out-of-order batches cannot
+    regress a key), and publishes atomically via the crash-safe
+    snapshot swap.  This is the foreachBatch + merge_upsert pattern
+    (tests/test_streaming_merge.py) promoted to an oracle-paired
+    operator: the final table must equal the batch latest-per-key
+    query over the same events.
+
+    Scale shape: the per-batch reduction is a window over the
+    micro-batch only; the merge is one co-partitioned full-outer
+    join on the key (AQE broadcasts the batch-derived side — the
+    small one — at runtime); state lives in the table itself, not
+    the state store, so the stream restarts stateless."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from ..io import merge_upsert, read_layer_table
+
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    wh = tempfile.mkdtemp(prefix="stream_latest_wh_")
+    ckpt = tempfile.mkdtemp(prefix="stream_latest_ckpt_")
+    cols = ["user_id", "event_type", "ts", "event_id", "value"]
+
+    def upsert_batch(batch_df, _batch_id):
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        batch_latest = (batch_df.select(*cols)
+                        .withColumn("rn", F.row_number().over(w))
+                        .filter(F.col("rn") == 1).drop("rn"))
+        sess = batch_df.sparkSession
+        existing = read_layer_table(sess, wh, "gold", "latest_state")
+        merged = (batch_latest if existing is None
+                  else existing.unionByName(batch_latest)
+                  .withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).drop("rn"))
+        merge_upsert(sess, merged, wh, "gold", "latest_state",
+                     keys=["user_id", "event_type"])
+
+    try:
+        q = (_with_event_time(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir))
+             .writeStream.foreachBatch(upsert_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        from ..io import table_path
+        out = (spark.read.parquet(table_path(wh, "gold", "latest_state"))
+               .select("user_id", "event_type",
+                       F.col("ts").alias("last_ts"),
+                       F.col("event_id").alias("last_event_id"),
+                       F.col("value").alias("last_value")))
+        # materialize before the temp dirs vanish
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)

@@ -697,3 +697,96 @@ def text_unigram_logprob(spark, sf_dir):
         F.col("n_tok").cast("int").alias("n_tokens"),
         F.round(s_dbl, 6).alias("total_logprob"),
         F.round(s_dbl / F.col("n_tok"), 6).alias("avg_logprob"))
+
+
+# ---------------------------------- exact duplicate-span detection
+from ..io import spread  # noqa: E402
+
+#: window width / stride (chars) for the rolling span fingerprints.
+SPAN_W, SPAN_S = 32, 16
+
+_SPAN_NORM = "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
+
+DUP_SPANS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, source, {_SPAN_NORM} AS s FROM documents),
+spans AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           range(1, greatest(length(s) - {SPAN_W - 1}, 0) + 1,
+                 {SPAN_S}),
+           i -> md5(substr(s, i, {SPAN_W})))) AS h
+  FROM norm),
+df AS (
+  SELECT source, h, COUNT(DISTINCT doc_id) AS n_docs
+  FROM spans GROUP BY source, h),
+per_doc AS (
+  SELECT sp.doc_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END)
+           AS n_shared_spans
+  FROM spans sp JOIN df ON df.source = sp.source AND df.h = sp.h
+  GROUP BY sp.doc_id)
+SELECT doc_id,
+       CAST(n_spans AS INTEGER) AS n_spans,
+       CAST(n_shared_spans AS INTEGER) AS n_shared_spans,
+       ROUND(CAST(n_shared_spans AS DOUBLE) / n_spans, 6)
+         AS dup_span_ratio
+FROM per_doc
+"""
+
+
+@query("text_duplicate_spans", DUP_SPANS_SQL)
+def text_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-SPAN detection — the substring-level dedup
+    signal (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22, public literature: exact repeated spans
+    hurt more than whole-document near-dups): the normalized text is
+    fingerprinted with {SPAN_W}-char windows every {SPAN_S} chars,
+    and a document reports how many of its spans also occur in ANY
+    other document of the same source.  High ``dup_span_ratio``
+    with a low whole-document similarity marks boilerplate
+    (headers, footers, templates) that document-level dedup cannot
+    see.
+
+    Scale shape: the suffix-array approach is replaced by the
+    shuffle-friendly fingerprint equivalent — span hashes are
+    map-generated (one md5 per {SPAN_S} chars), the document
+    frequency is one shuffle on (source, hash), and the per-doc
+    rollup reuses the doc_id key.  Nothing is quadratic in corpus
+    size; the span stream is ~2 rows per {SPAN_W} input chars."""
+    d = spread(t(spark, sf_dir, "documents"))
+    s = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    # stride-windowed md5 fingerprints; sequence() guard as in the
+    # shingle family (Spark counts DOWN when end < start)
+    spans_arr = F.expr(
+        f"CASE WHEN length(s) >= {SPAN_W} THEN "
+        f"transform(sequence(1, length(s) - {SPAN_W - 1}, {SPAN_S}), "
+        f"i -> md5(substring(s, i, {SPAN_W}))) "
+        f"ELSE CAST(array() AS array<string>) END")
+    # two cache barriers, as in the MinHash/ngram families: the first
+    # pins ONE regex normalization per doc (CollapseProject would
+    # inline it into the md5 transform lambda, once per span); the
+    # second materializes the exploded span stream BEFORE it feeds
+    # both the dfreq aggregate and the join side, which would
+    # otherwise each recompute the whole normalize+hash subtree
+    norm = d.select("doc_id", "source", s.alias("s")).cache()
+    spans = (norm.select("doc_id", "source", spans_arr.alias("hs"))
+             .filter(F.size("hs") > 0)
+             .select("doc_id", "source", F.explode("hs").alias("h"))
+             ).cache()
+    spans.count()
+    dfreq = spans.groupBy("source", "h").agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    per_doc = (
+        spans.join(dfreq, ["source", "h"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+             .alias("n_shared_spans")))
+    return per_doc.select(
+        "doc_id",
+        F.col("n_spans").cast("int").alias("n_spans"),
+        F.col("n_shared_spans").cast("int").alias("n_shared_spans"),
+        F.round(F.col("n_shared_spans").cast("double")
+                / F.col("n_spans"), 6).alias("dup_span_ratio"))

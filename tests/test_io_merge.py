@@ -143,3 +143,24 @@ def test_publish_version_vacuums_old(spark, tmp_path):
     assert _rows(read_version(spark, path, 3)) == {(3,)}
     with _pytest.raises(FileNotFoundError, match="not retained"):
         read_version(spark, path, 0)
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from energi_data_pipeline_spark.io import compact_table
+
+    path = str(tmp_path / "t")
+    # accrete many tiny files, as per-batch appends do
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v") \
+        .repartition(16).write.parquet(path)
+    import os
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before >= 16
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    n_target = compact_table(spark, path, target_file_bytes=1 << 30)
+
+    assert n_target == 1
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_after == 1
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert after == before

@@ -190,3 +190,30 @@ def test_ivf_assignment_broadcasts_centroids(spark, registry):
     # assignment); a shuffle join there would move the corpus twice
     p = plan_of(spark, registry, "sims_ivf_ann")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_new_llm_ops_plan_shapes(spark, registry):
+    # mixture sampling is a pure map stage: zero exchanges
+    p = plan_of(spark, registry, "curation_mixture_sample",
+                mode="simple")
+    assert "Exchange" not in p
+    # sequence packing: exactly one shuffle (hash by source shard),
+    # and never a single-partition global window
+    p = plan_of(spark, registry, "curation_sequence_pack",
+                mode="simple")
+    assert p.count("Exchange") == 1
+    assert "SinglePartition" not in p
+    # PQ-ADC: codes join is an equi-join — no cartesian, no
+    # nested-loop anywhere in the scoring path
+    p = plan_of(spark, registry, "sims_pq_adc", mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # perceptual-hash near-dup: the hash pass is Arrow-batched
+    # mapInPandas and candidates come from the band-bucket equi-join
+    p = plan_of(spark, registry, "mm_phash_near_dup", mode="simple")
+    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p
+    # unigram LM: no cartesian beyond the one-row scalar broadcast
+    p = plan_of(spark, registry, "text_unigram_logprob",
+                mode="simple")
+    assert "CartesianProduct" not in p
