@@ -300,3 +300,99 @@ def curation_mixture_sample(spark, sf_dir):
         rate.cast("int").alias("rate_pct"),
         bucket.cast("int").alias("bucket"),
         (bucket < rate).alias("sampled"))
+
+
+# --------------------------------------------- curation funnel report
+FUNNEL_REPORT_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+keyed AS (
+  SELECT doc_id, md5({_dedup.NORM_SQL}) AS content_key
+  FROM documents),
+keep AS (
+  SELECT content_key, MIN(doc_id) AS keep_id
+  FROM keyed GROUP BY content_key),
+nl AS (SELECT DISTINCT doc_b AS doc_id FROM ({_LSH_PAIRS_SQL})),
+dc AS ({DECONTAM_SQL}),
+flags AS (
+  SELECT d.doc_id,
+         q.passes_quality AS pq,
+         (k.doc_id = keep.keep_id) AS ek,
+         nl.doc_id IS NOT NULL AS is_nl,
+         dc.doc_id IS NOT NULL AS in_train,
+         COALESCE(dc.contaminated, FALSE) AS cont
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN keyed k ON k.doc_id = d.doc_id
+  JOIN keep ON keep.content_key = k.content_key
+  LEFT JOIN nl ON nl.doc_id = d.doc_id
+  LEFT JOIN dc ON dc.doc_id = d.doc_id)
+SELECT COUNT(*) AS n_input,
+       CAST(SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(SUM(CASE WHEN pq AND ek THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_exact,
+       CAST(SUM(CASE WHEN pq AND ek AND NOT is_nl THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after_neardup,
+       CAST(SUM(CASE WHEN pq AND ek AND NOT is_nl AND in_train
+                      AND NOT cont THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_decontam,
+       ROUND(CAST(SUM(CASE WHEN pq AND ek AND NOT is_nl AND in_train
+                            AND NOT cont THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS retention
+FROM flags
+"""
+
+
+@query("curation_funnel_report", FUNNEL_REPORT_SQL)
+def curation_funnel_report(spark, sf_dir):
+    """The curation funnel as ONE observable row: how many documents
+    survive each successive gate — quality heuristics, exact dedup,
+    MinHash-LSH near-dup removal, and benchmark decontamination
+    (eval-stride docs leave the training corpus by definition).
+    This is the report a pipeline operator actually watches: a gate
+    whose survival rate jumps between ingests signals drifted data
+    or a broken stage long before model metrics do.
+
+    Scale shape: every gate reduces to a per-doc boolean computed by
+    the already-verified operator plans; the report is one
+    conditional aggregate over the flag table (map-side combined —
+    a single row crosses the final shuffle).  Stages share the
+    doc_id join key end-to-end."""
+    d = t(spark, sf_dir, "documents")
+    quality = REGISTRY["text_quality_score"].fn(spark, sf_dir) \
+        .select("doc_id", F.col("passes_quality").alias("pq"))
+    keyed = d.select("doc_id", F.md5(norm_col()).alias("content_key"))
+    keep = keyed.groupBy("content_key").agg(
+        F.min("doc_id").alias("keep_id"))
+    ek = (keyed.join(keep, "content_key")
+          .select("doc_id",
+                  (F.col("doc_id") == F.col("keep_id")).alias("ek")))
+    nl = (dedup_minhash_lsh_pairs(spark, sf_dir)
+          .select(F.col("doc_b").alias("doc_id")).distinct()
+          .withColumn("is_nl", F.lit(True)))
+    dc = REGISTRY["curation_decontaminate"].fn(spark, sf_dir) \
+        .select("doc_id", F.lit(True).alias("in_train"),
+                F.col("contaminated").alias("cont"))
+    flags = (
+        d.select("doc_id")
+        .join(quality, "doc_id")
+        .join(ek, "doc_id")
+        .join(nl, "doc_id", "left")
+        .join(dc, "doc_id", "left")
+        .select(
+            "doc_id", "pq", "ek",
+            F.coalesce("is_nl", F.lit(False)).alias("is_nl"),
+            F.coalesce("in_train", F.lit(False)).alias("in_train"),
+            F.coalesce("cont", F.lit(False)).alias("cont")))
+    surv = (F.col("pq") & F.col("ek") & ~F.col("is_nl")
+            & F.col("in_train") & ~F.col("cont"))
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        cnt(F.col("pq")).alias("n_quality"),
+        cnt(F.col("pq") & F.col("ek")).alias("n_after_exact"),
+        cnt(F.col("pq") & F.col("ek") & ~F.col("is_nl"))
+        .alias("n_after_neardup"),
+        cnt(surv).alias("n_after_decontam"),
+        F.round(F.sum(surv.cast("int")).cast("double")
+                / F.count(F.lit(1)), 6).alias("retention"))

@@ -602,3 +602,107 @@ def dedup_cluster_keep_best(spark, sf_dir):
         .select("doc_id", "cluster_id", "n_chars",
                 (F.col("rk") == 1).alias("is_kept"))
     )
+
+
+# --------------------------------------- asymmetric containment
+#: containment threshold: |A ∩ B| / |A| for the contained doc A.
+CONTAIN_T = 0.8
+
+CONTAINMENT_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, source, {NORM_SQL} AS s
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, length(s) - {NGRAM - 2}),
+                               i -> substr(s, i, {NGRAM}))) AS g
+  FROM norm),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS n_common
+  FROM grams a JOIN grams b
+    ON a.g = b.g AND a.source = b.source
+   AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+       CAST(sa.n AS INTEGER) AS n_a,
+       CAST(sb.n AS INTEGER) AS n_b,
+       ROUND(CAST(i.n_common AS DOUBLE) / sa.n, 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / sa.n >= {CONTAIN_T}
+"""
+
+
+@query("dedup_containment", CONTAINMENT_SQL)
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC containment dedup: doc_a is flagged when >=
+    {CONTAIN_T} of its n-grams also appear in doc_b — the
+    quote/subset/boilerplate-wrapper case Jaccard structurally
+    misses (a tweet quoted inside an article has tiny Jaccard but
+    containment ~1.0).  Directional by construction: (a contained
+    in b) and (b contained in a) are separate rows.
+
+    Scale shape, the containment variant of the PPJoin plan: only
+    the CONTAINED side needs a prefix — if |A∩B| >= ceil(t*n_a),
+    B can miss at most n_a - ceil(t*n_a) of A's grams, so A's
+    n_a - ceil(t*n_a) + 1 rarest grams must hit B (pigeonhole);
+    the candidate join is A-prefix x full gram stream on the
+    (source, gram) key, never all-pairs, and the exact verify runs
+    on hashed gram arrays exactly like the Jaccard twin.  No length
+    filter applies (a 10-gram doc can be contained in a 10000-gram
+    one — that asymmetry is the point)."""
+    d = spread(t(spark, sf_dir, "documents"))
+    s = norm_col()
+    ga = F.array_distinct(F.expr(
+        f"CASE WHEN length(s) >= {NGRAM} THEN "
+        f"transform(sequence(1, length(s) - {NGRAM - 1}), "
+        f"i -> substring(s, i, {NGRAM})) "
+        f"ELSE CAST(array() AS array<string>) END"))
+    norm = d.select("doc_id", "source", s.alias("s")).cache()
+    docs = (
+        norm.select("doc_id", "source", ga.alias("ga"))
+        .withColumn("n", F.size("ga"))
+        .filter(F.col("n") > 0)
+    ).cache()
+    docs.count()
+    grams = docs.select("doc_id", "source", "n",
+                        F.explode("ga").alias("g"))
+    w_df = Window.partitionBy("source", "g")
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "g")
+    # contained-side prefix: the rarest n - ceil(t*n) + 1 grams
+    pref_len = F.col("n") - F.ceil(F.col("n") * F.lit(CONTAIN_T)) + 1
+    prefix = (
+        grams.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") <= pref_len)
+        .select(F.col("doc_id").alias("doc_a"), "source", "g")
+    )
+    full = grams.select(F.col("doc_id").alias("doc_b"), "source", "g")
+    cand = (
+        prefix.join(full, ["source", "g"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    gh = F.transform(F.col("ga"), lambda x: F.xxhash64(x))
+    da = docs.select(F.col("doc_id").alias("doc_a"),
+                     gh.alias("gh_a"), F.col("n").alias("n_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"),
+                     gh.alias("gh_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("gh_a", "gh_b"))
+    contain = inter.cast("double") / F.col("n_a")
+    # filter on the UNROUNDED ratio, exactly like the oracle's WHERE:
+    # the ratio divides exact small ints (engine-identical doubles),
+    # while a rounded 0.7999996 would cross the boundary on one side
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(contain >= CONTAIN_T)
+        .select("doc_a", "doc_b",
+                F.col("n_a").cast("int").alias("n_a"),
+                F.col("n_b").cast("int").alias("n_b"),
+                F.round(contain, 6).alias("containment"))
+    )

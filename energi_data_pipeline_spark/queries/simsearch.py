@@ -784,3 +784,47 @@ def sims_label_centroid_margin(spark, sf_dir):
                     "cos_other",
                     F.round(F.col("cos_own") - F.col("cos_other"), 6)
                     .alias("margin")))
+
+
+# ----------------------------------- ANN recall@k evaluation
+RECALL_SQL = f"""
+WITH bf AS ({COSINE_TOPK_SQL}),
+ann AS ({ANN_LSH_SQL})
+SELECT b.query_id,
+       CAST(COUNT(a.neighbor_id) AS INTEGER) AS n_hits,
+       ROUND(COUNT(a.neighbor_id) / {TOP_K}.0, 6) AS recall_at_k
+FROM bf b LEFT JOIN ann a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@query("sims_recall_eval", RECALL_SQL)
+def sims_recall_eval(spark, sf_dir):
+    """Recall@{TOP_K} of the sign-LSH ANN against the brute-force
+    ground truth — THE acceptance metric for any approximate index
+    (an ANN that silently recalls 0.4 poisons every similarity-based
+    curation step downstream).  Per query: how many of the true
+    top-{TOP_K} neighbors the bucketed search returned.
+
+    Scale shape: composes two already-verified plans and joins their
+    (query, neighbor) result sets — top-k tables are
+    queries x k rows, so the evaluation join is dimension-sized
+    regardless of corpus size.  In production the ground truth comes
+    from a sampled query set exactly like this one (computing it
+    corpus-wide would defeat the index's purpose); the sample rate
+    is the stride constant both plans already share."""
+    bf = sims_cosine_topk_bruteforce(spark, sf_dir) \
+        .select("query_id", "neighbor_id")
+    ann = sims_ann_lsh_bucketed(spark, sf_dir) \
+        .select(F.col("query_id").alias("a_qid"),
+                F.col("neighbor_id").alias("a_nid"),
+                F.lit(1).alias("hit"))
+    return (
+        bf.join(ann, (F.col("query_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_nid")), "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("int").alias("n_hits"),
+             F.round(F.count("hit") / F.lit(float(TOP_K)), 6)
+             .alias("recall_at_k"))
+    )
