@@ -706,3 +706,51 @@ def dedup_containment(spark, sf_dir):
                 F.col("n_b").cast("int").alias("n_b"),
                 F.round(contain, 6).alias("containment"))
     )
+
+
+# ------------------------------------- cluster-size histogram
+CLUSTER_HIST_SQL = """
+WITH RECURSIVE pairs AS ({lsh}),
+e(u, v) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+cc AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id
+  FROM reach GROUP BY a),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS sz FROM cc GROUP BY cluster_id)
+SELECT CAST(sz AS INTEGER) AS cluster_size,
+       COUNT(*) AS n_clusters
+FROM sizes GROUP BY sz
+"""
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    CLUSTER_HIST_SQL.format(lsh=REGISTRY["dedup_minhash_lsh_pairs"].oracle),
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution — the GIANT-COMPONENT
+    watch every MinHash dedup needs in production: a too-loose LSH
+    threshold chains unrelated documents into one monster cluster,
+    and keep-one-per-cluster then silently deletes half the corpus.
+    The histogram (cluster size -> how many clusters) is the
+    one-glance diagnostic; a heavy right tail means tighten the
+    banding before resolving clusters.
+
+    Scale shape: reuses the banded-LSH + label-propagation closure
+    plans, then two tiny grouped aggregates (cluster-cardinality,
+    then size-cardinality rows)."""
+    from ..operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz"))
+    return (sizes.groupBy(F.col("sz").cast("int").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
