@@ -1194,3 +1194,120 @@ def ext_skew_stats(spark, sf_dir):
                 F.round(F.col("cnt") / F.col("avg_cnt"), 6)
                 .alias("skew_factor"))
     )
+
+
+# ----------------------------- re-aggregation of partial aggregates
+REAGG_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         COUNT(value) AS n, SUM(CAST(value AS DECIMAL(38,10))) AS s,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)),
+monthly AS (
+  SELECT event_type, date_trunc('month', d) AS m,
+         CAST(SUM(n) AS BIGINT) AS n,
+         SUM(s) AS s, MIN(mn) AS mn, MAX(mx) AS mx
+  FROM daily GROUP BY event_type, date_trunc('month', d))
+SELECT event_type, CAST(m AS DATE) AS month, n,
+       ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 6) AS sum_value,
+       ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n, 6) AS avg_value,
+       mn AS min_value, mx AS max_value
+FROM monthly
+"""
+
+
+@query("ext_reaggregate_partials", REAGG_SQL)
+def ext_reaggregate_partials(spark, sf_dir):
+    """Partial-aggregate MERGE: monthly stats derived from stored
+    DAILY partials (count/sum/min/max — all mergeable), never from
+    the raw events.  This is the incremental-rollup contract that
+    makes a 100 TB metrics pipeline cheap: each day aggregates once,
+    every coarser grain re-aggregates dimension-sized partials
+    (AVG is deliberately NOT stored — it does not merge; it derives
+    from sum/count at read time).  The oracle recomputes the same
+    two-level rollup; DECIMAL accumulation keeps the merged sums
+    order-exact."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("d"))
+             .agg(F.count("value").alias("n"),
+                  F.sum(F.col("value").cast("decimal(38,10)"))
+                  .alias("s"),
+                  F.min("value").alias("mn"),
+                  F.max("value").alias("mx")))
+    monthly = (daily.groupBy("event_type",
+                             F.date_trunc("month", "d").alias("m"))
+               .agg(F.sum("n").cast("bigint").alias("n"),
+                    F.sum("s").alias("s"),
+                    F.min("mn").alias("mn"),
+                    F.max("mx").alias("mx")))
+    s_dbl = F.col("s").cast("double")
+    return monthly.select(
+        "event_type", F.col("m").cast("date").alias("month"), "n",
+        F.round(s_dbl, 6).alias("sum_value"),
+        F.round(s_dbl / F.col("n"), 6).alias("avg_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"))
+
+
+# ------------------------------------------ deterministic mode
+MODE_SQL = """
+WITH counts AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+  FROM customer GROUP BY c_mktsegment, c_nationkey),
+ranked AS (
+  SELECT c_mktsegment, c_nationkey, cnt,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cnt DESC, c_nationkey) AS rk
+  FROM counts)
+SELECT c_mktsegment,
+       c_nationkey AS mode_nationkey,
+       CAST(cnt AS BIGINT) AS mode_count
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("ext_mode_per_group", MODE_SQL)
+def ext_mode_per_group(spark, sf_dir):
+    """Per-group MODE (most frequent value) with a deterministic
+    tie-break — built-in ``mode()`` picks an arbitrary winner on
+    ties in both engines, so the portable form is count + rank,
+    which also IS the scalable form: a grouped count on the
+    composite key, then a tiny per-group window over distinct
+    values, never a per-group value buffer."""
+    cust = t(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), "c_nationkey")
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("c_mktsegment",
+                    F.col("c_nationkey").alias("mode_nationkey"),
+                    F.col("cnt").cast("bigint").alias("mode_count")))
+
+
+# ------------------------------------------- ordered string_agg
+STRING_AGG_SQL = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@query("ext_string_agg_ordered", STRING_AGG_SQL)
+def ext_string_agg_ordered(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/STRING_AGG WITH ORDER):
+    collect_list carries NO ordering guarantee in a distributed
+    engine, so the portable deterministic form sorts the collected
+    array before joining — the same trick any GROUP_CONCAT needs on
+    Spark.  Dimension-side op; included for SQL-surface parity."""
+    nat = t(spark, sf_dir, "nation")
+    return (nat.groupBy("n_regionkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")),
+                              ",").alias("nations"),
+                 F.count(F.lit(1)).alias("n_nations")))
