@@ -754,3 +754,69 @@ def dedup_cluster_size_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("sz"))
     return (sizes.groupBy(F.col("sz").cast("int").alias("cluster_size"))
             .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
+# --------------------------------- signature calibration audit
+CALIBRATION_SQL = f"""
+WITH {_HS_CTE},
+sigs AS (
+  SELECT doc_id, {MINHASH_SQL_COLS}
+  FROM hs),
+pairs AS ({{lsh}}),
+sh AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+truth AS (
+  SELECT p.doc_a, p.doc_b, p.est_jaccard,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh)
+                  - len(list_intersect(a.sh, b.sh))), 6)
+           AS true_jaccard
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b)
+SELECT doc_a, doc_b, est_jaccard, true_jaccard,
+       ROUND(ABS(est_jaccard - true_jaccard), 6) AS abs_err
+FROM truth
+"""
+
+
+@query(
+    "dedup_minhash_calibration",
+    CALIBRATION_SQL.format(lsh=REGISTRY["dedup_minhash_lsh_pairs"].oracle),
+)
+def dedup_minhash_calibration(spark, sf_dir):
+    """MinHash signature CALIBRATION audit: for every LSH candidate
+    pair, the signature-estimated Jaccard next to the TRUE shingle
+    Jaccard and their absolute error.  The estimator's quality is
+    what the whole near-dup pipeline rests on (8 hashes quantize
+    estimates to eighths — a consistent error above ~1/8 means the
+    hash family or shingle width is wrong for the corpus); auditing
+    it on the candidate set costs pairs x shingle-set-intersection,
+    not a corpus rescan.
+
+    Scale shape: candidates come from the banded join (already
+    bounded); the truth join fetches two shingle arrays per pair on
+    the doc_id key (corpus-cardinality narrow table, AQE picks the
+    build side) and intersects JVM-side."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", tokens_col(F.col("text")).alias("tk")).cache()
+    sh = toks.select(
+        "doc_id", shingles_from_tokens(F.col("tk")).alias("sh")).cache()
+    sh.count()
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    true_j = F.round(
+        inter.cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - inter), 6)
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", "est_jaccard",
+                true_j.alias("true_jaccard"),
+                F.round(F.abs(F.col("est_jaccard") - true_j), 6)
+                .alias("abs_err"))
+    )

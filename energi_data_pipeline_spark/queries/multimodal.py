@@ -268,3 +268,46 @@ def mm_phash_near_dup(spark, sf_dir):
         F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= HAMMING_T))
+
+
+# --------------------------------------------- modality catalog
+MM_FORMAT_SQL = """
+WITH sniffed AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         CASE WHEN length(text) = 0 THEN 'empty'
+              WHEN ascii(substr(text, 1, 1)) % 3 = 0 THEN 'image'
+              WHEN ascii(substr(text, 1, 1)) % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality
+  FROM documents)
+SELECT modality,
+       COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_bytes) AS INTEGER) AS min_bytes,
+       CAST(MAX(n_bytes) AS INTEGER) AS max_bytes
+FROM sniffed GROUP BY modality
+"""
+
+
+@query("mm_format_stats", MM_FORMAT_SQL)
+def mm_format_stats(spark, sf_dir):
+    """Modality catalog over a mixed media column: sniff each blob's
+    format from its leading bytes (the stub classifies on the first
+    byte; a real deployment matches magic numbers — JPEG ff d8,
+    PNG 89 50, RIFF/WAV...) and report per-modality volume.  This is
+    the first query anyone runs against a 100 TB media lake ("what
+    is actually in here, and how many bytes of each?"); pure
+    map + dimension-sized aggregate, the scan never decodes."""
+    d = t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    first = F.ascii(F.substring(F.col("text"), 1, 1))
+    modality = (F.when(F.length("text") == 0, "empty")
+                .when(first % 3 == 0, "image")
+                .when(first % 3 == 1, "audio")
+                .otherwise("video"))
+    return (d.select(modality.alias("modality"),
+                     F.octet_length(blob).alias("n_bytes"))
+            .groupBy("modality")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+                 F.min("n_bytes").cast("int").alias("min_bytes"),
+                 F.max("n_bytes").cast("int").alias("max_bytes")))

@@ -1311,3 +1311,33 @@ def ext_string_agg_ordered(spark, sf_dir):
             .agg(F.array_join(F.array_sort(F.collect_list("n_name")),
                               ",").alias("nations"),
                  F.count(F.lit(1)).alias("n_nations")))
+
+
+# ---------------------------- distribution windows (ntile etc.)
+NTILE_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@query("ext_ntile_deciles", NTILE_SQL)
+def ext_ntile_deciles(spark, sf_dir):
+    """Distribution window functions (NTILE / PERCENT_RANK /
+    CUME_DIST): account-balance deciles across customers.  The
+    ordering key includes the unique c_custkey so peer groups — and
+    with them all three functions — are fully deterministic.  This
+    global ranking is inherently one ordered pass (like the ordered
+    export); for per-group deciles the same window takes a
+    PARTITION BY and parallelizes on the group key."""
+    cust = t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
