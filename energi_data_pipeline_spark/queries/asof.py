@@ -77,3 +77,58 @@ def ext_asof_join_forward(spark, sf_dir):
         "event_id", "ts", "user_id",
         F.col("o_orderkey").alias("next_orderkey"),
         F.col("o_orderdate").alias("next_orderdate"))
+
+
+#: lookback tolerance (days): an as-of match older than this is
+#: discarded (pandas merge_asof's ``tolerance`` semantics).
+ASOF_TOL_DAYS = 7
+
+ASOF_TOL_SQL = f"""
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate),
+j AS (
+  SELECT e.event_id, e.ts, e.user_id,
+         o.o_orderkey, o.o_orderdate
+  FROM events e ASOF LEFT JOIN o
+    ON e.user_id = o.user_id AND e.ts >= o.o_orderdate)
+SELECT event_id, ts, user_id,
+       CASE WHEN CAST(ts AS DATE) <= CAST(o_orderdate AS DATE) + {ASOF_TOL_DAYS}
+            THEN o_orderkey END AS asof_orderkey,
+       CASE WHEN CAST(ts AS DATE) <= CAST(o_orderdate AS DATE) + {ASOF_TOL_DAYS}
+            THEN o_orderdate END AS asof_orderdate,
+       (o_orderdate IS NOT NULL
+        AND CAST(ts AS DATE) > CAST(o_orderdate AS DATE) + {ASOF_TOL_DAYS})
+         AS expired
+FROM j
+"""
+
+
+@query("ext_asof_join_tolerance", ASOF_TOL_SQL)
+def ext_asof_join_tolerance(spark, sf_dir):
+    """Backward as-of with a TOLERANCE window (pandas merge_asof's
+    ``tolerance``): the latest same-user order still counts only if
+    it is at most {ASOF_TOL_DAYS} days before the event; staler
+    matches null out (and are flagged ``expired``).  Correct by the
+    as-of property itself: the join already picks the LATEST
+    eligible order, so if that one is out of tolerance, every other
+    candidate is too — tolerance is a pure post-projection, no
+    second join.  Same one-shuffle union+window plan as the plain
+    as-of; the date-granularity comparison is expressed identically
+    on both engines."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = t(spark, sf_dir, "orders")
+    o = (orders.groupBy(F.col("o_custkey").alias("user_id"),
+                        "o_orderdate")
+         .agg(F.max("o_orderkey").alias("o_orderkey")))
+    joined = asof_join(
+        ev, o, on=["user_id"], left_time="ts", right_time="o_orderdate",
+        values=["o_orderkey", "o_orderdate"])
+    fresh = (F.col("ts").cast("date")
+             <= F.date_add("o_orderdate", ASOF_TOL_DAYS))
+    return joined.select(
+        "event_id", "ts", "user_id",
+        F.when(fresh, F.col("o_orderkey")).alias("asof_orderkey"),
+        F.when(fresh, F.col("o_orderdate")).alias("asof_orderdate"),
+        (F.col("o_orderdate").isNotNull() & ~fresh).alias("expired"))

@@ -28,10 +28,12 @@ RUNTIME_CONF = {
     # 600k-row bench scale: without AQE coalescing 200 shuffle
     # partitions is pure overhead; AQE shrinks them, this is the cap.
     "spark.sql.shuffle.partitions": "32",
-    # The driver-generated parquet stores TIMESTAMP(NANOS) which the
-    # vectorized reader rejects; read as int64 nanos and convert in
-    # io.read_table (floor to micros, matching DuckDB's fetch
-    # truncation).
+    # Some rounds of the driver-generated parquet stored
+    # TIMESTAMP(NANOS), which the vectorized reader rejects; with this
+    # set they read as int64 nanos and io.read_table floors them to
+    # micro timestamps (matching DuckDB's fetch truncation).  Harmless
+    # when the data is plain micros (current rounds): the conf only
+    # affects nanos-annotated columns.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
