@@ -828,3 +828,35 @@ def sims_recall_eval(spark, sf_dir):
              F.round(F.count("hit") / F.lit(float(TOP_K)), 6)
              .alias("recall_at_k"))
     )
+
+
+# ----------------------------------- bucket-balance index health
+BUCKET_BALANCE_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, CAST({_bucket_sql()} AS BIGINT) AS bucket
+  FROM embeddings),
+sizes AS (
+  SELECT bucket, COUNT(*) AS sz FROM vec GROUP BY bucket)
+SELECT CAST(sz AS INTEGER) AS bucket_size,
+       COUNT(*) AS n_buckets
+FROM sizes GROUP BY sz
+"""
+
+
+@query("sims_bucket_balance", BUCKET_BALANCE_SQL)
+def sims_bucket_balance(spark, sf_dir):
+    """ANN index-health histogram: how many sign-LSH buckets hold how
+    many vectors.  Bucket balance IS the query cost model — a probe
+    scans its bucket, so one bucket holding half the corpus means
+    the index degenerated to a linear scan for half the queries (the
+    classic failure on anisotropic embeddings).  Same one-glance
+    shape as the dedup cluster histogram, applied to the index.
+
+    Scale shape: the bucket code is the map-only signature pass the
+    ANN already computes; then two dimension-sized aggregates
+    (bucket-cardinality, size-cardinality)."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select("vec_id", _bucket_col(N_PLANES).alias("bucket"))
+    sizes = vec.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    return (sizes.groupBy(F.col("sz").cast("int").alias("bucket_size"))
+            .agg(F.count(F.lit(1)).alias("n_buckets")))

@@ -662,3 +662,85 @@ def stream_latest_state(spark, sf_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# ----------------------------- stream-stream LEFT OUTER join
+SS_LEFT_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts FROM events
+  WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, ts AS purchase_ts FROM events
+  WHERE event_type = 'purchase'),
+wm AS (
+  SELECT LEAST((SELECT MAX(click_ts) FROM clicks),
+               (SELECT MAX(purchase_ts) FROM purch))
+           - INTERVAL 1 HOUR AS w),
+j AS (
+  SELECT c.user_id, c.click_ts, p.purchase_ts
+  FROM clicks c LEFT JOIN purch p
+    ON p.user_id = c.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+SELECT user_id, click_ts, purchase_ts
+FROM j CROSS JOIN wm
+WHERE purchase_ts IS NOT NULL
+   OR click_ts + INTERVAL 1 HOUR < w
+"""
+
+
+@query("stream_stream_left_outer", SS_LEFT_SQL)
+def stream_stream_left_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join: every click, matched to
+    same-user purchases within the following hour — and emitted
+    WITH NULLS once the watermark proves no match can still arrive.
+    This is the semantics inner stream joins cannot give (the
+    "click that never converted" row), and the state contract is
+    the interesting part: an unmatched click is held in the state
+    store until the global watermark (min over both streams of max
+    event time minus the 1-hour delay) passes its join-window end,
+    then emitted null exactly once.
+
+    The oracle replays that rule in SQL: batch left join plus the
+    watermark cutoff — matched rows always emit; unmatched rows
+    only when ``click_ts + 1h < watermark``.  Clicks newer than
+    that stay in state at AvailableNow termination (they would
+    resolve when the stream resumes), and the oracle holds them
+    back identically, so the result is deterministic and
+    hash-checked.  At 100 TB user_id keys the state and each side
+    holds at most one lateness window of events."""
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    sink = f"stream_ssleft_{uuid.uuid4().hex[:8]}"
+
+    def side(event_type, ts_alias, user_alias):
+        return (
+            _with_event_time(
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir), ltz=True)
+            .filter(F.col("event_type") == event_type)
+            .select(F.col("user_id").alias(user_alias),
+                    F.col("ts").alias(ts_alias))
+            .withWatermark(ts_alias, "1 hour"))
+
+    clicks = side("click", "click_ts", "user_id")
+    purchases = side("purchase", "purchase_ts", "p_user_id")
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer")
+        .select("user_id", "click_ts", "purchase_ts"))
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (joined.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
