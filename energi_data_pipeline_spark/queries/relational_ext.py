@@ -1341,3 +1341,70 @@ def ext_ntile_deciles(spark, sf_dir):
         F.ntile(10).over(w).cast("int").alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"))
+
+
+# --------------------------------------- snapshot diff (CDC-lite)
+SNAPDIFF_CUT = "2024-01-20"
+
+SNAPDIFF_SQL = f"""
+WITH old_state AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE CAST(ts AS DATE) < DATE '{SNAPDIFF_CUT}')
+  WHERE rn = 1),
+new_state AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1)
+SELECT n.user_id,
+       o.value AS old_value,
+       n.value AS new_value,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN o.value IS DISTINCT FROM n.value THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM new_state n LEFT JOIN old_state o USING (user_id)
+"""
+
+
+@query("ext_snapshot_diff", SNAPDIFF_SQL)
+def ext_snapshot_diff(spark, sf_dir):
+    """Snapshot DIFF (CDC-lite): the latest-value-per-user state as
+    of {SNAPDIFF_CUT} compared against the current state, each user
+    classified added / changed / unchanged (removed cannot occur on
+    an append-only log).  This is the change-data-capture readout
+    downstream consumers poll instead of re-reading a 100 TB table:
+    ship only the 'added' + 'changed' rows.
+
+    Scale shape: both snapshots are the latest-per-key window on the
+    user_id shuffle key (at scale the OLD snapshot is the stored
+    table, costing nothing to recompute); the diff is one
+    co-partitioned join on the same key.  NULL-safe comparison via
+    IS DISTINCT FROM so null values diff correctly."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df):
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("user_id", "value"))
+
+    old = latest(ev.filter(
+        F.col("ts").cast("date") < F.lit(SNAPDIFF_CUT))) \
+        .select(F.col("user_id"), F.col("value").alias("old_value"),
+                F.lit(True).alias("__in_old"))
+    new = latest(ev).select("user_id", F.col("value").alias("new_value"))
+    return (
+        new.join(old, "user_id", "left")
+        .select(
+            "user_id", "old_value", "new_value",
+            F.when(F.col("__in_old").isNull(), "added")
+            .when(~F.col("old_value").eqNullSafe(F.col("new_value")),
+                  "changed")
+            .otherwise("unchanged").alias("change_type"))
+    )

@@ -860,3 +860,87 @@ def sims_bucket_balance(spark, sf_dir):
     sizes = vec.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
     return (sizes.groupBy(F.col("sz").cast("int").alias("bucket_size"))
             .agg(F.count(F.lit(1)).alias("n_buckets")))
+
+
+# --------------------------- incremental embedding near-dup
+#: vec_id threshold splitting "existing corpus" from "new batch",
+#: mirroring dedup.INCR_SPLIT for the exact-hash family.
+EMB_INCR_SPLIT = 400
+
+EMB_INCR_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm,
+         CAST({_bucket_sql(NEARDUP_PLANES)} AS BIGINT) AS bucket
+  FROM embeddings),
+corpus AS (SELECT * FROM vec WHERE vec_id < {EMB_INCR_SPLIT}),
+batch AS (SELECT * FROM vec WHERE vec_id >= {EMB_INCR_SPLIT}),
+pairs AS (
+  SELECT b.vec_id, c.vec_id AS corpus_id,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(b.embedding) AS DOUBLE) AS ae,
+                         CAST(UNNEST(c.embedding) AS DOUBLE) AS be))
+               / (b.nrm * c.nrm), 6) AS cosine
+  FROM batch b JOIN corpus c ON c.bucket = b.bucket),
+ranked AS (
+  SELECT vec_id, corpus_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, corpus_id) AS rk
+  FROM pairs)
+SELECT b.vec_id,
+       r.corpus_id AS nearest_corpus_id,
+       r.cosine,
+       COALESCE(r.cosine >= {NEARDUP_T}, FALSE) AS is_dup_of_corpus
+FROM batch b LEFT JOIN ranked r
+  ON r.vec_id = b.vec_id AND r.rk = 1
+"""
+
+
+@query("dedup_incremental_embedding", EMB_INCR_SQL)
+def dedup_incremental_embedding(spark, sf_dir):
+    """Incremental SEMANTIC dedup — the embedding twin of
+    ``dedup_incremental_exact``: a new ingest batch is checked
+    against the EXISTING corpus's LSH buckets only (never batch vs
+    batch, never a full-corpus recompute), and each new vector
+    reports its nearest corpus neighbor and a dup verdict at the
+    cosine threshold.  Batch vectors landing in a bucket with no
+    corpus occupants have no candidate and are new by definition.
+
+    Scale shape: the corpus side is read as (bucket -> vectors) —
+    at 100 TB that is a bucket-partitioned stored index, and only
+    buckets the batch touches are scanned; the join key is the
+    bucket code, the batch side is ingest-sized, and AQE broadcasts
+    it while it fits."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _bucket_col(NEARDUP_PLANES).alias("bucket")).cache()
+    corpus = vec.filter(F.col("vec_id") < EMB_INCR_SPLIT).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("bucket").alias("c_bucket"))
+    batch = vec.filter(F.col("vec_id") >= EMB_INCR_SPLIT)
+    pairs = (
+        batch.join(corpus, F.col("c_bucket") == F.col("bucket"))
+        .select("vec_id",
+                "corpus_id",
+                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                        / (F.col("nrm") * F.col("c_nrm")), 6)
+                .alias("cosine")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), "corpus_id")
+    nearest = (pairs.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select("vec_id",
+                       F.col("corpus_id").alias("nearest_corpus_id"),
+                       "cosine"))
+    return (
+        batch.select("vec_id")
+        .join(nearest, "vec_id", "left")
+        .select("vec_id", "nearest_corpus_id", "cosine",
+                F.coalesce(F.col("cosine") >= NEARDUP_T, F.lit(False))
+                .alias("is_dup_of_corpus"))
+    )
