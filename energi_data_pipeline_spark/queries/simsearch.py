@@ -944,3 +944,107 @@ def dedup_incremental_embedding(spark, sf_dir):
                 F.coalesce(F.col("cosine") >= NEARDUP_T, F.lit(False))
                 .alias("is_dup_of_corpus"))
     )
+
+
+# ------------------------------------------- IVF multiprobe ANN
+NPROBE = 2
+
+IVF_MP_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm
+  FROM embeddings),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+  FROM vec WHERE vec_id % {CENT_STRIDE} = 0),
+assign AS (
+  SELECT v.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND((SELECT SUM(ae * be) FROM (
+                      SELECT CAST(UNNEST(v.embedding) AS DOUBLE) AS ae,
+                             CAST(UNNEST(c.c_emb) AS DOUBLE) AS be))
+                    / (v.nrm * c.c_nrm), 6) DESC, c.cent_id) AS rk
+  FROM vec v CROSS JOIN cent c),
+cell AS (
+  SELECT vec_id, cent_id FROM assign WHERE rk = 1),
+probe AS (
+  SELECT vec_id, cent_id FROM assign
+  WHERE rk <= {NPROBE} AND vec_id % {QUERY_STRIDE} = 0),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                         CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM vec a
+  JOIN probe pa ON pa.vec_id = a.vec_id
+  JOIN cell cb ON cb.cent_id = pa.cent_id
+  JOIN vec b ON b.vec_id = cb.vec_id AND b.vec_id <> a.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("sims_ivf_multiprobe", IVF_MP_SQL)
+def sims_ivf_multiprobe(spark, sf_dir):
+    """IVF ANN with MULTIPROBE (nprobe={NPROBE}): each query scans
+    its {NPROBE} nearest cells instead of one — the standard
+    recall/cost dial every IVF index exposes (faiss nprobe, public
+    literature).  Recall rises because true neighbors near a cell
+    boundary often live in the runner-up cell; cost stays bounded at
+    nprobe x cell size, still nothing like a linear scan.  Paired
+    with sims_recall_eval's methodology this quantifies the dial.
+
+    Scale shape: identical to single-probe IVF — centroid broadcast
+    for assignment, cell id as the shuffle key — except the query
+    side fans out {NPROBE} rows per query before the cell join.
+    Corpus cells stay disjoint (rk=1), so no pair dedup is needed."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm")).cache()
+    cent = vec.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id"))
+    assign = (
+        vec.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id",
+                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                        / (F.col("nrm") * F.col("c_nrm")), 6)
+                .alias("c_cos"))
+        .withColumn("rk", F.row_number().over(aw))).cache()
+    cell = (assign.filter(F.col("rk") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell_id")))
+    member = vec.join(cell, "vec_id")
+    probe = (assign.filter((F.col("rk") <= NPROBE)
+                           & (F.col("vec_id") % QUERY_STRIDE == 0))
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("cent_id").alias("probe_cell")))
+    queries = probe.join(
+        vec.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("q_emb"),
+                   F.col("nrm").alias("q_nrm")), "query_id")
+    pairs = (
+        queries
+        .join(member, (F.col("cell_id") == F.col("probe_cell"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(_dot(F.col("q_emb"), F.col("embedding"))
+                        / (F.col("q_nrm") * F.col("nrm")), 6)
+                .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

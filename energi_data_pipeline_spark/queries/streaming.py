@@ -744,3 +744,70 @@ def stream_stream_left_outer(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# --------------------------- built-in session_window aggregation
+SESSION_WIN_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTES
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged)
+SELECT user_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@query("stream_session_window_builtin", SESSION_WIN_SQL)
+def stream_session_window_builtin(spark, sf_dir):
+    """Gap-based sessionization via Spark's BUILT-IN
+    ``session_window`` aggregation — the native counterpart to the
+    applyInPandasWithState operator (which exists for semantics this
+    one cannot express: session numbering, late-event repair
+    policies).  The engine merges per-key windows whose gaps are
+    under {SESSION_GAP_MIN} minutes inside the streaming aggregate;
+    state is one open window per active user.
+
+    Spark's session window spans [first_ts, last_ts + gap), so the
+    emitted end is ``window.end - gap`` — exactly MAX(ts), making
+    the result comparable to the window-function oracle.  A strictly
+    == gap spacing would diverge (session_window merges on
+    ``< gap``... as does the oracle's ``> gap`` new-session rule —
+    both half-open, same boundary)."""
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    sink = f"stream_sesswin_{uuid.uuid4().hex[:8]}"
+    gap = f"{SESSION_GAP_MIN} minutes"
+    agged = (
+        _with_event_time(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(sf_dir),
+            ltz=True)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                (F.col("w.end")
+                 - F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES"))
+                .alias("session_end"),
+                "n_events")
+    )
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (agged.writeStream.format("memory").queryName(sink)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink).select(
+        "user_id", "session_start", "session_end", "n_events")
