@@ -396,3 +396,49 @@ def curation_funnel_report(spark, sf_dir):
         cnt(surv).alias("n_after_decontam"),
         F.round(F.sum(surv.cast("int")).cast("double")
                 / F.count(F.lit(1)), 6).alias("retention"))
+
+
+# ----------------------------------------- per-domain quota selection
+#: documents kept per source (quota).
+QUOTA_N = 10
+
+QUOTA_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+scored AS (
+  SELECT d.doc_id, d.source, q.chars_per_token, q.passes_quality,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY q.passes_quality DESC, q.chars_per_token DESC,
+                    d.doc_id) AS rk
+  FROM documents d JOIN q ON q.doc_id = d.doc_id)
+SELECT doc_id, source, chars_per_token,
+       CAST(rk AS INTEGER) AS quota_rank
+FROM scored WHERE rk <= {QUOTA_N}
+"""
+
+
+@query("curation_quota_sample", QUOTA_SQL)
+def curation_quota_sample(spark, sf_dir):
+    """Per-domain QUOTA selection: the best {QUOTA_N} documents of
+    every source by the quality heuristics (quality-passing first,
+    then highest chars-per-token, doc_id tie-break) — the "take the
+    best N per domain" step a balanced training mixture uses when a
+    domain's raw volume exceeds its budget, complementing the
+    rate-based mixture sampler (rates keep proportions; quotas cap
+    absolute volume).
+
+    Scale shape: one shuffle on the source key and a per-source
+    rank window — the per-partition work is top-N selection, and
+    the output is sources x {QUOTA_N} rows regardless of corpus
+    size."""
+    d = t(spark, sf_dir, "documents")
+    q = REGISTRY["text_quality_score"].fn(spark, sf_dir) \
+        .select("doc_id", "chars_per_token", "passes_quality")
+    w = Window.partitionBy("source").orderBy(
+        F.col("passes_quality").desc(),
+        F.col("chars_per_token").desc(), "doc_id")
+    return (d.select("doc_id", "source").join(q, "doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= QUOTA_N)
+            .select("doc_id", "source", "chars_per_token",
+                    F.col("rk").cast("int").alias("quota_rank")))

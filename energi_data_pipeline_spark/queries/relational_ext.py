@@ -1408,3 +1408,45 @@ def ext_snapshot_diff(spark, sf_dir):
                   "changed")
             .otherwise("unchanged").alias("change_type"))
     )
+
+
+# ------------------------------- value-picking window functions
+NTH_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       FIRST_VALUE(o_totalprice) OVER w AS cheapest,
+       LAST_VALUE(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS priciest,
+       NTH_VALUE(o_totalprice, 2) OVER
+         (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("ext_nth_value_frames", NTH_SQL)
+def ext_nth_value_frames(spark, sf_dir):
+    """Value-picking window functions (FIRST_VALUE / LAST_VALUE /
+    NTH_VALUE) per customer, ordered by price with the unique
+    orderkey tie-break.  The LAST/NTH frames are explicitly
+    unbounded-both-ways: the SQL-standard default frame stops at
+    CURRENT ROW, which silently turns LAST_VALUE into "current
+    value" — the classic window bug, pinned identically on both
+    engines here.  One shuffle on the partition key."""
+    orders = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+    base = Window.partitionBy("o_custkey").orderBy(
+        "o_totalprice", "o_orderkey")
+    w = base  # default frame: unbounded preceding .. current row
+    full = base.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(full).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(full)
+        .alias("second_cheapest"))

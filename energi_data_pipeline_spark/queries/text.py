@@ -790,3 +790,82 @@ def text_duplicate_spans(spark, sf_dir):
         F.col("n_shared_spans").cast("int").alias("n_shared_spans"),
         F.round(F.col("n_shared_spans").cast("double")
                 / F.col("n_spans"), 6).alias("dup_span_ratio"))
+
+
+# ------------------------------------------ bigram LM scoring
+BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform({TOKENS_SQL}, t -> lower(t)) AS tk
+  FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - 1, 0) + 1),
+           i -> tk[i] || ' ' || tk[i + 1])) AS bg,
+         unnest(list_transform(
+           range(1, greatest(len(tk) - 1, 0) + 1),
+           i -> tk[i])) AS w1
+  FROM toks),
+bgc AS (SELECT bg, COUNT(*) AS cb FROM pairs GROUP BY bg),
+w1c AS (SELECT w1, COUNT(*) AS cw FROM pairs GROUP BY w1),
+dt AS (
+  SELECT doc_id, bg, w1, COUNT(*) AS tf FROM pairs
+  GROUP BY doc_id, bg, w1),
+lp AS (
+  SELECT dt.doc_id,
+         SUM(dt.tf) AS n_bigrams,
+         SUM(CAST(dt.tf * ln(bgc.cb / w1c.cw) AS DECIMAL(38,10))) AS s
+  FROM dt JOIN bgc USING (bg) JOIN w1c USING (w1)
+  GROUP BY dt.doc_id)
+SELECT doc_id,
+       CAST(n_bigrams AS INTEGER) AS n_bigrams,
+       ROUND({DDOUBLE_SQL.format(expr="s")} / n_bigrams, 6)
+         AS avg_bigram_logprob
+FROM lp
+"""
+
+
+@query("text_bigram_logprob", BIGRAM_LM_SQL)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram language-model scoring: average log P(w_i | w_{{i-1}})
+    under the corpus's own bigram MLE — one order up from the
+    unigram filter, sensitive to WORD-ORDER scrambling the unigram
+    model cannot see (shuffled text keeps its unigram logprob but
+    craters here).  Self-scored, so every bigram has support and no
+    smoothing is needed for the conditional to be well-defined.
+
+    Scale shape: two count shuffles (bigram key, predecessor key),
+    a score join on the already-shuffled bigram key, and the per-doc
+    DECIMAL-accumulated rollup — same template as the unigram LM,
+    one key wider."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    toks = d.select("doc_id", tk.alias("tk")).cache()
+    n = F.size("tk") - 1
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.expr("CAST(array() AS array<int>)"))
+    pairs = (toks.select(
+        "doc_id",
+        F.explode(F.transform(
+            idx, lambda i: F.struct(
+                F.concat_ws(" ", F.element_at("tk", i),
+                            F.element_at("tk", i + 1)).alias("bg"),
+                F.element_at("tk", i).alias("w1")))).alias("p"))
+        .select("doc_id", "p.bg", "p.w1"))
+    bgc = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    w1c = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    dt = pairs.groupBy("doc_id", "bg", "w1").agg(
+        F.count(F.lit(1)).alias("tf"))
+    scored = (dt.join(bgc, "bg").join(w1c, "w1")
+              .select("doc_id", "tf",
+                      (F.col("tf")
+                       * F.log(F.col("cb") / F.col("cw"))).alias("lp")))
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("lp").cast("decimal(38,10)")).alias("s"))
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("int").alias("n_bigrams"),
+        F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6)
+        .alias("avg_bigram_logprob"))
