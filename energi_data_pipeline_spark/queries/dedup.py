@@ -820,3 +820,79 @@ def dedup_minhash_calibration(spark, sf_dir):
                 F.round(F.abs(F.col("est_jaccard") - true_j), 6)
                 .alias("abs_err"))
     )
+
+
+# ------------------------------------------- simhash near-dup pairs
+#: 4-bit bands over the 16-bit simhash; Hamming acceptance threshold.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_HAM_T = 3
+
+SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({TOKENS_SQL}) AS ts
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         list_transform(ts, t ->
+           ('0x' || substr(md5(t), 1, 14))::BIGINT) AS hs
+  FROM toks),
+h AS (
+  SELECT doc_id,
+         CAST((SELECT SUM(CASE WHEN len(list_filter(hs, x ->
+                 (x >> b.b) & 1 = 1)) * 2 > len(hs)
+               THEN 1 << b.b ELSE 0 END)
+               FROM (SELECT unnest(range({SIMHASH_BITS})) AS b) b)
+           AS BIGINT) AS simhash
+  FROM hashed),
+bands AS (
+  SELECT doc_id, simhash, bb.b AS band,
+         (simhash >> ({SIMHASH_BAND_BITS} * bb.b))
+           & {(1 << SIMHASH_BAND_BITS) - 1} AS key
+  FROM h, (SELECT unnest(range({SIMHASH_BANDS})) AS b) bb),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+                  c.doc_id AS doc_b, c.simhash AS sh_b
+  FROM bands a JOIN bands c
+    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAM_T}
+"""
+
+
+@query("dedup_simhash_pairs", SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: the fingerprint query's missing
+    second half.  Candidates bucket-join on {SIMHASH_BAND_BITS}-bit
+    hash bands (any pair within Hamming {SIMHASH_HAM_T} must agree
+    exactly on at least one of the {SIMHASH_BANDS} bands —
+    pigeonhole), then the exact Hamming distance verifies.  This is
+    Google's crawl-dedup shape (Manku et al., WWW'07, public
+    literature): constant-size fingerprints, banded index, XOR
+    popcount verify — cheaper per candidate than any set
+    intersection, at the cost of a coarser similarity notion than
+    MinHash Jaccard.
+
+    Scale shape: fingerprint is the map-only simhash pass; banding
+    explodes {SIMHASH_BANDS} rows per doc; the join key space is
+    (band, band-value); verification is one xor+popcount per
+    candidate — no gram arrays ever shuffle."""
+    fp = dedup_simhash(spark, sf_dir).cache()
+    band = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1)))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = (fp.withColumn("band", band)
+              .withColumn("key", F.expr(
+                  f"shiftright(simhash, {SIMHASH_BAND_BITS} * band)"
+                  f" & {mask}")))
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"), "band", "key")
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "sh_a", "doc_b", "sh_b").distinct())
+    hamming = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= SIMHASH_HAM_T))

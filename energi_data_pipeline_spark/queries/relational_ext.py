@@ -1450,3 +1450,117 @@ def ext_nth_value_frames(spark, sf_dir):
         F.last("o_totalprice").over(full).alias("priciest"),
         F.nth_value("o_totalprice", 2).over(full)
         .alias("second_cheapest"))
+
+
+# --------------------------------------------- RFM segmentation
+#: "as of" date for recency (the day after the data ends).
+RFM_ASOF = "1997-01-01"
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), DATE '{RFM_ASOF}')
+           AS recency_days,
+         COUNT(*) AS frequency,
+         ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                    AS VARCHAR) AS DOUBLE), 6) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, CAST(recency_days AS INTEGER) AS recency_days,
+         frequency, monetary,
+         CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey)
+              AS INTEGER) AS r_score,
+         CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+              AS INTEGER) AS f_score,
+         CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)
+              AS INTEGER) AS m_score
+  FROM per_cust)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm_segment
+FROM scored
+"""
+
+
+@query("ext_rfm_segmentation", RFM_SQL)
+def ext_rfm_segmentation(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary), the
+    classic behavioral-scoring pipeline: per-customer aggregates,
+    quartile scores (NTILE with the unique custkey tie-break so
+    quartiles are deterministic), and the concatenated segment
+    label.  Score 111 = recent + frequent + big spender.
+
+    Scale shape: one grouped aggregate on the customer key with
+    DECIMAL-exact monetary sums; the three quartile windows rank
+    customer-cardinality rows (for truly huge customer counts the
+    NTILE swaps for a percentile-threshold join — same output,
+    mergeable)."""
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ASOF).cast("date"),
+                   F.max("o_orderdate").cast("date"))
+        .cast("int").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+                .cast("double"), 6).alias("monetary"))
+    from pyspark.sql import Window
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    m_w = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    scored = per_cust.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        F.ntile(4).over(r_w).cast("int").alias("r_score"),
+        F.ntile(4).over(f_w).cast("int").alias("f_score"),
+        F.ntile(4).over(m_w).cast("int").alias("m_score"))
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat(F.col("r_score").cast("string"),
+                 F.col("f_score").cast("string"),
+                 F.col("m_score").cast("string")))
+
+
+# ------------------------------------- cumulative distinct users
+CUMDIST_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id),
+daily_new AS (
+  SELECT first_day AS day, COUNT(*) AS n_new
+  FROM firsts GROUP BY first_day),
+days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_users,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM days d LEFT JOIN daily_new n ON n.day = d.day
+"""
+
+
+@query("ext_cumulative_distinct", CUMDIST_SQL)
+def ext_cumulative_distinct(spark, sf_dir):
+    """Cumulative DISTINCT users by day via the first-seen trick:
+    COUNT(DISTINCT) cannot run inside a running window, but each
+    user contributes to the cumulative total exactly on their FIRST
+    day — so reduce to first-seen days (one shuffle on user_id),
+    count new users per day, and running-sum the day series.  The
+    running window orders day-cardinality rows, not events: this is
+    the scalable growth-curve shape (and the one the naive
+    window-distinct formulation cannot reach at all)."""
+    ev = t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.col("ts").cast("date")).alias("first_day")))
+    daily_new = (firsts.groupBy(F.col("first_day").alias("day"))
+                 .agg(F.count(F.lit(1)).alias("n_new")))
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    from pyspark.sql import Window
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (days.join(daily_new, "day", "left")
+            .select("day",
+                    F.coalesce("n_new", F.lit(0)).cast("bigint")
+                    .alias("n_new_users"))
+            .withColumn("cumulative_users",
+                        F.sum("n_new_users").over(w).cast("bigint")))
