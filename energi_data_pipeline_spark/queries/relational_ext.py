@@ -1564,3 +1564,129 @@ def ext_cumulative_distinct(spark, sf_dir):
                     .alias("n_new_users"))
             .withColumn("cumulative_users",
                         F.sum("n_new_users").over(w).cast("bigint")))
+
+
+# ------------------------------------------- period-over-period
+MOM_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                    AS VARCHAR) AS DOUBLE), 6) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY date_trunc('month', o_orderdate))
+SELECT month, revenue, n_orders,
+       LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+       ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month), 6) AS mom_growth
+FROM monthly
+"""
+
+
+@query("ext_mom_growth", MOM_SQL)
+def ext_mom_growth(spark, sf_dir):
+    """Month-over-month growth: the period-comparison readout every
+    metrics dashboard ships — monthly DECIMAL-exact revenue, the
+    previous period via LAG, and the growth ratio (NULL for the
+    first month rather than a fake 0).  The window runs over
+    month-cardinality rows, so the 'global' ordering is
+    dimension-sized however large the fact table; the heavy work is
+    the one map-side-combined monthly aggregate."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+                     .cast("double"), 6).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders")))
+    from pyspark.sql import Window
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month", "revenue", "n_orders",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"))
+
+
+# ----------------------------------------------- CDC apply-changes
+CDC_CUT = "2024-01-20"
+
+CDC_APPLY_SQL = f"""
+WITH base AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE CAST(ts AS DATE) < DATE '{CDC_CUT}')
+  WHERE rn = 1),
+tail AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE CAST(ts AS DATE) >= DATE '{CDC_CUT}')
+  WHERE rn = 1),
+changes AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+         value
+  FROM tail)
+SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+       CASE WHEN c.op = 'U' THEN c.value ELSE b.value END AS value,
+       CASE WHEN c.op IS NULL THEN 'kept'
+            WHEN c.op = 'D' AND b.user_id IS NOT NULL THEN 'deleted'
+            WHEN c.op = 'D' THEN 'no_op_delete'
+            WHEN b.user_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS outcome
+FROM base b FULL OUTER JOIN changes c USING (user_id)
+WHERE NOT (c.op = 'D' AND b.user_id IS NOT NULL)
+   OR c.op IS NULL
+"""
+
+
+@query("ext_cdc_apply", CDC_APPLY_SQL)
+def ext_cdc_apply(spark, sf_dir):
+    """APPLY CHANGES (CDC merge with deletes): a base snapshot (the
+    latest state before {CDC_CUT}) plus a change feed carrying
+    upserts AND deletes (each user's newest post-cutoff event;
+    clicks stand in for tombstones) produce the next state — the
+    MERGE WHEN MATCHED THEN DELETE shape that plain last-writer-wins
+    upserts cannot express.  Every surviving row carries its outcome
+    (kept / updated / inserted / no_op_delete) so the apply is
+    auditable; deleted rows are gone, delete-tombstones without a
+    base row surface as explicit no-ops.
+
+    Scale shape: both sides reduce to latest-per-key on the user_id
+    shuffle key; the apply is ONE co-partitioned full-outer join on
+    that key (AQE broadcasts the change feed when it is small — the
+    common case for incremental CDC)."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df, *cols):
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).select("user_id", *cols))
+
+    cut = F.col("ts").cast("date") < F.lit(CDC_CUT)
+    base = latest(ev.filter(cut), "value") \
+        .select("user_id", F.col("value").alias("b_value"),
+                F.lit(True).alias("__in_base"))
+    changes = latest(ev.filter(~cut), "event_type", "value").select(
+        "user_id",
+        F.when(F.col("event_type") == "click", "D").otherwise("U")
+        .alias("op"),
+        F.col("value").alias("c_value"))
+    merged = base.join(changes, "user_id", "full_outer")
+    surviving = merged.filter(
+        ~((F.col("op") == "D") & F.col("__in_base").isNotNull())
+        | F.col("op").isNull())
+    return surviving.select(
+        "user_id",
+        F.when(F.col("op") == "U", F.col("c_value"))
+        .otherwise(F.col("b_value")).alias("value"),
+        F.when(F.col("op").isNull(), "kept")
+        .when((F.col("op") == "D") & F.col("__in_base").isNotNull(),
+              "deleted")
+        .when(F.col("op") == "D", "no_op_delete")
+        .when(F.col("__in_base").isNull(), "inserted")
+        .otherwise("updated").alias("outcome"))

@@ -869,3 +869,73 @@ def text_bigram_logprob(spark, sf_dir):
         F.col("n_bigrams").cast("int").alias("n_bigrams"),
         F.round(F.col("s").cast("double") / F.col("n_bigrams"), 6)
         .alias("avg_bigram_logprob"))
+
+
+# ------------------------------------------------ Zipf slope
+ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_transform({TOKENS_SQL}, t -> lower(t))) AS term
+  FROM documents),
+tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+ranked AS (
+  SELECT c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+  FROM tf),
+pts AS (
+  SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM ranked),
+sums AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,10))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,10))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,10))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,10))) AS sxx
+  FROM pts)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * {DDOUBLE_SQL.format(expr="sxy")}
+              - {DDOUBLE_SQL.format(expr="sx")}
+                * {DDOUBLE_SQL.format(expr="sy")})
+             / (n * {DDOUBLE_SQL.format(expr="sxx")}
+                - {DDOUBLE_SQL.format(expr="sx")}
+                  * {DDOUBLE_SQL.format(expr="sx")}), 6)
+         AS zipf_slope
+FROM sums
+"""
+
+
+@query("text_zipf_slope", ZIPF_SQL)
+def text_zipf_slope(spark, sf_dir):
+    """Corpus Zipf exponent: the least-squares slope of log(freq)
+    against log(rank) over the full vocabulary — natural language
+    sits near -1, and a corpus that drifts far from it (too flat:
+    synthetic/templated text; too steep: collapsed vocabulary) fails
+    the most basic distributional sanity check before training.
+
+    Scale shape: one term-count shuffle (map-side combined), a
+    vocabulary-sized rank (TakeOrdered-sized in practice; the rank
+    window is over vocab rows, not the corpus), and a single-row
+    regression fold whose cross-products accumulate in
+    DECIMAL(38,10) so the slope is order-exact across engines."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(
+        F.transform(tokens_col(F.col("text")),
+                    lambda x: F.lower(x))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("c").desc(), "term")
+    pts = (tf.withColumn("rnk", F.row_number().over(w))
+           .select(F.log(F.col("rnk").cast("double")).alias("x"),
+                   F.log(F.col("c").cast("double")).alias("y")))
+    dec = lambda col: F.sum(col.cast("decimal(38,10)"))  # noqa: E731
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = ((F.col("n") * dd("sxy") - dd("sx") * dd("sy"))
+             / (F.col("n") * dd("sxx") - dd("sx") * dd("sx")))
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"))
