@@ -1690,3 +1690,117 @@ def ext_cdc_apply(spark, sf_dir):
         .when(F.col("op") == "D", "no_op_delete")
         .when(F.col("__in_base").isNull(), "inserted")
         .otherwise("updated").alias("outcome"))
+
+
+# ----------------------------------------------- Benford audit
+BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+              1, 1) AS INTEGER) AS d
+  FROM orders WHERE o_totalprice > 0),
+counts AS (
+  SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+total AS (SELECT SUM(n) AS t FROM counts)
+SELECT d AS first_digit,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / t, 6) AS observed_share,
+       ROUND(log10(1 + 1.0 / d), 6) AS benford_share,
+       ROUND(CAST(n AS DOUBLE) / t - log10(1 + 1.0 / d), 6)
+         AS deviation
+FROM counts CROSS JOIN total
+"""
+
+
+@query("ext_benford_audit", BENFORD_SQL)
+def ext_benford_audit(spark, sf_dir):
+    """Benford first-digit audit: the distribution of leading digits
+    of order totals against Benford's law (P(d) = log10(1 + 1/d)) —
+    the classic screen for fabricated or truncated numeric columns
+    (real multiplicative quantities follow it; synthetic uniform
+    data, price floors, or silent casts do not).  Digit extraction
+    goes through a fixed DECIMAL(18,2) rendering so both engines
+    read the same first character.
+
+    Scale shape: map + 9-row aggregate; the one-row total joins
+    back as a bounded scalar broadcast."""
+    orders = t(spark, sf_dir, "orders")
+    d = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        1, 1).cast("int")
+    counts = (orders.filter(F.col("o_totalprice") > 0)
+              .select(d.alias("d"))
+              .groupBy("d").agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("t"))
+    share = F.col("n").cast("double") / F.col("t")
+    benford = F.log10(1 + 1.0 / F.col("d"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(F.col("d").alias("first_digit"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(share, 6).alias("observed_share"),
+                    F.round(benford, 6).alias("benford_share"),
+                    F.round(share - benford, 6).alias("deviation")))
+
+
+# --------------------------------------------- Pareto concentration
+PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+         COUNT(*) OVER () AS n_cust,
+         SUM(rev) OVER () AS total_rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM per_cust)
+SELECT CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+       ROUND(CAST(CAST(MAX(CASE WHEN rnk * 10 <= n_cust
+                            THEN cum_rev END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(MAX(total_rev) AS VARCHAR) AS DOUBLE), 6)
+         AS top_decile_share,
+       ROUND(CAST(CAST(MAX(CASE WHEN rnk * 2 <= n_cust
+                            THEN cum_rev END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(MAX(total_rev) AS VARCHAR) AS DOUBLE), 6)
+         AS top_half_share
+FROM ranked
+"""
+
+
+@query("ext_pareto_share", PARETO_SQL)
+def ext_pareto_share(spark, sf_dir):
+    """Revenue concentration (Pareto check): what share of total
+    revenue the top 10% and top 50% of customers carry — the
+    80/20-rule readout that doubles as a skew early-warning for any
+    key the pipeline later joins or aggregates on.  Customer revenue
+    accumulates in DECIMAL; the cumulative window orders
+    customer-cardinality rows with a unique tie-break, and the final
+    fold is a single row.  The global ordered window is the
+    oracle-exact form; at extreme key cardinality swap it for the
+    threshold form (rank cutoffs from exact percentiles of rev, then
+    one filtered aggregate — mergeable, no global ordering)."""
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("rev"))
+    from pyspark.sql import Window
+    order_w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    all_w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(order_w).alias("rnk"),
+        F.count(F.lit(1)).over(all_w).alias("n_cust"),
+        F.sum("rev").over(all_w).alias("total_rev"),
+        F.sum("rev").over(cum_w).alias("cum_rev"))
+    dd = lambda c: F.max(c).cast("double")  # noqa: E731
+    top = lambda k: F.max(  # noqa: E731
+        F.when(F.col("rnk") * k <= F.col("n_cust"), F.col("cum_rev")))
+    return ranked.agg(
+        F.max("n_cust").cast("bigint").alias("n_customers"),
+        F.round(top(10).cast("double") / dd(F.col("total_rev")), 6)
+        .alias("top_decile_share"),
+        F.round(top(2).cast("double") / dd(F.col("total_rev")), 6)
+        .alias("top_half_share"))
