@@ -811,3 +811,62 @@ def stream_session_window_builtin(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink).select(
         "user_id", "session_start", "session_end", "n_events")
+
+
+# ------------------------- append-mode finalized tumbling windows
+APPEND_DELAY_MIN = 10
+
+APPEND_WIN_SQL = f"""
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL {APPEND_DELAY_MIN} MINUTES AS w
+  FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+         event_type,
+         ROUND(AVG(value), 6) AS avg_value,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type)
+SELECT bucket_start, event_type, avg_value, n_events
+FROM agg CROSS JOIN wm
+WHERE bucket_start + INTERVAL 5 MINUTES < w
+"""
+
+
+@query("stream_tumbling_append_finalized", APPEND_WIN_SQL)
+def stream_tumbling_append_finalized(spark, sf_dir):
+    """Watermarked tumbling windows in APPEND mode: a window row is
+    emitted exactly once, only after the watermark (max event time
+    minus {APPEND_DELAY_MIN} minutes) passes its end — the
+    exactly-once-per-window contract downstream appenders (files,
+    Kafka, delta appends) need, where complete-mode re-emission
+    would duplicate.  Windows still open at AvailableNow
+    termination stay in state, and the oracle holds them back with
+    the identical cutoff (``window end < watermark``), so the
+    emission rule itself is hash-verified like the left-outer
+    join's.  State is evicted as windows finalize — bounded by the
+    lateness horizon, not the stream length."""
+    tune(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    sink = f"stream_append_{uuid.uuid4().hex[:8]}"
+    agged = (
+        _with_event_time(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(sf_dir),
+            ltz=True)
+        .withWatermark("ts", f"{APPEND_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type",
+                "avg_value", "n_events")
+    )
+    prev = _stateful_shuffle_partitions(spark, path)
+    try:
+        q = (agged.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
