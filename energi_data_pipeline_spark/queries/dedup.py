@@ -896,3 +896,87 @@ def dedup_simhash_pairs(spark, sf_dir):
         F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= SIMHASH_HAM_T))
+
+
+# ------------------------------------------- LSH banding sweep
+#: (bands, rows) configurations sharing the same 8-hash signature.
+SWEEP_CONFIGS = [(1, 8), (2, 4), (4, 2)]
+
+
+def _sweep_cte(b_cnt: int, r_cnt: int) -> str:
+    """Candidate-pair count CTE for a (bands, rows) banding."""
+    keys = ", ".join(
+        "md5(" + " || '_' || ".join(
+            f"CAST(mh{b * r_cnt + r} AS VARCHAR)"
+            for r in range(r_cnt)) + f") AS band{b}"
+        for b in range(b_cnt))
+    values = ", ".join(f"({b}, band{b})" for b in range(b_cnt))
+    return f"""
+  SELECT {b_cnt} AS n_bands, {r_cnt} AS rows_per_band, COUNT(*) AS n
+  FROM (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM (SELECT doc_id, bb.band, bb.key
+          FROM (SELECT doc_id, {keys} FROM sigs) s,
+               LATERAL (VALUES {values}) AS bb(band, key)) l
+    JOIN (SELECT doc_id, bb.band, bb.key
+          FROM (SELECT doc_id, {keys} FROM sigs) s,
+               LATERAL (VALUES {values}) AS bb(band, key)) r
+      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)"""
+
+
+SWEEP_SQL = (
+    f"WITH {_HS_CTE},\n"
+    f"sigs AS (SELECT doc_id, {MINHASH_SQL_COLS} FROM hs)\n"
+    + "\nUNION ALL\n".join(_sweep_cte(b, r) for b, r in SWEEP_CONFIGS))
+
+
+@query(
+    "dedup_lsh_banding_sweep",
+    "SELECT CAST(n_bands AS INTEGER) AS n_bands, "
+    "CAST(rows_per_band AS INTEGER) AS rows_per_band, "
+    "CAST(n AS BIGINT) AS n_candidates FROM ("
+    + SWEEP_SQL + ") sweep",
+)
+def dedup_lsh_banding_sweep(spark, sf_dir):
+    """LSH BANDING SWEEP: candidate-pair counts for three
+    (bands x rows) splits of the same 8-hash signature — the
+    S-curve tuning readout.  More bands with fewer rows each = a
+    looser threshold = more candidates (1x8 is the strictest, 4x2
+    the loosest); running the sweep on a corpus sample is how the
+    production banding is chosen BEFORE paying for a full dedup at
+    the wrong operating point.
+
+    Scale shape: signatures compute once (cached); each
+    configuration is one banded self-join counted — the same
+    bounded bucket-join shape as the production pair query, never
+    all-pairs."""
+    sigs = dedup_minhash_signature(spark, sf_dir).cache()
+    sigs.count()
+    out = None
+    for b_cnt, r_cnt in SWEEP_CONFIGS:
+        band_cols = [
+            F.md5(F.concat_ws("_", *[
+                F.col(f"mh{b * r_cnt + r}").cast("string")
+                for r in range(r_cnt)])).alias(f"band{b}")
+            for b in range(b_cnt)
+        ]
+        banded = sigs.select("doc_id", *band_cols)
+        long = banded.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.col(f"band{b}").alias("key"))
+                for b in range(b_cnt)])).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        l, r = long.alias("l"), long.alias("r")
+        n = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.key") == F.col("r.key"))
+                    & (F.col("l.doc_id") < F.col("r.doc_id")))
+             .select(F.col("l.doc_id"), F.col("r.doc_id"))
+             .distinct().count())
+        row = (sigs.sparkSession.range(1).select(
+            F.lit(b_cnt).cast("int").alias("n_bands"),
+            F.lit(r_cnt).cast("int").alias("rows_per_band"),
+            F.lit(n).cast("bigint").alias("n_candidates")))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1804,3 +1804,51 @@ def ext_pareto_share(spark, sf_dir):
         .alias("top_decile_share"),
         F.round(top(2).cast("double") / dd(F.col("total_rev")), 6)
         .alias("top_half_share"))
+
+
+# --------------------------------------- event transition matrix
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type),
+tot AS (
+  SELECT from_type, SUM(n) AS t FROM trans GROUP BY from_type)
+SELECT tr.from_type, tr.to_type,
+       CAST(tr.n AS BIGINT) AS n,
+       ROUND(CAST(tr.n AS DOUBLE) / tot.t, 6) AS prob
+FROM trans tr JOIN tot USING (from_type)
+"""
+
+
+@query("ext_event_transition_matrix", TRANSITION_SQL)
+def ext_event_transition_matrix(spark, sf_dir):
+    """First-order event-transition matrix: per-user consecutive
+    event pairs counted into P(next type | current type) — the
+    Markov-chain readout behind funnel design, anomaly detection
+    (impossible transitions), and session simulation.
+
+    Scale shape: one shuffle on user_id for the LAG window, one
+    dimension-sized aggregate on (from, to) — the matrix is
+    |types|^2 rows regardless of event volume, and the row-sum
+    normalizer joins on the bounded from_type key."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"))
+    trans = (seq.filter(F.col("from_type").isNotNull())
+             .groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return (trans.join(tot, "from_type")
+            .select("from_type", "to_type",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("n").cast("double") / F.col("t"), 6)
+                    .alias("prob")))

@@ -1048,3 +1048,64 @@ def sims_ivf_multiprobe(spark, sf_dir):
     return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+# ------------------------------------- PQ quantization distortion
+PQ_DISTORTION_SQL = f"""
+WITH vec AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb
+  FROM vec WHERE vec_id % {CB_STRIDE} = 0),
+assign AS (
+  SELECT v.vec_id, b.m, c.cent_id,
+         {_PQ_D2_SQL} AS d2
+  FROM vec v
+  CROSS JOIN (SELECT unnest(range({M_BLOCKS})) AS m) b
+  CROSS JOIN cent c),
+codes AS (
+  SELECT vec_id, m, d2 FROM (
+    SELECT vec_id, m, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, cent_id) AS rk
+    FROM assign) WHERE rk = 1)
+SELECT vec_id,
+       ROUND(CAST(CAST(SUM(CAST(d2 AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS distortion
+FROM codes GROUP BY vec_id
+"""
+
+
+@query("sims_pq_distortion", PQ_DISTORTION_SQL)
+def sims_pq_distortion(spark, sf_dir):
+    """PQ reconstruction DISTORTION per vector: the squared L2
+    distance between each vector and its codebook reconstruction
+    (sum of the winning block distances) — the quality number that
+    decides whether a {M_BLOCKS}x8-bit code is safe for the corpus
+    or the codebook needs more centroids (distortion ~ recall loss
+    in ADC ranking; audit it before compressing 100 TB of vectors).
+    Completes the PQ family: adc = search, calibration-style
+    distortion = audit.
+
+    Scale shape: identical to the assignment pass of sims_pq_adc
+    (codebook broadcast, per-(vector, block) argmin window), folded
+    to one DECIMAL-exact row per vector."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select("vec_id", "embedding").cache()
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(M_BLOCKS - 1)))
+    sub = F.expr(f"slice(embedding, m * {BLOCK_DIM} + 1, {BLOCK_DIM})")
+    v_blocks = (vec.withColumn("m", blocks)
+                .select("vec_id", "m", sub.alias("sub")))
+    cent = (vec.filter(F.col("vec_id") % CB_STRIDE == 0)
+            .withColumn("m", blocks)
+            .select(F.col("vec_id").alias("cent_id"), "m",
+                    sub.alias("c_sub")))
+    assign = (
+        v_blocks.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "cent_id",
+                _block_d2(F.col("sub"), F.col("c_sub")).alias("d2")))
+    aw = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    codes = (assign.withColumn("rk", F.row_number().over(aw))
+             .filter(F.col("rk") == 1))
+    return (codes.groupBy("vec_id")
+            .agg(F.round(F.sum(F.col("d2").cast("decimal(38,10)"))
+                         .cast("double"), 6).alias("distortion")))

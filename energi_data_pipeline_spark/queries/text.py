@@ -939,3 +939,53 @@ def text_zipf_slope(spark, sf_dir):
     return sums.select(
         F.col("n").cast("bigint").alias("n_terms"),
         F.round(slope, 6).alias("zipf_slope"))
+
+
+# ------------------------------------------ vocabulary coverage
+VOCAB_TOP = 100
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_transform({TOKENS_SQL}, t -> lower(t))) AS term
+  FROM documents),
+tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+  FROM tf),
+tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM ranked)
+SELECT CAST(tot.v AS BIGINT) AS vocab_size,
+       CAST(tot.t AS BIGINT) AS n_tokens,
+       ROUND(CAST((SELECT SUM(c) FROM ranked WHERE rnk <= {VOCAB_TOP})
+                  AS DOUBLE) / tot.t, 6) AS top{VOCAB_TOP}_coverage
+FROM tot
+"""
+
+
+@query("text_vocab_coverage", VOCAB_COVERAGE_SQL)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage: the share of all token occurrences the
+    top {VOCAB_TOP} terms account for — the number a tokenizer/vocab
+    budget decision actually needs (high coverage with a tiny head
+    means aggressive vocab truncation is cheap; low coverage means
+    byte-fallback pressure).  Complements the Zipf slope: slope
+    characterizes the tail shape, coverage prices a concrete cutoff.
+
+    Scale shape: one term-count shuffle, a vocabulary-sized rank,
+    two single-row folds joined as bounded scalars."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(
+        F.transform(tokens_col(F.col("text")),
+                    lambda x: F.lower(x))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).cache()
+    total = ranked.agg(F.sum("c").alias("t"),
+                       F.count(F.lit(1)).alias("v"))
+    head = ranked.filter(F.col("rnk") <= VOCAB_TOP).agg(
+        F.sum("c").alias("hc"))
+    return (total.crossJoin(F.broadcast(head))
+            .select(F.col("v").cast("bigint").alias("vocab_size"),
+                    F.col("t").cast("bigint").alias("n_tokens"),
+                    F.round(F.col("hc").cast("double") / F.col("t"), 6)
+                    .alias(f"top{VOCAB_TOP}_coverage")))

@@ -74,7 +74,7 @@ BOUNDED_BROADCAST_SIDES = {
     "dim", "dim_cols",               # dim_time (time-range bounded)
     "cent",                          # IVF / PQ coarse centroids
     "best", "avg_bal", "n",          # scalar / one-row aggregates
-    "total",                         # one-row corpus-total aggregate
+    "total", "head",                 # one-row corpus-total aggregates
     "type_avg",                      # per-p_type agg (fixed key space)
     "donors_src",                    # k-1 rows per window bucket
 }
