@@ -442,3 +442,43 @@ def curation_quota_sample(spark, sf_dir):
             .filter(F.col("rk") <= QUOTA_N)
             .select("doc_id", "source", "chars_per_token",
                     F.col("rk").cast("int").alias("quota_rank")))
+
+
+# ----------------------------------- per-source duplication rates
+DUP_RATE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5({_dedup.NORM_SQL}) AS content_key
+  FROM documents),
+per_source AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT content_key) AS n_unique
+  FROM keyed GROUP BY source)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_rate
+FROM per_source
+"""
+
+
+@query("curation_dup_rate_by_source", DUP_RATE_SQL)
+def curation_dup_rate_by_source(spark, sf_dir):
+    """Per-source DUPLICATION rate: documents vs distinct normalized
+    contents per domain — the ops dashboard that names the spammy
+    sources (a domain at 60% dup rate needs its crawler fixed, not
+    more dedup compute downstream).  Slices the exact-dedup signal
+    by origin instead of by content key.
+
+    Scale shape: map-side md5 then one grouped COUNT DISTINCT on
+    the source key (Spark expands it to a two-phase partial
+    aggregate — no per-group value buffers survive the shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select("source", F.md5(norm_col()).alias("content_key"))
+    return (keyed.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count_distinct("content_key").cast("bigint")
+                 .alias("n_unique"))
+            .select("source", "n_docs", "n_unique",
+                    F.round(1.0 - F.col("n_unique").cast("double")
+                            / F.col("n_docs"), 6).alias("dup_rate")))

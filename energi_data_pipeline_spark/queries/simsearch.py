@@ -1109,3 +1109,68 @@ def sims_pq_distortion(spark, sf_dir):
     return (codes.groupBy("vec_id")
             .agg(F.round(F.sum(F.col("d2").cast("decimal(38,10)"))
                          .cast("double"), 6).alias("distortion")))
+
+
+# --------------------------------------------- cosine range search
+RANGE_COS_T = 0.15
+
+RANGE_SEARCH_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm,
+         CAST({_bucket_sql(NEARDUP_PLANES)} AS BIGINT) AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       ROUND((SELECT SUM(ae * be) FROM (
+                SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                       CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM vec a JOIN vec b
+  ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+WHERE a.vec_id % {QUERY_STRIDE} = 0
+  AND ROUND((SELECT SUM(ae * be) FROM (
+               SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                      CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+            / (a.nrm * b.nrm), 6) >= {RANGE_COS_T}
+"""
+
+
+@query("sims_range_search", RANGE_SEARCH_SQL)
+def sims_range_search(spark, sf_dir):
+    """RANGE similarity search: ALL bucket-mates above a cosine
+    threshold, not a fixed top-k — the semantics retrieval filters
+    and near-dup sweeps actually want (k is arbitrary; a threshold
+    is a quality statement).  Result size varies per query, which is
+    exactly why engines offer both: top-k bounds cost, range bounds
+    quality.
+
+    Scale shape: identical to the bucketed ANN (the bucket code is
+    the shuffle key, no rank window needed at all — range search is
+    one filter cheaper than top-k), on the coarser 4-plane code so
+    the radius reaches past a 256-bucket shard boundary at this
+    corpus size.  The threshold compares the 6-rounded cosine on
+    BOTH engines so the boundary cannot drift."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _bucket_col(NEARDUP_PLANES).alias("bucket"),
+    ).cache()
+    queries = vec.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    ).filter(F.col("query_id") % QUERY_STRIDE == 0)
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm")), 6)
+    return (
+        queries
+        .join(vec, (F.col("bucket") == F.col("q_bucket"))
+              & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= RANGE_COS_T)
+    )
