@@ -311,3 +311,81 @@ def mm_format_stats(spark, sf_dir):
                  F.sum("n_bytes").cast("bigint").alias("total_bytes"),
                  F.min("n_bytes").cast("int").alias("min_bytes"),
                  F.max("n_bytes").cast("int").alias("max_bytes")))
+
+
+# ------------------------------- content-defined chunking (CDC)
+#: rolling-window width and boundary modulus (expected chunk ~ CDC_MOD).
+CDC_W, CDC_MOD = 8, 64
+
+CDC_CHUNKS_SQL = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= {CDC_W}),
+bounds AS (
+  SELECT doc_id, n,
+         list_prepend(1, list_filter(
+           range({CDC_W} + 1, n + 2),
+           i -> i <= n + 1 AND (i = n + 1 OR
+             ('0x' || substr(md5(substr(text, i - {CDC_W}, {CDC_W})),
+                             1, 14))::BIGINT % {CDC_MOD} = 0)))
+           AS cuts,
+         text
+  FROM p),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(1, len(cuts))) AS chunk_idx,
+         cuts, text
+  FROM bounds)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(cuts[chunk_idx] AS INTEGER) AS start_pos,
+       CAST(cuts[chunk_idx + 1] - cuts[chunk_idx] AS INTEGER)
+         AS chunk_len,
+       md5(substr(text, cuts[chunk_idx],
+                  cuts[chunk_idx + 1] - cuts[chunk_idx])) AS chunk_md5
+FROM chunks
+WHERE cuts[chunk_idx + 1] - cuts[chunk_idx] > 0
+"""
+
+
+@query("mm_content_defined_chunks", CDC_CHUNKS_SQL)
+def mm_content_defined_chunks(spark, sf_dir):
+    """Content-defined chunking (the restic/borg/LBFS rolling-hash
+    split, public literature): a chunk boundary falls wherever the
+    hash of the trailing {CDC_W}-byte window is 0 mod {CDC_MOD}, so
+    inserting bytes into a blob shifts ONE chunk instead of
+    re-chunking everything after it — the property that makes
+    chunk-level dedup of mutable media/blob stores work, where
+    fixed-width chunking (mm_resize/text_chunking) invalidates every
+    subsequent chunk.  Emits (chunk, offset, length, digest) — the
+    manifest a dedup store ingests.
+
+    Scale shape: boundaries, slicing and digests are all per-doc map
+    work (one md5 per byte position windowed, one per chunk) — no
+    shuffle at all; the manifest explodes a few rows per document
+    inside the scan stage."""
+    d = spread(t(spark, sf_dir, "documents")
+               .filter(F.length("text") >= CDC_W))
+    cuts = F.expr(
+        f"array_prepend(filter(sequence({CDC_W} + 1, length(text) + 1), "
+        f"i -> i = length(text) + 1 OR "
+        f"(cast(conv(substring(md5(substring(text, i - {CDC_W}, "
+        f"{CDC_W})), 1, 14), 16, 10) as bigint) % {CDC_MOD}) = 0), 1)")
+    bounds = d.select("doc_id", "text", cuts.alias("cuts")).cache()
+    chunks = bounds.select(
+        "doc_id", "text", "cuts",
+        F.explode(F.sequence(
+            F.lit(1), F.size("cuts") - 1)).alias("chunk_idx"))
+    start = F.element_at("cuts", F.col("chunk_idx"))
+    clen = (F.element_at("cuts", F.col("chunk_idx") + 1) - start)
+    return (chunks
+            .filter(clen > 0)
+            .select("doc_id",
+                    F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                    start.cast("int").alias("start_pos"),
+                    clen.cast("int").alias("chunk_len"),
+                    F.md5(F.expr(
+                        "substring(text, element_at(cuts, chunk_idx), "
+                        "element_at(cuts, chunk_idx + 1) "
+                        "- element_at(cuts, chunk_idx))"))
+                    .alias("chunk_md5")))
