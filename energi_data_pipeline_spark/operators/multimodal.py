@@ -19,7 +19,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (BinaryType, DoubleType, IntegerType,
-                               LongType, StructField, StructType)
+                               LongType, StringType, StructField,
+                               StructType)
 
 FEATURE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -257,3 +258,48 @@ def perceptual_hashes(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+EMBED_DIM = 8
+
+EMBED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("embedding_csv", StringType()),
+])
+
+
+def embed_stub(payload: bytes) -> list[int]:
+    """Deterministic stand-in for a text-embedding model: dimension
+    d reads two md5 bytes of the payload as a signed 16-bit code
+    (divide by 32768 for the float vector).  Real deployment: an
+    ONNX/torch encoder INSIDE the same mapInPandas — batch shape,
+    schema and partitioning are what the engine owns.  Integer
+    codes, so the SQL replay is representation-exact."""
+    import hashlib
+
+    h = hashlib.md5(payload or b"").digest()
+    return [
+        (h[2 * d] * 256 + h[2 * d + 1]) - 32768
+        for d in range(EMBED_DIM)
+    ]
+
+
+def embed_documents(df: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` -> deterministic stub embeddings,
+    Arrow-batched.  The embedding surfaces as a comma-joined string
+    (the external driver's canonicalizer cannot hash array cells —
+    the int8-quantization lesson); a real pipeline would keep the
+    array column and write parquet."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "embedding_csv": pdf["payload"].map(
+                    lambda b: ",".join(
+                        str(x) for x in embed_stub(b))),
+            })
+
+    return df.mapInPandas(batches, EMBED_SCHEMA)

@@ -389,3 +389,38 @@ def mm_content_defined_chunks(spark, sf_dir):
                         "element_at(cuts, chunk_idx + 1) "
                         "- element_at(cuts, chunk_idx))"))
                     .alias("chunk_md5")))
+
+
+# ------------------------------------------- embedding generation
+from ..operators.multimodal import EMBED_DIM  # noqa: E402
+
+EMBED_SQL = f"""
+SELECT doc_id,
+       array_to_string(list_transform(range({EMBED_DIM}), d ->
+         ('0x' || substr(md5(text), 2 * d * 2 + 1, 4))::BIGINT
+           - 32768), ',') AS embedding_csv
+FROM documents
+"""
+
+
+@query("mm_embed_documents", EMBED_SQL)
+def mm_embed_documents(spark, sf_dir):
+    """Embedding GENERATION plumbing — the single most common
+    LLM-pipeline map job (run an encoder over every document):
+    Arrow-batched mapInPandas with an explicit output schema, the
+    encoder itself a documented deterministic stub (16-bit codes
+    from md5 bytes; swap for an ONNX/torch model in deployment —
+    the batch shape, schema, and partition behavior are what the
+    engine owns and tests).  Map-only: at 100 TB this is
+    embarrassingly parallel and GPU-schedulable per partition.
+
+    The oracle replays the stub byte-exactly (md5 hex pairs read as
+    signed 16-bit codes), so the plumbing is hash-verified, not
+    rows-only; codes surface as a comma-joined string (the driver
+    canonicalizer's array limitation, as sims_quantize_int8)."""
+    from ..operators.multimodal import embed_documents
+
+    d = spread(t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return embed_documents(payloads)

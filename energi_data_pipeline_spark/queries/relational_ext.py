@@ -1852,3 +1852,31 @@ def ext_event_transition_matrix(spark, sf_dir):
                     F.col("n").cast("bigint").alias("n"),
                     F.round(F.col("n").cast("double") / F.col("t"), 6)
                     .alias("prob")))
+
+
+# ------------------------------------------ log-scale histogram
+LOG_HIST_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(FLOOR(log10(abs(value))) AS INTEGER) AS magnitude
+  FROM events WHERE value IS NOT NULL AND value <> 0)
+SELECT event_type, magnitude, COUNT(*) AS n
+FROM b GROUP BY event_type, magnitude
+"""
+
+
+@query("ext_histogram_log_bins", LOG_HIST_SQL)
+def ext_histogram_log_bins(spark, sf_dir):
+    """Log-scale magnitude histogram: per event type, how many
+    values fall in each decade (floor of log10 |value|) — the
+    profiling view for heavy-tailed measures, where the equi-width
+    histogram puts everything in one bucket and the tail in none.
+    Decade boundaries are exact in both engines (log10 of the same
+    double, floored), so the binning cannot drift.  Map + tiny
+    grouped aggregate."""
+    ev = t(spark, sf_dir, "events")
+    mag = F.floor(F.log10(F.abs(F.col("value")))).cast("int")
+    return (ev.filter(F.col("value").isNotNull()
+                      & (F.col("value") != 0))
+            .groupBy("event_type", mag.alias("magnitude"))
+            .agg(F.count(F.lit(1)).alias("n")))
