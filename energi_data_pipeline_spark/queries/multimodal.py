@@ -424,3 +424,114 @@ def mm_embed_documents(spark, sf_dir):
     payloads = d.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return embed_documents(payloads)
+
+
+# ---------------------- text -> embedding -> ANN integration
+from .simsearch import _dot as _sdot, _norm as _snorm  # noqa: E402
+
+T2A_PLANES = 4
+T2A_DUP_T = 0.5
+
+
+def _t2a_weight_sql(p: int) -> str:
+    return (f"(('0x' || substr(md5(CAST({p} AS VARCHAR) || '_' || "
+            f"CAST(i AS VARCHAR)), 1, 14))::BIGINT % 2) * 2 - 1")
+
+
+def _t2a_bucket_sql() -> str:
+    bits = " + ".join(
+        f"""(CASE WHEN (SELECT SUM(
+               ({_t2a_weight_sql(p)}) * emb[i + 1])
+             FROM (SELECT UNNEST(range({EMBED_DIM})) AS i)) > 0
+           THEN {1 << p} ELSE 0 END)"""
+        for p in range(T2A_PLANES))
+    return f"({bits})"
+
+
+TEXT_TO_ANN_SQL = f"""
+WITH e AS (
+  SELECT doc_id,
+         list_transform(range({EMBED_DIM}), d ->
+           (('0x' || substr(md5(text), 2 * d * 2 + 1, 4))::BIGINT
+            - 32768) / 32768.0) AS emb
+  FROM documents),
+v AS (
+  SELECT doc_id, emb,
+         sqrt((SELECT SUM(x * x)
+               FROM (SELECT UNNEST(emb) AS x))) AS nrm,
+         CAST({_t2a_bucket_sql()} AS BIGINT) AS bucket
+  FROM e),
+pairs AS (
+  SELECT a.doc_id, b.doc_id AS neighbor_id,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT UNNEST(a.emb) AS ae, UNNEST(b.emb) AS be))
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM v a JOIN v b
+    ON a.bucket = b.bucket AND b.doc_id <> a.doc_id),
+ranked AS (
+  SELECT doc_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM pairs)
+SELECT doc_id, neighbor_id, cosine,
+       cosine >= {T2A_DUP_T} AS is_semantic_dup
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("pipeline_text_to_ann", TEXT_TO_ANN_SQL)
+def pipeline_text_to_ann(spark, sf_dir):
+    """End-to-end SEMANTIC pipeline in one plan: raw text -> stub
+    embedding (the mm_embed_documents codes as floats) -> sign-LSH
+    bucket -> nearest bucket-mate with a near-dup verdict.  This is
+    the integration a user of the engine actually runs ("embed my
+    corpus and find semantic dups") — each stage is a verified
+    operator, and the composition itself is hash-checked end to end
+    like curation_pipeline is for the lexical path.
+
+    Scale shape: embedding + bucketing are map-only expressions
+    (swap the stub for a model UDF without touching the plan); the
+    pair search shuffles on the bucket code; the per-doc window
+    ranks bucket-mates only.  Nothing all-pairs, nothing
+    driver-side."""
+    d = spread(t(spark, sf_dir, "documents"))
+    code = lambda dd: (F.conv(F.substring(  # noqa: E731
+        F.md5("text"), 4 * dd + 1, 4), 16, 10).cast("bigint")
+        - 32768) / 32768.0
+    emb = F.array(*[code(dd) for dd in range(EMBED_DIM)])
+    vec = d.select("doc_id", emb.alias("emb"))
+    # 4 deterministic sign-planes over the 8-dim stub space
+    import hashlib
+    bucket = None
+    for p in range(T2A_PLANES):
+        w = F.array(*[
+            F.lit(float((int(hashlib.md5(
+                f"{p}_{i}".encode()).hexdigest()[:14], 16) % 2) * 2 - 1))
+            for i in range(EMBED_DIM)])
+        proj = F.aggregate(
+            F.zip_with(w, F.col("emb"), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    v = vec.select("doc_id", "emb",
+                   _snorm(F.col("emb")).alias("nrm"),
+                   bucket.cast("bigint").alias("bucket")).cache()
+    other = v.select(F.col("doc_id").alias("neighbor_id"),
+                     F.col("emb").alias("n_emb"),
+                     F.col("nrm").alias("n_nrm"),
+                     F.col("bucket").alias("n_bucket"))
+    pairs = (
+        v.join(other, (F.col("bucket") == F.col("n_bucket"))
+               & (F.col("neighbor_id") != F.col("doc_id")))
+        .select("doc_id", "neighbor_id",
+                F.round(_sdot(F.col("emb"), F.col("n_emb"))
+                        / (F.col("nrm") * F.col("n_nrm")), 6)
+                .alias("cosine")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id")
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", "neighbor_id", "cosine",
+                    (F.col("cosine") >= T2A_DUP_T)
+                    .alias("is_semantic_dup")))
