@@ -1880,3 +1880,82 @@ def ext_histogram_log_bins(spark, sf_dir):
                       & (F.col("value") != 0))
             .groupBy("event_type", mag.alias("magnitude"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# --------------------------------------- rolling active users
+ROLLING_DAYS = 7
+
+ROLLING_AU_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+FROM days d JOIN du u
+  ON u.day BETWEEN d.day - {ROLLING_DAYS - 1} AND d.day
+GROUP BY d.day
+"""
+
+
+@query("ext_rolling_active_users", ROLLING_AU_SQL)
+def ext_rolling_active_users(spark, sf_dir):
+    """Rolling {ROLLING_DAYS}-day distinct active users per day —
+    the WAU/MAU family.  COUNT(DISTINCT) cannot ride a window
+    frame, so the scalable form reduces events to DISTINCT
+    (day, user) pairs first (the heavy shuffle, on the user key),
+    then joins the small day spine against a {ROLLING_DAYS}-day
+    band and counts distinct per anchor day — the banded join
+    carries day-grain rows, events-volume-independent.  (At extreme
+    user cardinality the exact count swaps for mergeable HLL
+    sketches per day — same two-stage shape.)"""
+    ev = t(spark, sf_dir, "events")
+    du = (ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+          .distinct())
+    days = du.select(F.col("day").alias("anchor")).distinct()
+    return (days.join(
+        du, (F.col("day") <= F.col("anchor"))
+        & (F.col("day") >= F.date_sub(F.col("anchor"),
+                                      ROLLING_DAYS - 1)))
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint")
+             .alias(f"active_users_{ROLLING_DAYS}d")))
+
+
+# --------------------------------------- market-basket pairs
+BASKET_MIN_COUNT = 2
+
+BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey)
+SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+FROM pairs WHERE n_orders >= {BASKET_MIN_COUNT}
+"""
+
+
+@query("ext_market_basket_pairs", BASKET_SQL)
+def ext_market_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing together in
+    at least {BASKET_MIN_COUNT} orders — the frequent-itemset seed
+    (Apriori's pair pass) behind "bought together" features.  The
+    self-join key is the ORDER (baskets are small and bounded), so
+    the pair space is sum of per-basket sizes squared — linear in
+    order count, never |parts|^2; the count shuffle is on the pair
+    key with map-side combine."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_COUNT)
+    )
