@@ -1959,3 +1959,121 @@ def ext_market_basket_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .filter(F.col("n_orders") >= BASKET_MIN_COUNT)
     )
+
+
+# ------------------------------------- association rules (lift)
+LIFT_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS t FROM items),
+item_cnt AS (
+  SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey)
+SELECT p.part_a, p.part_b,
+       CAST(p.n AS BIGINT) AS n_orders,
+       ROUND(CAST(p.n AS DOUBLE) / t.t, 6) AS support,
+       ROUND(CAST(p.n AS DOUBLE) / ca.c, 6) AS confidence_a_to_b,
+       ROUND(CAST(p.n AS DOUBLE) * t.t / (ca.c * cb.c), 6) AS lift
+FROM pairs p
+JOIN item_cnt ca ON ca.l_partkey = p.part_a
+JOIN item_cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN n_orders t
+WHERE p.n >= {BASKET_MIN_COUNT}
+"""
+
+
+@query("ext_association_rules", LIFT_SQL)
+def ext_association_rules(spark, sf_dir):
+    """Association-rule metrics over the basket pairs: support,
+    confidence(A -> B) and LIFT — the numbers that separate "bought
+    together because both are popular" (lift ~ 1) from a real
+    association (lift >> 1), which raw co-occurrence counts cannot
+    do.  Completes the market-basket family: pair mining finds the
+    candidates, these metrics rank them.
+
+    Scale shape: pair counting as in ext_market_basket_pairs, plus
+    two joins to the per-item counts (item-catalog-cardinality — AQE
+    broadcasts while it fits) and the one-row order total as a
+    bounded scalar broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().cache()
+    total = items.agg(
+        F.count_distinct("l_orderkey").alias("t"))
+    item_cnt = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= BASKET_MIN_COUNT))
+    ca = item_cnt.select(F.col("l_partkey").alias("part_a"),
+                         F.col("c").alias("ca"))
+    cb = item_cnt.select(F.col("l_partkey").alias("part_b"),
+                         F.col("c").alias("cb"))
+    nd = F.col("n").cast("double")
+    return (pairs.join(ca, "part_a").join(cb, "part_b")
+            .crossJoin(F.broadcast(total))
+            .select("part_a", "part_b",
+                    F.col("n").cast("bigint").alias("n_orders"),
+                    F.round(nd / F.col("t"), 6).alias("support"),
+                    F.round(nd / F.col("ca"), 6)
+                    .alias("confidence_a_to_b"),
+                    F.round(nd * F.col("t")
+                            / (F.col("ca") * F.col("cb")), 6)
+                    .alias("lift")))
+
+
+# ------------------------------------------- reorder gap
+REORDER_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_orderdate,
+         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+           AS prev_date
+  FROM orders),
+gaps AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(prev_date AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM seq WHERE prev_date IS NOT NULL)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_reorders,
+       CAST(MIN(gap_days) AS INTEGER) AS min_gap_days,
+       CAST(MAX(gap_days) AS INTEGER) AS max_gap_days,
+       ROUND(AVG(gap_days), 6) AS avg_gap_days
+FROM gaps GROUP BY o_custkey
+"""
+
+
+@query("ext_reorder_gap", REORDER_SQL)
+def ext_reorder_gap(spark, sf_dir):
+    """Reorder-gap profile: days between a customer's consecutive
+    orders (min/max/avg per customer) — the inter-purchase-interval
+    behind churn prediction and replenishment timing; pairs with
+    RFM (recency says how stale, this says how stale is NORMAL for
+    that customer).  One shuffle on the customer key for the LAG
+    window, folded in place to customer-grain rows.  Gaps are exact
+    integer day diffs, so AVG is engine-exact before the rounding."""
+    orders = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey")
+    gaps = (orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lag(F.col("o_orderdate").cast("date")).over(w))
+        .alias("gap_days"))
+        .filter(F.col("gap_days").isNotNull()))
+    return (gaps.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_reorders"),
+                 F.min("gap_days").cast("int").alias("min_gap_days"),
+                 F.max("gap_days").cast("int").alias("max_gap_days"),
+                 F.round(F.avg("gap_days"), 6).alias("avg_gap_days")))
