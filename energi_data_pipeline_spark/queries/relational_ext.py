@@ -2077,3 +2077,56 @@ def ext_reorder_gap(spark, sf_dir):
                  F.min("gap_days").cast("int").alias("min_gap_days"),
                  F.max("gap_days").cast("int").alias("max_gap_days"),
                  F.round(F.avg("gap_days"), 6).alias("avg_gap_days")))
+
+
+# --------------------------------------- gaps-and-islands streaks
+STREAK_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+grp AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY day) AS INTEGER)
+           AS island
+  FROM du),
+islands AS (
+  SELECT user_id, island,
+         COUNT(*) AS streak_len,
+         MIN(day) AS streak_start
+  FROM grp GROUP BY user_id, island)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(streak_len) AS INTEGER) AS longest_streak,
+       MIN(streak_start) AS first_active_day
+FROM islands GROUP BY user_id
+"""
+
+
+@query("ext_activity_streaks", STREAK_SQL)
+def ext_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: consecutive-day activity streaks per user
+    (count, longest, first day) via the classic ``day - row_number``
+    trick — consecutive days share a constant difference, so the
+    island key falls out of one window, no iterative logic.  The
+    engagement-streak readout behind retention features.
+
+    Scale shape: distinct (user, day) reduction, one window and two
+    grouped aggregates, all on the user_id shuffle key — a single
+    exchange end to end."""
+    ev = t(spark, sf_dir, "events")
+    du = (ev.select("user_id", F.col("ts").cast("date").alias("day"))
+          .distinct())
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = du.select(
+        "user_id", "day",
+        F.date_sub(F.col("day"),
+                   F.row_number().over(w)).alias("island"))
+    islands = (grp.groupBy("user_id", "island")
+               .agg(F.count(F.lit(1)).alias("streak_len"),
+                    F.min("day").alias("streak_start")))
+    return (islands.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+                 F.max("streak_len").cast("int")
+                 .alias("longest_streak"),
+                 F.min("streak_start").alias("first_active_day")))

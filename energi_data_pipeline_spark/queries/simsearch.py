@@ -1174,3 +1174,88 @@ def sims_range_search(spark, sf_dir):
                 cos.alias("cosine"))
         .filter(F.col("cosine") >= RANGE_COS_T)
     )
+
+
+# --------------------------------------- embedding drift monitor
+#: vec_id threshold splitting "reference" and "current" snapshots.
+DRIFT_SPLIT = 250
+
+DRIFT_SQL = f"""
+WITH pos AS (
+  SELECT vec_id, label, ii.i + 1 AS pos,
+         CAST(embedding[ii.i + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range({DIM})) AS i) ii),
+cent AS (
+  SELECT label, pos,
+         vec_id < {DRIFT_SPLIT} AS is_ref,
+         CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(*) AS c,
+         COUNT(*) AS n_vecs
+  FROM pos GROUP BY label, vec_id < {DRIFT_SPLIT}, pos),
+vecs AS (
+  SELECT label, is_ref, list(c ORDER BY pos) AS emb,
+         MAX(n_vecs) AS n_vecs
+  FROM cent GROUP BY label, is_ref),
+joined AS (
+  SELECT r.label,
+         CAST(r.n_vecs AS BIGINT) AS n_ref,
+         CAST(u.n_vecs AS BIGINT) AS n_cur,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT UNNEST(r.emb) AS ae, UNNEST(u.emb) AS be))
+               / (sqrt((SELECT SUM(x * x)
+                        FROM (SELECT UNNEST(r.emb) AS x)))
+                  * sqrt((SELECT SUM(x * x)
+                          FROM (SELECT UNNEST(u.emb) AS x)))), 6)
+           AS centroid_cosine
+  FROM vecs r JOIN vecs u
+    ON r.label = u.label AND r.is_ref AND NOT u.is_ref)
+SELECT label, n_ref, n_cur, centroid_cosine,
+       centroid_cosine < 0.9 AS drift_alarm
+FROM joined
+"""
+
+
+@query("sims_embedding_drift", DRIFT_SQL)
+def sims_embedding_drift(spark, sf_dir):
+    """Embedding DRIFT monitor: per label, the cosine between the
+    class centroid of a REFERENCE snapshot (vec_id < {DRIFT_SPLIT})
+    and the CURRENT one — the production check that an encoder
+    upgrade or data shift did not silently rotate the space out from
+    under every stored index and threshold (centroid cosine under
+    0.9 raises the alarm; re-embed or re-calibrate before trusting
+    stored neighbors).
+
+    Scale shape: both snapshot centroids come from one shuffle on
+    (label, snapshot, dim) with DECIMAL-exact means (the
+    label-centroid-margin machinery, split by snapshot); the
+    comparison joins label-cardinality rows."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    pos = emb.select(
+        "vec_id", "label",
+        (F.col("vec_id") < DRIFT_SPLIT).alias("is_ref"),
+        F.posexplode("embedding").alias("i", "vf"))
+    v = F.col("vf").cast("double")
+    cent = pos.groupBy("label", "is_ref", "i").agg(
+        (F.sum(v.cast("decimal(38,10)")).cast("double")
+         / F.count(F.lit(1))).alias("c"),
+        (F.count(F.lit(1))).alias("n"))
+    vecs = (cent.groupBy("label", "is_ref")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda x: x["c"]).alias("emb"),
+                F.max("n").alias("n_vecs")))
+    r = vecs.filter(F.col("is_ref")).select(
+        "label", F.col("emb").alias("r_emb"),
+        F.col("n_vecs").alias("n_ref"))
+    u = vecs.filter(~F.col("is_ref")).select(
+        "label", F.col("emb").alias("u_emb"),
+        F.col("n_vecs").alias("n_cur"))
+    cos = F.round(
+        _dot(F.col("r_emb"), F.col("u_emb"))
+        / (_norm(F.col("r_emb")) * _norm(F.col("u_emb"))), 6)
+    return (r.join(u, "label")
+            .select("label",
+                    F.col("n_ref").cast("bigint").alias("n_ref"),
+                    F.col("n_cur").cast("bigint").alias("n_cur"),
+                    cos.alias("centroid_cosine"),
+                    (cos < 0.9).alias("drift_alarm")))
