@@ -2130,3 +2130,143 @@ def ext_activity_streaks(spark, sf_dir):
                  F.max("streak_len").cast("int")
                  .alias("longest_streak"),
                  F.min("streak_start").alias("first_active_day")))
+
+
+# --------------------------------------- seasonality profile
+SEASONALITY_SQL = """
+SELECT event_type,
+       CAST(EXTRACT(DOW FROM ts) AS INTEGER) AS dow,
+       CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type, EXTRACT(DOW FROM ts), EXTRACT(HOUR FROM ts)
+"""
+
+
+@query("ext_seasonality_profile", SEASONALITY_SQL)
+def ext_seasonality_profile(spark, sf_dir):
+    """Weekly seasonality heatmap: event volume and average value by
+    (day-of-week, hour) per event type — the profile that separates
+    weekday/weekend and peak/off-peak regimes before any forecasting
+    or anomaly threshold is set (the reference's dim_time exists for
+    exactly this slicing; here the profile is computed directly).
+    DOW uses the DuckDB convention (0=Sunday) via the shared
+    timeparts helper.  Map + dimension-sized aggregate
+    (types x 7 x 24 rows out)."""
+    from ..functions.timeparts import dow_sunday0
+
+    ev = t(spark, sf_dir, "events")
+    return (ev.filter(F.col("value").isNotNull())
+            .groupBy("event_type",
+                     dow_sunday0(F.col("ts")).alias("dow"),
+                     F.hour("ts").cast("int").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+# ------------------------------------- linear-interpolation fill
+INTERP_SQL = f"""
+WITH spine AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(TIMESTAMP '{{start}}',
+                                      TIMESTAMP '{{end}}',
+                                      INTERVAL 1 HOUR)) AS h) s),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         ROUND(AVG(value), 6) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)),
+joined AS (
+  SELECT spine.event_type, spine.h, hourly.v
+  FROM spine LEFT JOIN hourly
+    ON hourly.event_type = spine.event_type AND hourly.h = spine.h),
+bounded AS (
+  SELECT event_type, h, v,
+         last_value(v IGNORE NULLS) OVER w_back AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER w_back AS prev_h,
+         first_value(v IGNORE NULLS) OVER w_fwd AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER w_fwd AS next_h
+  FROM joined
+  WINDOW w_back AS (PARTITION BY event_type ORDER BY h
+                    ROWS UNBOUNDED PRECEDING),
+         w_fwd AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, h AS hour, v IS NOT NULL AS observed,
+       CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         ELSE FLOOR((prev_v + (next_v - prev_v)
+                * ((EPOCH(h) - EPOCH(prev_h))
+                   / (EPOCH(next_h) - EPOCH(prev_h)))) * 1e6 + 0.5)
+              / 1e6
+       END AS v_interp
+FROM bounded
+"""
+
+SPINE_INTERP_START = "2024-01-01 00:00:00"
+SPINE_INTERP_END = "2024-01-30 23:00:00"
+
+
+@query("ext_gap_fill_linear",
+       INTERP_SQL.format(start=SPINE_INTERP_START,
+                         end=SPINE_INTERP_END))
+def ext_gap_fill_linear(spark, sf_dir):
+    """LINEAR-interpolation gap fill over a dense hourly spine:
+    missing hours take the time-weighted average of the nearest
+    observed values on each side (edges fall back to the single
+    available neighbor) — the resampling mode forward-fill cannot
+    provide when the series must stay continuous (sensor feeds,
+    price curves).  Positions come from epoch arithmetic on the
+    bracketing observation times, rounded identically on both
+    engines.
+
+    Scale shape: one hourly partial aggregate over the events (the
+    corpus-scale work), then two mirrored windows over the
+    dimension-sized spine per type — the same two-window
+    last/first-ignoring-nulls machinery the as-of join uses."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    spine_h = F.explode(F.sequence(
+        F.lit(SPINE_INTERP_START).cast("timestamp_ntz"),
+        F.lit(SPINE_INTERP_END).cast("timestamp_ntz"),
+        F.expr("INTERVAL 1 HOUR"))).alias("h")
+    types = ev.select("event_type").distinct()
+    spine = types.select("event_type", spine_h)
+    hourly = (ev.filter(F.col("value").isNotNull())
+              .groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.round(F.avg("value"), 6).alias("v")))
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    back = (Window.partitionBy("event_type").orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fwd = (Window.partitionBy("event_type").orderBy("h")
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    b = (joined
+         .withColumn("prev_v", F.last("v", True).over(back))
+         .withColumn("prev_h", F.last(obs_h, True).over(back))
+         .withColumn("next_v", F.first("v", True).over(fwd))
+         .withColumn("next_h", F.first(obs_h, True).over(fwd)))
+    frac = ((F.unix_timestamp("h") - F.unix_timestamp("prev_h"))
+            / (F.unix_timestamp("next_h")
+               - F.unix_timestamp("prev_h")))
+    # explicit half-up emulation: ROUND(double, 6) is half-up in
+    # Spark but half-even in DuckDB, and interpolated values LAND on
+    # exact 6th-decimal halves often enough to hash-mismatch (seen at
+    # sf0.01); floor(x * 1e6 + 0.5) / 1e6 is identical given
+    # identical doubles on both engines
+    interp = (F.floor((F.col("prev_v")
+                       + (F.col("next_v") - F.col("prev_v")) * frac)
+                      * 1e6 + 0.5) / 1e6)
+    return b.select(
+        "event_type", F.col("h").alias("hour"),
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(interp).alias("v_interp"))
