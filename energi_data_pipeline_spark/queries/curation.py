@@ -482,3 +482,54 @@ def curation_dup_rate_by_source(spark, sf_dir):
             .select("source", "n_docs", "n_unique",
                     F.round(1.0 - F.col("n_unique").cast("double")
                             / F.col("n_docs"), 6).alias("dup_rate")))
+
+
+# --------------------------------------- split leakage check
+LEAKAGE_SQL = f"""
+WITH pairs AS ({_LSH_PAIRS_SQL}),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split_' || CAST(doc_id AS VARCHAR)),
+                         1, 14))::BIGINT % 100 AS bucket
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+              WHEN bucket < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM b)
+SELECT p.doc_a, p.doc_b, p.est_jaccard,
+       sa.split AS split_a, sb.split AS split_b,
+       sa.split <> sb.split AS is_leakage
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.doc_a
+JOIN s sb ON sb.doc_id = p.doc_b
+"""
+
+
+@query("curation_split_leakage", LEAKAGE_SQL)
+def curation_split_leakage(spark, sf_dir):
+    """Split LEAKAGE check: near-duplicate pairs that straddle the
+    train/val/test boundary — the eval-hygiene failure a random
+    (even deterministic-hash) split cannot prevent, because
+    membership is assigned per document while near-dups are
+    relationships.  Every flagged pair inflates eval scores by
+    letting the model "memorize" the test answer from its training
+    twin; the fix is cluster-level split assignment, and this query
+    is how you find out whether you need it.
+
+    Scale shape: reuses the banded-LSH pair plan (never all-pairs)
+    and joins the per-doc split labels on the doc_id key twice —
+    both joins carry two narrow columns."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    split = REGISTRY["curation_dataset_split"].fn(spark, sf_dir) \
+        .select("doc_id", "split")
+    sa = split.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("split_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "est_jaccard",
+                    "split_a", "split_b",
+                    (F.col("split_a") != F.col("split_b"))
+                    .alias("is_leakage")))

@@ -2270,3 +2270,40 @@ def ext_gap_fill_linear(spark, sf_dir):
         .when(F.col("prev_v").isNull(), F.col("next_v"))
         .when(F.col("next_v").isNull(), F.col("prev_v"))
         .otherwise(interp).alias("v_interp"))
+
+
+# --------------------------------------- top-percent-per-group
+TOP_PCT = 0.1
+
+TOP_PCT_SQL = f"""
+WITH d AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         CUME_DIST() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey)
+           AS cd
+  FROM customer)
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       ROUND(cd, 6) AS cume
+FROM d WHERE cd <= {TOP_PCT}
+"""
+
+
+@query("ext_top_percent_per_group", TOP_PCT_SQL)
+def ext_top_percent_per_group(spark, sf_dir):
+    """Top-PERCENT-per-group filter (the QUALIFY cume_dist pattern):
+    the richest {TOP_PCT:.0%} of customers per market segment —
+    top-k's proportional sibling, the right tool when group sizes
+    vary by orders of magnitude and a fixed k over- or under-selects.
+    Deterministic peer groups via the unique custkey tie-break; the
+    filter compares the UNROUNDED cume_dist identically on both
+    engines.  One shuffle on the group key."""
+    cust = t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey")
+    cd = F.cume_dist().over(w)
+    return (cust.select("c_mktsegment", "c_custkey", "c_acctbal",
+                        cd.alias("cd"))
+            .filter(F.col("cd") <= TOP_PCT)
+            .select("c_mktsegment", "c_custkey", "c_acctbal",
+                    F.round("cd", 6).alias("cume")))
