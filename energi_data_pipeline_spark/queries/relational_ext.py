@@ -2307,3 +2307,55 @@ def ext_top_percent_per_group(spark, sf_dir):
             .filter(F.col("cd") <= TOP_PCT)
             .select("c_mktsegment", "c_custkey", "c_acctbal",
                     F.round("cd", 6).alias("cume")))
+
+
+# ------------------------------------------- null profile
+NULL_PROFILE_SQL = """
+WITH t AS (SELECT COUNT(*) AS n FROM events)
+SELECT col, CAST(n_null AS BIGINT) AS n_null,
+       ROUND(CAST(n_null AS DOUBLE) / t.n, 6) AS null_ratio
+FROM (
+  SELECT 'value' AS col,
+         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null
+  FROM events
+  UNION ALL
+  SELECT 'props',
+         SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) FROM events
+  UNION ALL
+  SELECT 'event_type',
+         SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+  FROM events
+  UNION ALL
+  SELECT 'user_id',
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+  UNION ALL
+  SELECT 'ts',
+         SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) FROM events) u
+CROSS JOIN t
+"""
+
+
+@query("ext_null_profile", NULL_PROFILE_SQL)
+def ext_null_profile(spark, sf_dir):
+    """Per-column NULL profile of the events table — the first data-
+    quality glance at any new feed (a column that went 0% -> 40%
+    null between ingests is an upstream schema break, caught here
+    before it poisons aggregates that silently skip nulls).
+    Computed as ONE pass: all per-column null counts are conditional
+    aggregates in a single scan (unpivoted afterwards), not one scan
+    per column; the total joins as a bounded scalar."""
+    ev = t(spark, sf_dir, "events")
+    cols = ["value", "props", "event_type", "user_id", "ts"]
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+          .alias(f"null_{c}") for c in cols])
+    stacked = agg.selectExpr(
+        "n",
+        "stack({}, {}) AS (col, n_null)".format(
+            len(cols),
+            ", ".join(f"'{c}', null_{c}" for c in cols)))
+    return stacked.select(
+        "col", F.col("n_null").cast("bigint").alias("n_null"),
+        F.round(F.col("n_null").cast("double") / F.col("n"), 6)
+        .alias("null_ratio"))

@@ -989,3 +989,52 @@ def text_vocab_coverage(spark, sf_dir):
                     F.col("t").cast("bigint").alias("n_tokens"),
                     F.round(F.col("hc").cast("double") / F.col("t"), 6)
                     .alias(f"top{VOCAB_TOP}_coverage")))
+
+
+# ------------------------------------------ blocklist content gate
+#: stand-in blocklist (C4's "List of Dirty, Naughty ..." gate shape);
+#: terms chosen to actually occur in the synthetic corpus.
+BLOCKLIST = ["crash", "slow", "error"]
+
+_BL_SQL = ", ".join(f"'{w}'" for w in BLOCKLIST)
+
+BLOCKLIST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform({TOKENS_SQL}, t -> lower(t)) AS tk
+  FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(tk, t -> t IN ({_BL_SQL})))
+            AS INTEGER) AS n_blocked,
+       CAST(len(tk) AS INTEGER) AS n_tokens,
+       ROUND(CAST(len(list_filter(tk, t ->
+                 t IN ({_BL_SQL}))) AS DOUBLE)
+             / len(tk), 6) AS blocked_ratio,
+       len(list_filter(tk, t -> t IN ({_BL_SQL}))) > 0
+         AS is_blocked
+FROM toks
+"""
+
+
+@query("text_blocklist_filter", BLOCKLIST_SQL)
+def text_blocklist_filter(spark, sf_dir):
+    """Blocklist content gate — the C4-style word-filter shape
+    (public literature: C4 dropped any page containing a blocklisted
+    word): per document, how many tokens hit the list, the hit
+    ratio, and the binary gate.  Emitting counts instead of
+    filtering keeps the decision auditable (and the oracle verifies
+    both kept and dropped docs); a production list is thousands of
+    terms — swap the literal array for a broadcast lookup, same
+    plan.  Pure map stage: one lowercase pass and one membership
+    filter per doc, zero shuffles."""
+    d = t(spark, sf_dir, "documents")
+    bl = F.array(*[F.lit(w) for w in BLOCKLIST])
+    tk = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    hits = F.size(F.filter(tk, lambda x: F.array_contains(bl, x)))
+    return d.select(
+        "doc_id",
+        hits.cast("int").alias("n_blocked"),
+        F.size(tk).cast("int").alias("n_tokens"),
+        F.round(hits.cast("double") / F.size(tk), 6)
+        .alias("blocked_ratio"),
+        (hits > 0).alias("is_blocked"))
