@@ -535,3 +535,50 @@ def pipeline_text_to_ann(spark, sf_dir):
             .select("doc_id", "neighbor_id", "cosine",
                     (F.col("cosine") >= T2A_DUP_T)
                     .alias("is_semantic_dup")))
+
+
+# --------------------------------------- cross-video frame dedup
+FRAME_DEDUP_SQL = """
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n FROM documents),
+f AS (
+  SELECT doc_id,
+         unnest(range(1 + n % 4)) AS frame_idx, text
+  FROM p),
+frames AS (
+  SELECT doc_id, frame_idx,
+         md5(rpad(substring(text, frame_idx * 16 + 1, 16),
+                  16, chr(0))) AS frame_key
+  FROM f)
+SELECT frame_key,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc_id
+FROM frames GROUP BY frame_key
+HAVING COUNT(*) > 1
+"""
+
+
+@query("mm_frame_dedup", FRAME_DEDUP_SQL)
+def mm_frame_dedup(spark, sf_dir):
+    """CROSS-VIDEO frame dedup: identical (resized) frames that
+    occur more than once across the corpus, keyed by content digest
+    — the sub-asset dedup layer (intros, logos, black frames) that
+    whole-file hashing cannot see, feeding a store-once/reference-
+    many media layout.  Reuses the mapInPandas frame-sampling
+    operator; the digest groupBy is the only shuffle and carries
+    16-byte keys, never frame payloads."""
+    from ..operators.multimodal import sample_frames
+
+    d = spread(t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    frames = sample_frames(payloads).select(
+        "doc_id", F.md5(F.col("frame_payload")).alias("frame_key"))
+    return (frames.groupBy("frame_key")
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_occurrences"),
+                 F.count_distinct("doc_id").cast("bigint")
+                 .alias("n_docs"),
+                 F.min("doc_id").alias("first_doc_id"))
+            .filter(F.col("n_occurrences") > 1))

@@ -1259,3 +1259,40 @@ def sims_embedding_drift(spark, sf_dir):
                     F.col("n_cur").cast("bigint").alias("n_cur"),
                     cos.alias("centroid_cosine"),
                     (cos < 0.9).alias("drift_alarm")))
+
+
+# ------------------------------------------- norm distribution QA
+NORM_STATS_SQL = f"""
+WITH v AS (
+  SELECT label,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm
+  FROM embeddings)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm,
+       ROUND(CAST(CAST(SUM(CAST(nrm AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS avg_norm
+FROM v GROUP BY label
+"""
+
+
+@query("sims_norm_stats", NORM_STATS_SQL)
+def sims_norm_stats(spark, sf_dir):
+    """Embedding NORM distribution per label: min/max/mean vector
+    length — the two-second sanity check that catches collapsed
+    embeddings (norms near zero), un-normalized mixtures (huge
+    spread), and dead classes before any cosine threshold is
+    trusted (cosine assumes norms are sane; this verifies it).
+    Map-only norm pass into a label-cardinality aggregate;
+    DECIMAL-accumulated mean."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    v = emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+    return (v.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm"),
+                 F.round(F.sum(F.col("nrm").cast("decimal(38,10)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_norm")))
