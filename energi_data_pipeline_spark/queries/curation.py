@@ -533,3 +533,56 @@ def curation_split_leakage(spark, sf_dir):
                     "split_a", "split_b",
                     (F.col("split_a") != F.col("split_b"))
                     .alias("is_leakage")))
+
+
+# --------------------------------------- source quality league
+LEAGUE_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+rep AS ({{rep_sql}})
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CASE WHEN q.passes_quality THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS quality_pass_rate,
+       ROUND(CAST(SUM(CASE WHEN rep.passes_repetition THEN 1 ELSE 0
+                      END) AS DOUBLE) / COUNT(*), 6)
+         AS repetition_pass_rate,
+       ROUND(CAST(CAST(SUM(CAST(q.chars_per_token AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+         AS avg_chars_per_token
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@query(
+    "curation_source_league",
+    LEAGUE_SQL.format(rep_sql=REGISTRY["text_repetition_score"].oracle),
+)
+def curation_source_league(spark, sf_dir):
+    """Source quality LEAGUE table: per domain, the pass rates of
+    the quality and repetition gates plus the mean chars-per-token —
+    the ranking that turns per-document scores into per-source
+    mixture decisions (a domain failing 40% of gates gets
+    down-weighted at the source, not filtered doc by doc).
+    Composes two verified scoring operators on the doc_id key and
+    folds to source-cardinality rows with DECIMAL-exact means."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    q = REGISTRY["text_quality_score"].fn(spark, sf_dir) \
+        .select("doc_id", "chars_per_token", "passes_quality")
+    rep = REGISTRY["text_repetition_score"].fn(spark, sf_dir) \
+        .select("doc_id", "passes_repetition")
+    pr = lambda c: F.round(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1)), 6)
+    return (d.join(q, "doc_id").join(rep, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 pr(F.col("passes_quality")).alias("quality_pass_rate"),
+                 pr(F.col("passes_repetition"))
+                 .alias("repetition_pass_rate"),
+                 F.round(F.sum(F.col("chars_per_token")
+                               .cast("decimal(38,10)")).cast("double")
+                         / F.count(F.lit(1)), 6)
+                 .alias("avg_chars_per_token")))

@@ -1296,3 +1296,58 @@ def sims_norm_stats(spark, sf_dir):
                  F.round(F.sum(F.col("nrm").cast("decimal(38,10)"))
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("avg_norm")))
+
+
+# --------------------------------------- in-bucket cosine histogram
+COS_HIST_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm,
+         CAST({_bucket_sql(NEARDUP_PLANES)} AS BIGINT) AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT CAST(FLOOR(ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                         CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+               / (a.nrm * b.nrm), 6) * 10) AS INTEGER) AS bin
+  FROM vec a JOIN vec b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT bin,
+       ROUND(bin / 10.0, 6) AS bin_low,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY bin
+"""
+
+
+@query("sims_cosine_histogram", COS_HIST_SQL)
+def sims_cosine_histogram(spark, sf_dir):
+    """In-bucket COSINE distribution histogram (0.1-wide bins over
+    every same-bucket pair) — the calibration evidence behind every
+    similarity threshold in this module: you pick 0.5 for near-dup
+    or 0.15 for range search by looking at exactly this histogram,
+    and a bimodal shape validates that a threshold separates
+    anything at all.  Bins floor the 6-rounded cosine, so bin edges
+    are engine-exact.
+
+    Scale shape: pairs enumerate within LSH buckets only (the
+    coarse 4-plane code), and only a small int crosses the shuffle
+    into a ~20-row aggregate."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _bucket_col(NEARDUP_PLANES).alias("bucket")).cache()
+    other = vec.select(F.col("vec_id").alias("b_id"),
+                       F.col("embedding").alias("b_emb"),
+                       F.col("nrm").alias("b_nrm"),
+                       F.col("bucket").alias("b_bucket"))
+    cos = F.round(_dot(F.col("embedding"), F.col("b_emb"))
+                  / (F.col("nrm") * F.col("b_nrm")), 6)
+    pairs = (vec.join(other, (F.col("bucket") == F.col("b_bucket"))
+                      & (F.col("vec_id") < F.col("b_id")))
+             .select(F.floor(cos * 10).cast("int").alias("bin")))
+    return (pairs.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .select("bin", F.round(F.col("bin") / 10.0, 6)
+                    .alias("bin_low"), "n_pairs"))
