@@ -582,3 +582,57 @@ def mm_frame_dedup(spark, sf_dir):
                  .alias("n_docs"),
                  F.min("doc_id").alias("first_doc_id"))
             .filter(F.col("n_occurrences") > 1))
+
+
+# --------------------------------------- audio silence ratio
+SILENCE_RMS_T = 90.0
+
+SILENCE_SQL = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE length(text) > 0),
+w AS (
+  SELECT doc_id, n, text,
+         unnest(range(0, CAST(ceil(n / 32.0) AS INTEGER))) AS win_idx
+  FROM p),
+rms AS (
+  SELECT doc_id,
+         ROUND(sqrt(CAST(list_sum(list_transform(
+                 range(win_idx * 32 + 1,
+                       LEAST(win_idx * 32 + 32, n) + 1),
+                 i -> ascii(substr(text, i, 1))
+                      * ascii(substr(text, i, 1)))) AS DOUBLE)
+               / LEAST(32, n - win_idx * 32)), 6) AS r
+  FROM w)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_windows,
+       CAST(SUM(CASE WHEN r < {SILENCE_RMS_T} THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_silent,
+       ROUND(CAST(SUM(CASE WHEN r < {SILENCE_RMS_T} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS silence_ratio
+FROM rms GROUP BY doc_id
+"""
+
+
+@query("mm_audio_silence", SILENCE_SQL)
+def mm_audio_silence(spark, sf_dir):
+    """Audio SILENCE profile: the fraction of analysis windows below
+    an RMS energy threshold per item — the voice-activity-style
+    summary that gates audio into a training mixture (an hour of
+    near-silence is storage, not signal).  Composes the Arrow-
+    batched RMS operator and folds window rows to item-grain; the
+    gate compares the 6-rounded RMS identically on both engines."""
+    from ..operators.multimodal import audio_windows
+
+    d = spread(t(spark, sf_dir, "documents")
+               .filter(F.length("text") > 0))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    rms = audio_windows(payloads)
+    silent = F.sum(
+        F.when(F.col("rms") < SILENCE_RMS_T, 1).otherwise(0))
+    return (rms.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_windows"),
+                 silent.cast("int").alias("n_silent"),
+                 F.round(silent.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("silence_ratio")))

@@ -2359,3 +2359,62 @@ def ext_null_profile(spark, sf_dir):
         "col", F.col("n_null").cast("bigint").alias("n_null"),
         F.round(F.col("n_null").cast("double") / F.col("n"), 6)
         .alias("null_ratio"))
+
+
+# --------------------------------------- categorical drift
+CAT_DRIFT_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_orderpriority,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2),
+m_tot AS (
+  SELECT month, SUM(n) AS mt FROM monthly GROUP BY month),
+overall AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE)
+           / (SELECT COUNT(*) FROM orders) AS base_share
+  FROM orders GROUP BY o_orderpriority)
+SELECT m.month, m.o_orderpriority,
+       CAST(m.n AS BIGINT) AS n,
+       ROUND(CAST(m.n AS DOUBLE) / t.mt, 6) AS month_share,
+       ROUND(o.base_share, 6) AS base_share,
+       ROUND(CAST(m.n AS DOUBLE) / t.mt - o.base_share, 6)
+         AS share_drift
+FROM monthly m
+JOIN m_tot t ON t.month = m.month
+JOIN overall o ON o.o_orderpriority = m.o_orderpriority
+"""
+
+
+@query("ext_categorical_drift", CAT_DRIFT_SQL)
+def ext_categorical_drift(spark, sf_dir):
+    """Categorical-mix DRIFT: each month's order-priority
+    distribution against the all-time baseline share — the
+    monitoring view that catches a category silently vanishing or
+    exploding (upstream enum change, routing bug) long before
+    absolute counts look wrong.  Three dimension-sized aggregates
+    joined on bounded keys; the share arithmetic divides exact
+    counts identically on both engines."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n")))
+    m_tot = monthly.groupBy("month").agg(F.sum("n").alias("mt"))
+    total = orders.agg(F.count(F.lit(1)).alias("gt"))
+    overall = (orders.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .crossJoin(F.broadcast(total))
+               .select("o_orderpriority",
+                       (F.col("c").cast("double") / F.col("gt"))
+                       .alias("base_share")))
+    ms = F.col("n").cast("double") / F.col("mt")
+    return (monthly.join(m_tot, "month")
+            .join(overall, "o_orderpriority")
+            .select("month", "o_orderpriority",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(ms, 6).alias("month_share"),
+                    F.round("base_share", 6).alias("base_share"),
+                    F.round(ms - F.col("base_share"), 6)
+                    .alias("share_drift")))
