@@ -90,6 +90,13 @@ _DRIVER_VERIFIED = frozenset({
 #: driver's first-50 verify window before they get their row; new
 #: (also-unverified) entries queue directly behind this window and
 #: rotate in the following round.
+#:
+#: ROUND-4 ACTION: once CORRECTNESS_r03.json lands, move every name
+#: with a green r03 row into _DRIVER_VERIFIED, then repopulate this
+#: window with the next 50 never-verified entries in their current
+#: load_all() order (the round-3 additions queued at positions
+#: 51+); repeat each round until the union of CORRECTNESS_r* covers
+#: the whole registry.
 _VERIFY_FRONT_WINDOW = (
     "sims_quantize_int8", "mm_frame_sample", "mm_decode_features",
     "mm_resize_stride", "mm_audio_rms", "ext_asof_join",
