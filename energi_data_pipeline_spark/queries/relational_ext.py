@@ -2418,3 +2418,49 @@ def ext_categorical_drift(spark, sf_dir):
                     F.round("base_share", 6).alias("base_share"),
                     F.round(ms - F.col("base_share"), 6)
                     .alias("share_drift")))
+
+
+# --------------------------------------- running-peak drawdown
+DRAWDOWN_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                    AS VARCHAR) AS DOUBLE), 6) AS revenue
+  FROM orders GROUP BY date_trunc('month', o_orderdate)),
+peaks AS (
+  SELECT month, revenue,
+         MAX(revenue) OVER (ORDER BY month
+                            ROWS UNBOUNDED PRECEDING) AS peak
+  FROM monthly)
+SELECT month, revenue, peak,
+       ROUND((peak - revenue) / peak, 6) AS drawdown,
+       revenue = peak AS at_peak
+FROM peaks
+"""
+
+
+@query("ext_running_drawdown", DRAWDOWN_SQL)
+def ext_running_drawdown(spark, sf_dir):
+    """Running-peak DRAWDOWN over the monthly revenue series: each
+    month's gap below the best month seen so far — the
+    trough-depth readout (finance's max-drawdown family) that a
+    plain month-over-month change hides, because a slow five-month
+    slide never shows a big single-month drop.  The running-max
+    window orders month-cardinality rows; the heavy work is the one
+    DECIMAL-exact monthly aggregate."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+                     .cast("double"), 6).alias("revenue")))
+    from pyspark.sql import Window
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    peak = F.max("revenue").over(w)
+    return (monthly
+            .withColumn("peak", peak)
+            .select("month", "revenue", "peak",
+                    F.round((F.col("peak") - F.col("revenue"))
+                            / F.col("peak"), 6).alias("drawdown"),
+                    (F.col("revenue") == F.col("peak"))
+                    .alias("at_peak")))
