@@ -1,22 +1,41 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (and writes the same JSON to BENCH_LAST.json so
+the artifact can never be truncated by output-tail capture):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>, ...}
 
-Methodology: one shared session (JVM startup excluded, as for any
-resident engine); each query executes fully via the noop sink (count
-alone would let Catalyst prune the projections we mean to measure).
-A DuckDB run of the same oracle SQL is included as
-``duckdb_baseline`` so the 2x target (BASELINE.md) is visible in the
-same artifact.
+Methodology (round-4 revision, per the round-3 verdict):
+
+* one shared session (JVM startup excluded, as for any resident
+  engine); each query executes fully via the noop sink (count alone
+  would let Catalyst prune the projections we mean to measure);
+* N_RUNS=3 measured executions per query, ALL runs recorded in the
+  artifact (``spark_runs`` / ``duckdb_runs``) — the headline
+  per-query number is the min (steady state), the median is
+  published alongside, and the cold/warm split is visible instead of
+  asserted;
+* a DuckDB run of the same oracle SQL is included as
+  ``duckdb_baseline`` so the 2x target (BASELINE.md) is visible in
+  the same artifact;
+* ``*_ex_outlier`` totals drop the single query pair with the
+  largest DuckDB-side time: the raw total can be flattered by one
+  pathological oracle (DuckDB's correlated-subquery LSH scoring runs
+  25-75s where the banded Spark plan takes ~1.5s), so both the raw
+  and the ex-outlier ratios are published;
+* ``stream_engine_startup_s`` is the measured cost of spinning up a
+  micro-batch run (planner + state store + sink) on a trivial
+  source: the streaming entries pay roughly this much per execution
+  that a resident stream would pay once, so their batch-vs-batch
+  comparison is annotated rather than silently unfair.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -44,17 +63,16 @@ HEADLINE = [
     "mm_binary_metadata",
 ]
 
-#: measured executions per query, min reported (symmetric for Spark
-#: and DuckDB) — removes scheduler/contention noise, keeps all real
-#: per-run work
-N_RUNS = 2
-#: skip re-runs once a measurement exceeds this: noise is a fixed
-#: few-hundred-ms effect, negligible at this duration (and it keeps
-#: the whole bench comfortably inside the driver's capture window).
-#: 30s, NOT 10s: dedup_ngram_jaccard's first execution pays ~15s of
-#: one-time JIT/codegen+page-cache cost against a ~4.5s steady state,
-#: and a 10s cutoff skipped exactly the re-run that would have
-#: measured it — recording the cold outlier as the query's time.
+#: streaming entries: their per-run time includes micro-batch engine
+#: startup (see stream_engine_startup_s in the artifact)
+STREAMING = {"stream_tumbling_window"}
+
+#: measured executions per query (min = steady state; median and the
+#: full run list are recorded so cold/warm behavior is visible)
+N_RUNS = 3
+#: skip re-runs once a measurement exceeds this: bounds total bench
+#: time; at >30s the remaining noise is negligible relative to the
+#: duration and the number is recorded as-is
 RERUN_CUTOFF_S = 30.0
 
 
@@ -69,7 +87,24 @@ def warmup_dir(sf_dir: str) -> str | None:
     return str(sibs[0]) if sibs else None
 
 
-def run_spark(sf_dir: str) -> dict[str, float]:
+def measure_stream_startup(spark) -> float:
+    """Wall-clock of one trivial availableNow micro-batch run (rate
+    source, noop-equivalent memory sink): micro-batch planner + state
+    plumbing + sink init, no data work.  This is the per-execution
+    engine cost the streaming bench entries pay that a resident
+    stream pays once at subscription time."""
+    t0 = time.perf_counter()
+    q = (spark.readStream.format("rate")
+         .option("rowsPerSecond", "1").option("numPartitions", "1")
+         .load()
+         .writeStream.format("memory").queryName("bench_startup_probe")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    spark.catalog.dropTempView("bench_startup_probe")
+    return time.perf_counter() - t0
+
+
+def run_spark(sf_dir: str) -> dict[str, list[float]]:
     from energi_data_pipeline_spark.queries import load_all
     from energi_data_pipeline_spark.session import get_spark
 
@@ -93,32 +128,34 @@ def run_spark(sf_dir: str) -> dict[str, float]:
             pass  # a warm-up miss only costs accuracy, not the run
         spark.catalog.clearCache()
 
-    # min of N_RUNS measured executions per query (symmetric with the
-    # DuckDB side): the min is the steady-state time with scheduler /
-    # page-cache / CPU-contention noise removed — each run still pays
-    # the query's full scans, shuffles and cache materializations
-    # (caches are dropped between runs)
-    times: dict[str, float] = {}
+    # N_RUNS measured executions per query (symmetric with the DuckDB
+    # side), all recorded: min = steady state with scheduler /
+    # page-cache / CPU-contention noise removed; the run list makes
+    # cold-vs-warm behavior part of the artifact.  Each run pays the
+    # query's full scans, shuffles and cache materializations
+    # (caches are dropped between runs).
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        best = None
+        rs: list[float] = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            rs.append(round(time.perf_counter() - t0, 3))
             # drop the query's cache()-barrier partitions (cache cost
             # stays inside the measured time; memory does not
             # accumulate across queries or runs)
             spark.catalog.clearCache()
-            if best > RERUN_CUTOFF_S:
+            if min(rs) > RERUN_CUTOFF_S:
                 break
-        times[name] = round(best, 3)
+        runs[name] = rs
+    startup = round(measure_stream_startup(spark), 3)
     spark.stop()
-    return times
+    runs["__stream_engine_startup__"] = [startup]
+    return runs
 
 
-def run_duckdb(sf_dir: str) -> dict[str, float]:
+def run_duckdb(sf_dir: str) -> dict[str, list[float]]:
     sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
     from parity import duck_connection
 
@@ -126,53 +163,90 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
 
     registry = load_all()
     con = duck_connection(sf_dir)
-    times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         oracle = registry[name].oracle
         if oracle is None:
             continue
-        best = None
+        rs: list[float] = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             con.execute(oracle).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            if best > RERUN_CUTOFF_S:
+            rs.append(round(time.perf_counter() - t0, 3))
+            if min(rs) > RERUN_CUTOFF_S:
                 break
-        times[name] = round(best, 3)
+        runs[name] = rs
     con.close()
-    return times
+    return runs
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
-    spark_times = run_spark(sf_dir)
-    duck_times = run_duckdb(sf_dir)
+    spark_runs = run_spark(sf_dir)
+    stream_startup = spark_runs.pop("__stream_engine_startup__")[0]
+    duck_runs = run_duckdb(sf_dir)
+
+    spark_times = {n: min(rs) for n, rs in spark_runs.items()}
+    duck_times = {n: min(rs) for n, rs in duck_runs.items()}
+    spark_median = {n: round(statistics.median(rs), 3)
+                    for n, rs in spark_runs.items()}
+    total = round(sum(spark_times.values()), 3)
+    duck_total = round(sum(duck_times.values()), 3)
+    # drop the single pair with the largest DuckDB-side time: one
+    # pathological oracle must not flatter (or hide) the headline
+    outlier = max(duck_times, key=duck_times.get)
+    total_ex = round(total - spark_times.get(outlier, 0.0), 3)
+    duck_total_ex = round(duck_total - duck_times[outlier], 3)
+
     result = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(spark_times.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": spark_times,
         "sf": sf,
         "duckdb_baseline": duck_times,
-        "duckdb_total": round(sum(duck_times.values()), 3),
+        "duckdb_total": duck_total,
+        "ratio_vs_duckdb": round(total / duck_total, 3),
+        "outlier_dropped": outlier,
+        "value_ex_outlier": total_ex,
+        "duckdb_total_ex_outlier": duck_total_ex,
+        "ratio_ex_outlier": round(total_ex / duck_total_ex, 3),
+        "queries_median": spark_median,
+        "spark_runs": spark_runs,
+        "duckdb_runs": duck_runs,
+        "stream_engine_startup_s": stream_startup,
         "runs_per_query": N_RUNS,
-        "aggregation": "min",
+        "aggregation": "min (median + full run lists alongside)",
         "notes": ("per-query time = min of runs_per_query measured "
-                  "executions, Spark and DuckDB alike (steady-state, "
-                  "noise removed; caches dropped between runs); "
+                  "executions, Spark and DuckDB alike (steady-state; "
+                  "caches dropped between runs; all runs recorded in "
+                  "spark_runs/duckdb_runs so cold/warm is visible); "
+                  "ratio_ex_outlier drops the one query pair where "
+                  "the DuckDB oracle is pathological "
+                  "(correlated-subquery LSH scoring) — report BOTH "
+                  "ratios; streaming entries pay "
+                  "~stream_engine_startup_s of micro-batch engine "
+                  "init per execution that a resident stream pays "
+                  "once (measured on a trivial rate-source run); "
                   "sessionization is benched via its batch "
                   "window-function twin (sessionization_batch); the "
                   "stateful applyInPandasWithState variant is "
                   "equality-tested in tests/test_streaming_state.py"),
     }
-    # The JSON must be the LAST bytes this process emits: Spark's
-    # streaming StateStore maintenance thread logs a shutdown stack
-    # trace AFTER main() returns, which truncated the round-2 bench
-    # artifact (the driver keeps only a bounded output tail).
-    # Flush, then hard-exit before any JVM shutdown hook can print.
-    print(json.dumps(result), flush=True)
+    payload = json.dumps(result)
+    # Belt: write the artifact to a file directly (round-2's BENCH
+    # artifact was truncated by bounded stdout-tail capture).
+    try:
+        out = Path(__file__).resolve().parent / "BENCH_LAST.json"
+        out.write_text(payload + "\n", encoding="utf-8")
+    except OSError:
+        pass
+    # Braces: the JSON must also be the LAST bytes this process
+    # emits: Spark's streaming StateStore maintenance thread logs a
+    # shutdown stack trace AFTER main() returns.  Flush, then
+    # hard-exit before any JVM shutdown hook can print.
+    print(payload, flush=True)
     sys.stderr.flush()
     os._exit(0)
 

@@ -181,7 +181,8 @@ def merge_upsert_plan(target: DataFrame, source: DataFrame,
           for c in vals])
 
 
-def publish_atomic(df: DataFrame, path: str) -> None:
+def publish_atomic(df: DataFrame, path: str,
+                   partition_by: list[str] | None = None) -> None:
     """Write a table snapshot and publish it atomically.
 
     The anti-join/merge write paths are read-modify-write: a crash
@@ -209,7 +210,10 @@ def publish_atomic(df: DataFrame, path: str) -> None:
 
     recover_atomic(path)  # repair any prior hard-killed swap first
     tmp = f"{path}.__staged_{_uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     old = f"{path}.__old"
     if os.path.exists(path):
         # a leftover __old here means a previous swap crashed AFTER
@@ -302,6 +306,23 @@ def read_version(spark: SparkSession, path: str,
     return spark.read.parquet(vdir)
 
 
+def _partition_columns(path: str) -> list[str]:
+    """Hive-style partition columns of a table directory, derived by
+    descending the first ``k=v`` directory chain.  Empty for flat
+    (unpartitioned) tables.  Driver-side metadata peek only — no
+    data files are opened."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subs = [e for e in os.scandir(cur)
+                if e.is_dir() and "=" in e.name
+                and not e.name.startswith((".", "_"))]
+        if not subs:
+            return cols
+        cols.append(subs[0].name.split("=", 1)[0])
+        cur = subs[0].path
+
+
 def compact_table(spark: SparkSession, path: str,
                   target_file_bytes: int = 128 << 20) -> int:
     """Small-file compaction: rewrite a table directory into
@@ -313,16 +334,28 @@ def compact_table(spark: SparkSession, path: str,
     at 100 TB a table of 4 MB files pays ~30x the open/footer cost
     of 128 MB files and floods the driver with splits.  Compaction
     is the standard maintenance pass (OPTIMIZE in lakehouse
-    formats); ``coalesce`` avoids a shuffle — each output file
-    concatenates whole input partitions.  Returns the target file
-    count.  Single-writer contract, like every publish in this
-    module."""
+    formats).  Returns the target file count.  Single-writer
+    contract, like every publish in this module.
+
+    Partition-aware: bytes are summed with a recursive walk (data
+    files of ``partition_by`` tables live in ``k=v`` subdirs), the
+    partition layout is re-derived from the directory chain, and the
+    rewrite preserves it — each Hive partition is hash-routed whole
+    to one task (``repartition(n, cols)``) so it compacts to one
+    file per partition and downstream cursor predicates keep
+    pruning.  Flat tables keep the shuffle-free ``coalesce`` path.
+    """
     import math
 
     recover_atomic(path)
     n_bytes = sum(
-        f.stat().st_size for f in os.scandir(path)
-        if f.is_file() and not f.name.startswith((".", "_")))
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(path)
+        for f in files if not f.startswith((".", "_")))
     n_files = max(1, math.ceil(n_bytes / target_file_bytes))
-    publish_atomic(spark.read.parquet(path).coalesce(n_files), path)
+    parts = _partition_columns(path)
+    df = spark.read.parquet(path)
+    out = (df.repartition(n_files, *[F.col(c) for c in parts])
+           if parts else df.coalesce(n_files))
+    publish_atomic(out, path, partition_by=parts or None)
     return n_files

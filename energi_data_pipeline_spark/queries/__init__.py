@@ -47,8 +47,9 @@ def query(name: str, oracle: str | None):
 
 
 #: registry entries the external driver has ALREADY hash-verified
-#: (CORRECTNESS_r01 + r02 cover exactly the first 50 registry
-#: entries; both rounds saw the same 50).  The driver checks only
+#: (CORRECTNESS_r01 + r02 cover the first 50 registry entries of
+#: those rounds; CORRECTNESS_r03 covers the 50 that the round-3
+#: front window promoted — all 50 green).  The driver checks only
 #: the first 50 of load_all()'s order, so entries NOT in this set
 #: are promoted to the front until every query has carried a
 #: driver-issued green row at least once.  Module import order
@@ -81,23 +82,9 @@ _DRIVER_VERIFIED = frozenset({
     "stream_static_join", "stream_sessionization",
     "stream_dedup_watermark", "stream_stream_join",
     "sessionization_batch", "mm_binary_metadata",
-})
-
-
-#: The round-3 driver window: the 50 entries (in this order) that
-#: have NEVER carried a driver-issued green row.  Pinned explicitly
-#: so that queries added later cannot displace them out of the
-#: driver's first-50 verify window before they get their row; new
-#: (also-unverified) entries queue directly behind this window and
-#: rotate in the following round.
-#:
-#: ROUND-4 ACTION: once CORRECTNESS_r03.json lands, move every name
-#: with a green r03 row into _DRIVER_VERIFIED, then repopulate this
-#: window with the next 50 never-verified entries in their current
-#: load_all() order (the round-3 additions queued at positions
-#: 51+); repeat each round until the union of CORRECTNESS_r* covers
-#: the whole registry.
-_VERIFY_FRONT_WINDOW = (
+    # --- CORRECTNESS_r03 green rows (all 50 of the round-3 window,
+    # including sims_quantize_int8's fresh row after the scalar-output
+    # fix) ---
     "sims_quantize_int8", "mm_frame_sample", "mm_decode_features",
     "mm_resize_stride", "mm_audio_rms", "ext_asof_join",
     "ext_asof_join_forward", "ext_range_join_binned",
@@ -118,6 +105,51 @@ _VERIFY_FRONT_WINDOW = (
     "tpch_q7_volume_shipping", "tpch_q13_customer_distribution",
     "tpch_q22_global_sales_opportunity", "tpch_q8_national_market_share",
     "tpch_q15_top_supplier", "curation_pipeline",
+})
+
+
+#: The round-4 driver window: the next 50 entries (in this order)
+#: that have NEVER carried a driver-issued green row.  Pinned
+#: explicitly so that queries added later cannot displace them out
+#: of the driver's first-50 verify window before they get their
+#: row; new (also-unverified) entries queue directly behind this
+#: window and rotate in the following round.
+#:
+#: ROUND-5 ACTION: once CORRECTNESS_r04.json lands, move every name
+#: with a green r04 row into _DRIVER_VERIFIED, then repopulate this
+#: window with the REMAINING 26 never-verified entries in their
+#: current load_all() order (ext_mom_growth, ext_cdc_apply,
+#: ext_benford_audit, ext_pareto_share, ext_event_transition_matrix,
+#: ext_histogram_log_bins, ext_rolling_active_users,
+#: ext_market_basket_pairs, ext_association_rules, ext_reorder_gap,
+#: ext_activity_streaks, ext_seasonality_profile,
+#: ext_gap_fill_linear, ext_top_percent_per_group, ext_null_profile,
+#: ext_categorical_drift, ext_running_drawdown, and the 9-entry
+#: curation family) plus any round-4 additions; after r05 the union
+#: of CORRECTNESS_r* covers the whole registry.
+_VERIFY_FRONT_WINDOW = (
+    "text_repetition_score", "text_langid_agreement",
+    "text_unigram_logprob", "text_duplicate_spans",
+    "text_bigram_logprob", "text_zipf_slope", "text_vocab_coverage",
+    "text_blocklist_filter", "dedup_incremental_exact",
+    "dedup_cluster_keep_best", "dedup_containment",
+    "dedup_cluster_size_histogram", "dedup_minhash_calibration",
+    "dedup_simhash_pairs", "dedup_lsh_banding_sweep",
+    "sims_knn_label_consistency", "sims_pq_adc",
+    "sims_label_centroid_margin", "sims_recall_eval",
+    "sims_bucket_balance", "dedup_incremental_embedding",
+    "sims_ivf_multiprobe", "sims_pq_distortion", "sims_range_search",
+    "sims_embedding_drift", "sims_norm_stats", "sims_cosine_histogram",
+    "stream_topk_per_window", "stream_latest_state",
+    "stream_stream_left_outer", "stream_session_window_builtin",
+    "stream_tumbling_append_finalized", "mm_phash_near_dup",
+    "mm_format_stats", "mm_content_defined_chunks",
+    "mm_embed_documents", "pipeline_text_to_ann", "mm_frame_dedup",
+    "mm_audio_silence", "ext_asof_join_tolerance", "ext_outlier_mad",
+    "ext_skew_stats", "ext_reaggregate_partials", "ext_mode_per_group",
+    "ext_string_agg_ordered", "ext_ntile_deciles", "ext_snapshot_diff",
+    "ext_nth_value_frames", "ext_rfm_segmentation",
+    "ext_cumulative_distinct",
 )
 
 

@@ -596,6 +596,19 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _merge_latest_rows(existing, batch_latest, w):
+    """Merge a micro-batch's per-key winners into the stored
+    latest-state rows by WHOLE-ROW window rank (greatest (ts,
+    event_id) survives).  Whole rows, deliberately: a per-column
+    coalesce merge would resurrect a stored non-NULL value when the
+    key's newest event legitimately carries NULL."""
+    if existing is None:
+        return batch_latest
+    return (existing.unionByName(batch_latest)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
 @query("stream_latest_state", LATEST_STATE_SQL)
 def stream_latest_state(spark, sf_dir):
     """A continuously-maintained LATEST-STATE table (current value
@@ -603,11 +616,13 @@ def stream_latest_state(spark, sf_dir):
     micro-batch reduces to its per-key winners, merges them into the
     managed table with ORDERED last-writer-wins (greatest (ts,
     event_id) survives — so replays and out-of-order batches cannot
-    regress a key), and publishes atomically via the crash-safe
-    snapshot swap.  This is the foreachBatch + merge_upsert pattern
-    (tests/test_streaming_merge.py) promoted to an oracle-paired
-    operator: the final table must equal the batch latest-per-key
-    query over the same events.
+    regress a key), and publishes the merged WHOLE rows atomically
+    via the crash-safe snapshot swap (not merge_upsert's per-column
+    coalesce, which would resurrect an old non-NULL value over a
+    key's legitimately-NULL newest event).  This is the foreachBatch
+    + upsert pattern (tests/test_streaming_merge.py) promoted to an
+    oracle-paired operator: the final table must equal the batch
+    latest-per-key query over the same events.
 
     Scale shape: the per-batch reduction is a window over the
     micro-batch only; the merge is one co-partitioned full-outer
@@ -618,7 +633,7 @@ def stream_latest_state(spark, sf_dir):
     import tempfile
 
     from pyspark.sql import Window
-    from ..io import merge_upsert, read_layer_table
+    from ..io import publish_atomic, read_layer_table, table_path
 
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
@@ -635,12 +650,8 @@ def stream_latest_state(spark, sf_dir):
                         .filter(F.col("rn") == 1).drop("rn"))
         sess = batch_df.sparkSession
         existing = read_layer_table(sess, wh, "gold", "latest_state")
-        merged = (batch_latest if existing is None
-                  else existing.unionByName(batch_latest)
-                  .withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1).drop("rn"))
-        merge_upsert(sess, merged, wh, "gold", "latest_state",
-                     keys=["user_id", "event_type"])
+        merged = _merge_latest_rows(existing, batch_latest, w)
+        publish_atomic(merged, table_path(wh, "gold", "latest_state"))
 
     try:
         q = (_with_event_time(
@@ -651,7 +662,6 @@ def stream_latest_state(spark, sf_dir):
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        from ..io import table_path
         out = (spark.read.parquet(table_path(wh, "gold", "latest_state"))
                .select("user_id", "event_type",
                        F.col("ts").alias("last_ts"),

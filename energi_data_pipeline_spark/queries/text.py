@@ -1007,9 +1007,10 @@ SELECT doc_id,
        CAST(len(list_filter(tk, t -> t IN ({_BL_SQL})))
             AS INTEGER) AS n_blocked,
        CAST(len(tk) AS INTEGER) AS n_tokens,
-       ROUND(CAST(len(list_filter(tk, t ->
-                 t IN ({_BL_SQL}))) AS DOUBLE)
-             / len(tk), 6) AS blocked_ratio,
+       CASE WHEN len(tk) = 0 THEN NULL
+            ELSE ROUND(CAST(len(list_filter(tk, t ->
+                      t IN ({_BL_SQL}))) AS DOUBLE)
+                  / len(tk), 6) END AS blocked_ratio,
        len(list_filter(tk, t -> t IN ({_BL_SQL}))) > 0
          AS is_blocked
 FROM toks
@@ -1026,7 +1027,9 @@ def text_blocklist_filter(spark, sf_dir):
     both kept and dropped docs); a production list is thousands of
     terms — swap the literal array for a broadcast lookup, same
     plan.  Pure map stage: one lowercase pass and one membership
-    filter per doc, zero shuffles."""
+    filter per doc, zero shuffles.  The ratio is NULL-guarded for
+    zero-token documents on both sides (Spark's double 0/0 is NULL,
+    DuckDB's is NaN — the engines would disagree otherwise)."""
     d = t(spark, sf_dir, "documents")
     bl = F.array(*[F.lit(w) for w in BLOCKLIST])
     tk = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
@@ -1035,6 +1038,7 @@ def text_blocklist_filter(spark, sf_dir):
         "doc_id",
         hits.cast("int").alias("n_blocked"),
         F.size(tk).cast("int").alias("n_tokens"),
-        F.round(hits.cast("double") / F.size(tk), 6)
+        F.when(F.size(tk) == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(hits.cast("double") / F.size(tk), 6))
         .alias("blocked_ratio"),
         (hits > 0).alias("is_blocked"))

@@ -6,6 +6,8 @@ idempotent because the merge is last-writer-wins on the key.
 
 from __future__ import annotations
 
+from datetime import datetime
+
 import pandas as pd
 
 from energi_data_pipeline_spark.io import merge_upsert, table_path
@@ -51,3 +53,30 @@ def test_stream_foreachbatch_merge_latest_state(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(
         table_path(wh, "gold", "latest_state")).collect()}
     assert got == {(1, 12), (2, 21), (3, 30)}
+
+
+def test_merge_latest_rows_null_newest_wins(spark):
+    """ADVICE r3 (low): a key whose NEWEST event carries NULL must
+    surface NULL — whole-row merge, not per-column coalesce (which
+    would resurrect the stored non-NULL value)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.streaming import (
+        _merge_latest_rows)
+
+    schema = ("user_id int, event_type string, ts timestamp, "
+              "event_id int, value double")
+    existing = spark.createDataFrame(
+        [(1, "click", datetime(2024, 1, 1, 0, 0), 1, 5.0)], schema)
+    batch = spark.createDataFrame(
+        [(1, "click", datetime(2024, 1, 1, 0, 5), 2, None),
+         (2, "view", datetime(2024, 1, 1, 0, 1), 3, 7.0)], schema)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+
+    got = {tuple(r) for r in
+           _merge_latest_rows(existing, batch, w).collect()}
+    assert got == {
+        (1, "click", datetime(2024, 1, 1, 0, 5), 2, None),
+        (2, "view", datetime(2024, 1, 1, 0, 1), 3, 7.0)}
