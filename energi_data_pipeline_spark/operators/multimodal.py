@@ -43,13 +43,19 @@ def decode_stub(payload: bytes) -> tuple[int, int]:
     return (64 + payload[0] % 64, 64 + payload[-1] % 64)
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, decode=decode_stub) -> DataFrame:
     """``(doc_id, payload binary)`` -> per-item features, Arrow-batched.
 
     mapInPandas receives an iterator of pandas DataFrames (one per
     Arrow batch) — memory use is bounded by the batch size, not the
     partition size, which is what keeps a 100 TB media column
     processable.
+
+    ``decode`` is the injectable kernel (``bytes -> (width,
+    height)``): pass a real PIL/torchvision decoder to run it inside
+    the same Arrow batch loop; the stub default keeps the oracle
+    pairing deterministic.  The callable is cloudpickled to the
+    executors like any pandas-UDF closure.
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -57,7 +63,7 @@ def extract_features(df: DataFrame) -> DataFrame:
 
         for pdf in it:
             payloads = pdf["payload"]
-            dims = payloads.map(decode_stub)
+            dims = payloads.map(decode)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": payloads.map(
@@ -92,7 +98,7 @@ def resize_stub(frame: bytes) -> bytes:
     return (frame or b"")[:FRAME_BYTES].ljust(FRAME_BYTES, b"\0")
 
 
-def sample_frames(df: DataFrame) -> DataFrame:
+def sample_frames(df: DataFrame, resize=resize_stub) -> DataFrame:
     """``(doc_id, payload binary)`` -> one row per sampled "frame".
 
     The 1->N row expansion happens INSIDE mapInPandas (video decode
@@ -100,7 +106,9 @@ def sample_frames(df: DataFrame) -> DataFrame:
     input batch, never with partition size, and no shuffle/explode
     over the full payload is needed.  Frame count and offsets derive
     deterministically from the byte length (decode_stub-style), each
-    frame is a byte slice passed through :func:`resize_stub`.
+    frame is a byte slice passed through the injectable ``resize``
+    kernel (default :func:`resize_stub`; swap in a real
+    PIL/ffmpeg scale without touching the Spark plumbing).
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -114,7 +122,7 @@ def sample_frames(df: DataFrame) -> DataFrame:
                 for i in range(n_frames):
                     frame = payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
                     rows.append((doc_id, n_frames, i, i * 0.5,
-                                 resize_stub(frame)))
+                                 resize(frame)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
@@ -140,17 +148,18 @@ def downsample_stub(payload: bytes) -> bytes:
     return (payload or b"")[::RESIZE_STRIDE]
 
 
-def resize_payloads(df: DataFrame) -> DataFrame:
+def resize_payloads(df: DataFrame, downsample=downsample_stub) -> DataFrame:
     """``(doc_id, payload binary)`` -> downsampled payload + sizes,
     Arrow-batched binary->binary (the thumbnail/transcode shape:
     output bytes stay a fraction of input bytes, so batch memory
-    shrinks through the operator)."""
+    shrinks through the operator).  ``downsample`` is the injectable
+    ``bytes -> bytes`` kernel (default: the deterministic stub)."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in it:
-            small = pdf["payload"].map(downsample_stub)
+            small = pdf["payload"].map(downsample)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": pdf["payload"].map(
@@ -240,10 +249,12 @@ def blockhash_stub(payload: bytes) -> int:
     return h
 
 
-def perceptual_hashes(df: DataFrame) -> DataFrame:
+def perceptual_hashes(df: DataFrame, hash_fn=blockhash_stub) -> DataFrame:
     """``(doc_id, payload binary)`` -> per-item blockhash fingerprint,
     Arrow-batched (the image near-dup signature pass: one map over
-    the media column, constant bytes out per item)."""
+    the media column, constant bytes out per item).  ``hash_fn`` is
+    the injectable ``bytes -> int`` kernel (default: the
+    deterministic byte-block stub)."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -254,7 +265,7 @@ def perceptual_hashes(df: DataFrame) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "n_bytes": payloads.map(
                     lambda b: 0 if b is None else len(b)).astype("int32"),
-                "phash": payloads.map(blockhash_stub).astype("int64"),
+                "phash": payloads.map(hash_fn).astype("int64"),
             })
 
     return df.mapInPandas(batches, PHASH_SCHEMA)
@@ -284,12 +295,14 @@ def embed_stub(payload: bytes) -> list[int]:
     ]
 
 
-def embed_documents(df: DataFrame) -> DataFrame:
+def embed_documents(df: DataFrame, encoder=embed_stub) -> DataFrame:
     """``(doc_id, payload binary)`` -> deterministic stub embeddings,
     Arrow-batched.  The embedding surfaces as a comma-joined string
     (the external driver's canonicalizer cannot hash array cells —
     the int8-quantization lesson); a real pipeline would keep the
-    array column and write parquet."""
+    array column and write parquet.  ``encoder`` is the injectable
+    ``bytes -> list[int]`` kernel — a real ONNX/torch encoder slots
+    into the same batch loop."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -299,7 +312,7 @@ def embed_documents(df: DataFrame) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "embedding_csv": pdf["payload"].map(
                     lambda b: ",".join(
-                        str(x) for x in embed_stub(b))),
+                        str(x) for x in encoder(b))),
             })
 
     return df.mapInPandas(batches, EMBED_SCHEMA)

@@ -290,6 +290,24 @@ def sims_ann_lsh_bucketed(spark, sf_dir):
 NEARDUP_PLANES = 4
 #: cosine at/above which the nearest bucket-mate counts as a near-dup.
 NEARDUP_T = 0.5
+#: near-dup plane scaling: every vector scans its whole bucket, so
+#: with a FIXED code the in-bucket pair count grows QUADRATICALLY
+#: with the corpus (measured: 10x vectors -> 11x wall at 16 buckets,
+#: SCALE_r04.md).  Derive planes from cardinality so mean occupancy
+#: stays ~NEARDUP_OCC; floors at NEARDUP_PLANES through every test
+#: SF (500 and 2000 vectors), keeping the static oracle exact there.
+NEARDUP_OCC = 128
+
+
+def neardup_planes(n_vectors: int) -> int:
+    """Plane count for the near-dup code:
+    ``clamp(ceil(log2(n / NEARDUP_OCC)), NEARDUP_PLANES, MAX_PLANES)``."""
+    import math
+
+    if n_vectors <= NEARDUP_OCC << NEARDUP_PLANES:
+        return NEARDUP_PLANES
+    return min(MAX_PLANES,
+               math.ceil(math.log2(n_vectors / NEARDUP_OCC)))
 
 EMB_NEARDUP_SQL = f"""
 WITH vec AS (
@@ -332,7 +350,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
-        _bucket_col(NEARDUP_PLANES).alias("bucket"),
+        _bucket_col(neardup_planes(corpus_size(sf_dir))).alias("bucket"),
     ).cache()
     other = vec.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -966,7 +984,7 @@ def dedup_incremental_embedding(spark, sf_dir):
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
-        _bucket_col(NEARDUP_PLANES).alias("bucket")).cache()
+        _bucket_col(neardup_planes(corpus_size(sf_dir))).alias("bucket")).cache()
     corpus = vec.filter(F.col("vec_id") < EMB_INCR_SPLIT).select(
         F.col("vec_id").alias("corpus_id"),
         F.col("embedding").alias("c_emb"),
@@ -1205,7 +1223,7 @@ def sims_range_search(spark, sf_dir):
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
-        _bucket_col(NEARDUP_PLANES).alias("bucket"),
+        _bucket_col(neardup_planes(corpus_size(sf_dir))).alias("bucket"),
     ).cache()
     queries = vec.select(
         F.col("vec_id").alias("query_id"),
@@ -1387,7 +1405,7 @@ def sims_cosine_histogram(spark, sf_dir):
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
-        _bucket_col(NEARDUP_PLANES).alias("bucket")).cache()
+        _bucket_col(neardup_planes(corpus_size(sf_dir))).alias("bucket")).cache()
     other = vec.select(F.col("vec_id").alias("b_id"),
                        F.col("embedding").alias("b_emb"),
                        F.col("nrm").alias("b_nrm"),

@@ -245,3 +245,24 @@ def test_ann_plane_count_scales_with_corpus():
                 <= TARGET_BUCKET_OCC
     # (c) bounded fan-out for a trillion-vector corpus
     assert planes_for(10**12) == MAX_PLANES
+
+
+def test_neardup_plane_count_scales_with_corpus():
+    # the near-dup family scans whole buckets, so a fixed code means
+    # quadratic pair growth (measured 10x vectors -> 11x wall at 16
+    # buckets).  Planes must stay at the oracle-stable default at
+    # every test SF and grow with the corpus beyond.
+    from energi_data_pipeline_spark.queries.simsearch import (
+        MAX_PLANES, NEARDUP_OCC, NEARDUP_PLANES, corpus_size,
+        neardup_planes)
+
+    assert neardup_planes(
+        corpus_size("/root/testdata/sf0.01")) == NEARDUP_PLANES
+    assert neardup_planes(
+        corpus_size("/root/testdata/sf0.1")) == NEARDUP_PLANES
+    assert neardup_planes(NEARDUP_OCC << NEARDUP_PLANES) == NEARDUP_PLANES
+    assert neardup_planes(20_000) > NEARDUP_PLANES
+    for n in (10**6, 10**7):
+        assert neardup_planes(2 * n) == min(MAX_PLANES,
+                                            neardup_planes(n) + 1)
+    assert neardup_planes(10**12) == MAX_PLANES
