@@ -199,3 +199,70 @@ def test_compact_table_preserves_partition_layout(spark, tmp_path):
                    for f in os.listdir(os.path.join(path, d))) == 1
     after = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_concurrent_merge_upsert_serializes_writers(spark, tmp_path):
+    """Two writers upserting DISJOINT keys concurrently: without the
+    writer lock the read-modify-write races and the slower writer's
+    snapshot can drop the faster one's rows (lost update).  The
+    locked variant must land both."""
+    import threading
+
+    from energi_data_pipeline_spark.io import (merge_upsert_concurrent,
+                                               read_layer_table)
+
+    wh = str(tmp_path / "wh")
+    # seed the table so both writers take the read-merge path
+    merge_upsert_concurrent(
+        spark, spark.createDataFrame([(0, 0)], "k int, v int"),
+        wh, "gold", "acct", keys=["k"])
+
+    errs: list[Exception] = []
+
+    def writer(lo: int) -> None:
+        try:
+            df = spark.createDataFrame(
+                [(k, k * 10) for k in range(lo, lo + 20)], "k int, v int")
+            merge_upsert_concurrent(spark, df, wh, "gold", "acct",
+                                    keys=["k"], timeout_s=120.0)
+        except Exception as ex:  # surfaced below
+            errs.append(ex)
+
+    ts = [threading.Thread(target=writer, args=(lo,))
+          for lo in (100, 200)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+
+    got = {r.k for r in read_layer_table(spark, wh, "gold", "acct")
+           .collect()}
+    assert got == {0} | set(range(100, 120)) | set(range(200, 220))
+
+
+def test_table_lock_breaks_stale_and_releases_on_error(tmp_path):
+    import os
+
+    from energi_data_pipeline_spark.io import table_lock
+
+    path = str(tmp_path / "t")
+    # stale lock from a dead pid is broken, not deadlocked on
+    with open(path + ".__lock", "w", encoding="utf-8") as fh:
+        fh.write("999999999 0.0")
+    with table_lock(path, timeout_s=5.0):
+        assert os.path.exists(path + ".__lock")
+    assert not os.path.exists(path + ".__lock")
+    # the lock is released when the guarded block raises
+    try:
+        with table_lock(path, timeout_s=5.0):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not os.path.exists(path + ".__lock")
+    # a LIVE lock times out instead of being stolen
+    with table_lock(path, timeout_s=5.0):
+        import pytest
+
+        with pytest.raises(TimeoutError):
+            table_lock(path, timeout_s=0.2).__enter__()
