@@ -117,15 +117,12 @@ _DRIVER_VERIFIED = frozenset({
 #:
 #: ROUND-5 ACTION: once CORRECTNESS_r04.json lands, move every name
 #: with a green r04 row into _DRIVER_VERIFIED, then repopulate this
-#: window with the REMAINING 26 never-verified entries in their
-#: current load_all() order (ext_mom_growth, ext_cdc_apply,
-#: ext_benford_audit, ext_pareto_share, ext_event_transition_matrix,
-#: ext_histogram_log_bins, ext_rolling_active_users,
-#: ext_market_basket_pairs, ext_association_rules, ext_reorder_gap,
-#: ext_activity_streaks, ext_seasonality_profile,
-#: ext_gap_fill_linear, ext_top_percent_per_group, ext_null_profile,
-#: ext_categorical_drift, ext_running_drawdown, and the 9-entry
-#: curation family) plus any round-4 additions; after r05 the union
+#: window with the REMAINING 30 never-verified entries in their
+#: current load_all() order — positions 50-79 today: the round-4
+#: additions (text_hapax_ratio, sims_matryoshka_recall,
+#: sims_dim_variance, curation_token_budget), the 17 remaining ext_*
+#: entries (ext_mom_growth ... ext_running_drawdown) and the 9-entry
+#: curation family — plus any round-5 additions; after r05 the union
 #: of CORRECTNESS_r* covers the whole registry.
 _VERIFY_FRONT_WINDOW = (
     "text_repetition_score", "text_langid_agreement",

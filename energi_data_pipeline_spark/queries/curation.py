@@ -586,3 +586,78 @@ def curation_source_league(spark, sf_dir):
                                .cast("decimal(38,10)")).cast("double")
                          / F.count(F.lit(1)), 6)
                  .alias("avg_chars_per_token")))
+
+
+# ------------------------------------- token-budget mixture planner
+#: total training-token budget the plan allocates across sources.
+TOKEN_BUDGET = 100_000
+#: sampling temperature: weight ∝ tokens^ALPHA.  α=1 reproduces the
+#: natural distribution; α→0 flattens it (the multilingual-sampling
+#: dial of GPT-3/XLM-R; public literature: Conneau et al. 2020).
+BUDGET_ALPHA = 0.5
+
+TOKEN_BUDGET_SQL = f"""
+WITH tok AS (
+  SELECT source, SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+           AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_tokens,
+         ROUND(pow(CAST(n_tokens AS DOUBLE), {BUDGET_ALPHA}), 6)
+           AS weight
+  FROM tok),
+tw AS (
+  SELECT CAST(CAST(SUM(CAST(weight AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) AS total_w
+  FROM w)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       weight,
+       ROUND(weight / total_w, 6) AS alloc_frac,
+       CAST(FLOOR({TOKEN_BUDGET} * ROUND(weight / total_w, 6))
+            AS BIGINT) AS alloc_tokens,
+       ROUND({TOKEN_BUDGET} * ROUND(weight / total_w, 6)
+             / n_tokens, 6) AS epochs_over_source
+FROM w CROSS JOIN tw
+"""
+
+
+@query("curation_token_budget", TOKEN_BUDGET_SQL)
+def curation_token_budget(spark, sf_dir):
+    """Temperature-scaled token-budget allocation across sources —
+    the mixture-PLANNING step that precedes curation_mixture_sample's
+    execution: weight each source by ``tokens^α`` (α={BUDGET_ALPHA}:
+    up-weights small domains relative to their natural share, the
+    standard multilingual/multi-domain sampling fix), normalize, and
+    allocate the global token budget.  ``epochs_over_source`` > 1
+    flags a source the plan would repeat — the early-warning for
+    small-domain overfitting.
+
+    Scale shape: one map-side-combined shuffle to source-cardinality
+    token counts; everything after runs on ~source-count rows (the
+    weight normalizer accumulates in DECIMAL so the one
+    order-sensitive sum is exact on both engines)."""
+    d = t(spark, sf_dir, "documents")
+    from .text import tokens_col
+
+    tok = (d.select("source",
+                    F.size(tokens_col(F.col("text"))).alias("nt"))
+           .groupBy("source").agg(F.sum("nt").alias("n_tokens")))
+    w = tok.select(
+        "source", "n_tokens",
+        F.round(F.pow(F.col("n_tokens").cast("double"),
+                      F.lit(BUDGET_ALPHA)), 6).alias("weight"))
+    total = w.agg(
+        F.sum(F.col("weight").cast("decimal(38,10)"))
+        .cast("double").alias("total_w"))
+    frac = F.round(F.col("weight") / F.col("total_w"), 6)
+    return (w.crossJoin(F.broadcast(total))
+            .select("source",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    "weight",
+                    frac.alias("alloc_frac"),
+                    F.floor(F.lit(TOKEN_BUDGET) * frac)
+                    .cast("bigint").alias("alloc_tokens"),
+                    F.round(F.lit(TOKEN_BUDGET) * frac
+                            / F.col("n_tokens"), 6)
+                    .alias("epochs_over_source")))

@@ -1419,3 +1419,153 @@ def sims_cosine_histogram(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
             .select("bin", F.round(F.col("bin") / 10.0, 6)
                     .alias("bin_low"), "n_pairs"))
+
+
+# ------------------------------- matryoshka truncation recall
+#: leading dims kept by the truncated ("matryoshka") representation.
+MRL_DIM = 16
+
+MATRYOSHKA_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding, embedding[1:{MRL_DIM}] AS emb_t,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding[1:{MRL_DIM}]) AS e)))
+           AS nrm_t
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                         CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+               / (a.nrm * b.nrm), 6) AS cos_full,
+         ROUND((SELECT SUM(ae * be) FROM (
+                  SELECT CAST(UNNEST(a.emb_t) AS DOUBLE) AS ae,
+                         CAST(UNNEST(b.emb_t) AS DOUBLE) AS be))
+               / (a.nrm_t * b.nrm_t), 6) AS cos_trunc
+  FROM vec a JOIN vec b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id % {QUERY_STRIDE} = 0),
+best AS (
+  SELECT query_id,
+         MIN(struct_pack(c := -cos_full, n := neighbor_id)) AS bf,
+         MIN(struct_pack(c := -cos_trunc, n := neighbor_id)) AS bt
+  FROM pairs GROUP BY query_id)
+SELECT query_id,
+       bf.n AS nn_full, ROUND(-bf.c, 6) AS cos_full,
+       bt.n AS nn_trunc, ROUND(-bt.c, 6) AS cos_trunc,
+       bf.n = bt.n AS agree
+FROM best
+"""
+
+
+@query("sims_matryoshka_recall", MATRYOSHKA_SQL)
+def sims_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation eval (public literature: Kusupati et
+    al., Matryoshka Representation Learning, NeurIPS'22): for each
+    query, does the nearest neighbor under the TRUNCATED leading-
+    {MRL}-dim representation agree with the full-dimension nearest
+    neighbor?  The agreement rate is the evidence a pipeline needs
+    before switching its ANN index to truncated vectors (4x less
+    memory and shuffle per probe).
+
+    Scale shape: one block-replicated equi-join computes BOTH
+    cosines per candidate pair (the truncated dot is a prefix of the
+    full fold, ~no extra scan), then a per-query argmin fold —
+    deterministic via (−cos, id) struct ordering, ties to the lowest
+    neighbor id, mirroring the oracle's MIN(struct_pack(...))."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    trunc = F.slice(F.col("embedding"), 1, MRL_DIM)
+    vec = emb.select(
+        "vec_id", "embedding", trunc.alias("emb_t"),
+        _norm(F.col("embedding")).alias("nrm"),
+        _norm(trunc).alias("nrm_t"))
+    corpus = vec.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
+    queries = (vec.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       F.col("emb_t").alias("q_emb_t"),
+                       F.col("nrm").alias("q_nrm"),
+                       F.col("nrm_t").alias("q_nrm_t"))
+               .withColumn("blk", F.explode(
+                   F.sequence(F.lit(0), F.lit(N_BLOCKS - 1)))))
+    pairs = (
+        queries.join(corpus, "blk")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("q_emb"), F.col("embedding"))
+                    / (F.col("q_nrm") * F.col("nrm")), 6)
+            .alias("cos_full"),
+            F.round(_dot(F.col("q_emb_t"), F.col("emb_t"))
+                    / (F.col("q_nrm_t") * F.col("nrm_t")), 6)
+            .alias("cos_trunc")))
+    best = pairs.groupBy("query_id").agg(
+        F.min(F.struct((-F.col("cos_full")).alias("c"),
+                       F.col("neighbor_id").alias("n"))).alias("bf"),
+        F.min(F.struct((-F.col("cos_trunc")).alias("c"),
+                       F.col("neighbor_id").alias("n"))).alias("bt"))
+    return best.select(
+        "query_id",
+        F.col("bf.n").alias("nn_full"),
+        F.round(-F.col("bf.c"), 6).alias("cos_full"),
+        F.col("bt.n").alias("nn_trunc"),
+        F.round(-F.col("bt.c"), 6).alias("cos_trunc"),
+        (F.col("bf.n") == F.col("bt.n")).alias("agree"))
+
+
+# ------------------------------- per-dimension variance profile
+DIM_VAR_SQL = f"""
+WITH x AS (
+  SELECT i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS xd
+  FROM embeddings CROSS JOIN range({DIM}) t(i)),
+s AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(xd AS DECIMAL(38,10))) AS sx,
+         SUM(CAST(ROUND(xd * xd, 8) AS DECIMAL(38,10))) AS sx2
+  FROM x GROUP BY dim)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n, 6) AS mean,
+       ROUND((CAST(CAST(sx2 AS VARCHAR) AS DOUBLE)
+              - (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / n)
+             / (n - 1), 6) AS variance
+FROM s
+"""
+
+
+@query("sims_dim_variance", DIM_VAR_SQL)
+def sims_dim_variance(spark, sf_dir):
+    """Per-dimension embedding health profile: mean and sample
+    variance of every coordinate.  Dead dimensions (variance ~0) and
+    dominant ones (variance orders above the rest) are the two
+    classic encoder-regression smells, and anisotropy is why
+    sign-LSH buckets skew — this is the metric behind that
+    diagnosis.
+
+    Scale shape: posexplode is a map-side expansion, the single
+    shuffle carries only (dim, partial sums) thanks to map-side
+    combine, and the output is dimension-sized.  Sums accumulate in
+    DECIMAL(38,10) with squares pre-rounded to 8 decimals so both
+    engines add identical values in any order; mean/variance are
+    then computed with the identical double expression."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    x = emb.select(F.posexplode("embedding").alias("dim", "xf"))
+    xd = F.col("xf").cast("double")
+    s = (x.select("dim", xd.alias("xd"))
+         .groupBy("dim")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("xd").cast("decimal(38,10)")).alias("sx"),
+              F.sum(F.round(F.col("xd") * F.col("xd"), 8)
+                    .cast("decimal(38,10)")).alias("sx2")))
+    sx_d = F.col("sx").cast("double")
+    sx2_d = F.col("sx2").cast("double")
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(sx_d / F.col("n"), 6).alias("mean"),
+        F.round((sx2_d - (sx_d * sx_d) / F.col("n"))
+                / (F.col("n") - 1), 6).alias("variance"))

@@ -1042,3 +1042,56 @@ def text_blocklist_filter(spark, sf_dir):
         .otherwise(F.round(hits.cast("double") / F.size(tk), 6))
         .alias("blocked_ratio"),
         (hits > 0).alias("is_blocked"))
+
+
+# ------------------------------------- vocabulary richness (hapax)
+HAPAX_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_transform({TOKENS_SQL}, t -> lower(t))) AS term
+  FROM documents),
+tf AS (SELECT source, term, COUNT(*) AS c
+       FROM toks GROUP BY source, term)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_ratio,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6)
+         AS type_token_ratio
+FROM tf GROUP BY source
+"""
+
+
+@query("text_hapax_ratio", HAPAX_SQL)
+def text_hapax_ratio(spark, sf_dir):
+    """Vocabulary-richness profile per source: hapax-legomena share
+    (terms occurring exactly once) and type/token ratio.  The
+    corpus-linguistics pair behind two curation smells — a source
+    whose hapax share collapses is template/boilerplate (same
+    strings over and over); one whose hapax share explodes is
+    OCR-garbage or random identifiers.  Complements the Zipf slope
+    (tail shape) and vocab coverage (head mass) with the
+    singleton end of the distribution.
+
+    Scale shape: one shuffle on (source, term) with map-side
+    combine, then a source-cardinality rollup of small ints — the
+    same two-level aggregation as the TF-IDF vocabulary pass."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.transform(tokens_col(F.col("text")),
+                              lambda x: F.lower(x))).alias("term"))
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (tf.groupBy("source")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                 hapax.cast("bigint").alias("n_hapax"),
+                 F.round(hapax.cast("double") / F.count(F.lit(1)), 6)
+                 .alias("hapax_ratio"),
+                 F.round(F.count(F.lit(1)).cast("double")
+                         / F.sum("c"), 6).alias("type_token_ratio")))
