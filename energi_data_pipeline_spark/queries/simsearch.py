@@ -1569,3 +1569,106 @@ def sims_dim_variance(spark, sf_dir):
         F.round(sx_d / F.col("n"), 6).alias("mean"),
         F.round((sx2_d - (sx_d * sx_d) / F.col("n"))
                 / (F.col("n") - 1), 6).alias("variance"))
+
+
+# ----------------------------------- semantic dedup (SemDeDup-style)
+#: within-cell cosine at/above which a vector is redundant wrt an
+#: earlier-kept (lower-id) member.
+SEMDEDUP_T = 0.5
+
+SEMDEDUP_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm
+  FROM embeddings),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+  FROM vec WHERE vec_id % {CENT_STRIDE} = 0),
+assign AS (
+  SELECT v.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND((SELECT SUM(ae * be) FROM (
+                      SELECT CAST(UNNEST(v.embedding) AS DOUBLE) AS ae,
+                             CAST(UNNEST(c.c_emb) AS DOUBLE) AS be))
+                    / (v.nrm * c.c_nrm), 6) DESC, c.cent_id) AS rk
+  FROM vec v CROSS JOIN cent c),
+cell AS (
+  SELECT vec_id, cent_id FROM assign WHERE rk = 1),
+lower_cos AS (
+  SELECT ca.vec_id,
+         MAX(ROUND((SELECT SUM(ae * be) FROM (
+                 SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                        CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+               / (a.nrm * b.nrm), 6)) AS max_cos_lower
+  FROM cell ca
+  JOIN vec a ON a.vec_id = ca.vec_id
+  JOIN cell cb ON cb.cent_id = ca.cent_id
+              AND cb.vec_id < ca.vec_id
+  JOIN vec b ON b.vec_id = cb.vec_id
+  GROUP BY ca.vec_id)
+SELECT c.vec_id,
+       c.cent_id AS cell_id,
+       l.max_cos_lower,
+       COALESCE(l.max_cos_lower >= {SEMDEDUP_T}, FALSE)
+         AS is_redundant
+FROM cell c LEFT JOIN lower_cos l ON l.vec_id = c.vec_id
+"""
+
+
+@query("dedup_semantic_cells", SEMDEDUP_SQL)
+def dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (public literature:
+    Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the corpus
+    with a coarse quantizer, then WITHIN each cluster drop vectors
+    too close to an already-kept member.  The keep rule here is the
+    deterministic relational form — a vector is redundant iff its
+    cosine to some LOWER-id cell-mate reaches the threshold
+    (id-ordered greedy, order-independent to evaluate) — rather than
+    the paper's sequential greedy scan, which has no parallel
+    equivalent.
+
+    Scale shape: identical to the IVF index build — centroids are
+    dimension-sized and broadcast for the map-only assignment; the
+    cell id is the shuffle key and the pair compare happens only
+    inside a cell (cells are corpus/CENT_STRIDE, so per-cell work is
+    bounded by the stride, not the corpus).  One aggregation
+    (max-cosine-to-lower) reduces the pair stream back to one row
+    per vector before the verdict."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm")).cache()
+    cent = vec.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id"))
+    cell = (
+        vec.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id",
+                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                        / (F.col("nrm") * F.col("c_nrm")), 6)
+                .alias("c_cos"))
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell_id")))
+    member = vec.join(cell, "vec_id")
+    lower = member.select(F.col("vec_id").alias("b_id"),
+                          F.col("embedding").alias("b_emb"),
+                          F.col("nrm").alias("b_nrm"),
+                          F.col("cell_id").alias("b_cell"))
+    pair_cos = F.round(_dot(F.col("embedding"), F.col("b_emb"))
+                       / (F.col("nrm") * F.col("b_nrm")), 6)
+    lower_cos = (
+        member.join(lower, (F.col("cell_id") == F.col("b_cell"))
+                    & (F.col("b_id") < F.col("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.max(pair_cos).alias("max_cos_lower")))
+    return (cell.join(lower_cos, "vec_id", "left")
+            .select("vec_id", "cell_id", "max_cos_lower",
+                    F.coalesce(F.col("max_cos_lower") >= SEMDEDUP_T,
+                               F.lit(False)).alias("is_redundant")))
