@@ -316,3 +316,53 @@ def embed_documents(df: DataFrame, encoder=embed_stub) -> DataFrame:
             })
 
     return df.mapInPandas(batches, EMBED_SCHEMA)
+
+
+SCENE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("dist", IntegerType()),
+])
+
+
+def frame_distance(a: bytes, b: bytes) -> int:
+    """Sum of absolute byte differences between two (already
+    resized) frames — the stand-in for a real inter-frame metric
+    (histogram delta / SSIM) with the exact same shape."""
+    return int(sum(abs(x - y) for x, y in zip(a, b)))
+
+
+def scene_cut_distances(df: DataFrame,
+                        resize=resize_stub,
+                        distance=frame_distance) -> DataFrame:
+    """``(doc_id, payload binary)`` -> per-frame-boundary distance
+    rows (frame_idx >= 1; single-frame payloads emit nothing).
+
+    The video scene-cut primitive: decode frames, compare each to
+    its predecessor, emit the boundary metric the cut threshold is
+    applied to.  Consecutive frames are adjacent INSIDE the
+    mapInPandas batch loop, so no window/shuffle over the frame
+    stream is ever needed — at 100 TB the operator stays a pure map
+    over the media column.  ``resize`` and ``distance`` are
+    injectable kernels (PIL scale / histogram delta in a real
+    deployment)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = payload or b""
+                n_frames = 1 + len(payload) % MAX_FRAMES
+                prev = None
+                for i in range(n_frames):
+                    frame = resize(
+                        payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES])
+                    if prev is not None:
+                        rows.append((doc_id, i, distance(prev, frame)))
+                    prev = frame
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_SCHEMA.fields])
+
+    return df.mapInPandas(batches, SCENE_SCHEMA)

@@ -661,3 +661,60 @@ def curation_token_budget(spark, sf_dir):
                     F.round(F.lit(TOKEN_BUDGET) * frac
                             / F.col("n_tokens"), 6)
                     .alias("epochs_over_source")))
+
+
+# ----------------------------------------- training-shard manifest
+#: shard fan-out of the exported training set.
+N_SHARDS = 8
+
+SHARD_MANIFEST_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         length(text) AS n_chars,
+         ('0x' || substr(md5(text), 1, 14))::BIGINT AS h
+  FROM documents)
+SELECT CAST(h % {N_SHARDS} AS INTEGER) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       bit_xor(h) AS content_checksum
+FROM keyed GROUP BY 1
+"""
+
+
+@query("curation_shard_manifest", SHARD_MANIFEST_SQL)
+def curation_shard_manifest(spark, sf_dir):
+    """Training-shard manifest: the summary a dataloader consumes
+    when the curated set is exported as N hash-routed shards — per
+    shard, the document/token/char counts, the id range, and an
+    order-independent XOR content checksum (so a re-export can be
+    byte-verified shard-by-shard without re-reading the data).
+    Hash routing (portable md5-derived key, the same family as
+    curation_dataset_split) makes shard membership deterministic and
+    independent of partitioning, so two clusters exporting the same
+    corpus produce identical manifests.
+
+    Scale shape: one map stage computes the per-doc key and sizes;
+    one map-side-combined shuffle folds to shard-cardinality rows.
+    XOR is associative/commutative — exact under any execution
+    order, no DECIMAL machinery needed."""
+    d = t(spark, sf_dir, "documents")
+    from .text import tokens_col
+
+    h = stable_hash64(F.col("text"))
+    keyed = d.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        h.alias("h"))
+    return (keyed.groupBy((F.col("h") % N_SHARDS).cast("int")
+                          .alias("shard_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("n_chars"),
+                 F.min("doc_id").cast("bigint").alias("min_doc_id"),
+                 F.max("doc_id").cast("bigint").alias("max_doc_id"),
+                 F.bit_xor("h").alias("content_checksum")))

@@ -636,3 +636,59 @@ def mm_audio_silence(spark, sf_dir):
                  silent.cast("int").alias("n_silent"),
                  F.round(silent.cast("double") / F.count(F.lit(1)), 6)
                  .alias("silence_ratio")))
+
+
+# ------------------------------------------------ scene-cut detection
+#: inter-frame byte-distance at/above which a boundary is a cut.
+SCENE_CUT_T = 600
+
+SCENE_CUT_SQL = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n FROM documents),
+f AS (
+  SELECT doc_id, n, text,
+         unnest(range(1, 1 + n % 4)) AS fi
+  FROM p),
+d AS (
+  SELECT doc_id, fi,
+         list_sum(list_transform(range(16), j ->
+           abs(CASE WHEN fi * 16 + j + 1 <= n
+                    THEN ascii(substr(text, fi * 16 + j + 1, 1))
+                    ELSE 0 END
+             - CASE WHEN (fi - 1) * 16 + j + 1 <= n
+                    THEN ascii(substr(text, (fi - 1) * 16 + j + 1, 1))
+                    ELSE 0 END))) AS dist
+  FROM f)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(dist AS INTEGER) AS dist,
+       dist >= {SCENE_CUT_T} AS is_cut
+FROM d
+"""
+
+
+@query("mm_scene_cuts", SCENE_CUT_SQL)
+def mm_scene_cuts(spark, sf_dir):
+    """Video scene-cut detection over the sampled frame stream: each
+    frame boundary gets the inter-frame distance (sum of absolute
+    byte deltas between the resized frames — standing in for a
+    histogram-delta metric) and a cut verdict at the threshold.
+    Scene cuts are where a frame-sampling pipeline places its
+    keyframes, so this is the step between mm_frame_sample and
+    mm_frame_dedup.
+
+    Scale shape: consecutive frames are compared INSIDE the Arrow
+    batch loop (operators.multimodal.scene_cut_distances) — no
+    explode of the frame stream, no window/shuffle over frames, the
+    whole operator is one map stage over the media column.  The
+    oracle replays the slicing and byte arithmetic on the ASCII text
+    (byte == char, as the other mm_* oracles exploit)."""
+    from ..operators.multimodal import scene_cut_distances
+
+    d = spread(t(spark, sf_dir, "documents"))
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    cuts = scene_cut_distances(payloads)
+    return cuts.select(
+        "doc_id", "frame_idx", "dist",
+        (F.col("dist") >= SCENE_CUT_T).alias("is_cut"))
