@@ -2464,3 +2464,51 @@ def ext_running_drawdown(spark, sf_dir):
                             / F.col("peak"), 6).alias("drawdown"),
                     (F.col("revenue") == F.col("peak"))
                     .alias("at_peak")))
+
+
+# --------------------------------------------- DQ quarantine router
+DQ_QUAR_SQL = """
+WITH flagged AS (
+  SELECT event_id, event_type, value,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+         list_filter([
+           CASE WHEN value > 400 THEN 'value_out_of_band' END,
+           CASE WHEN event_type = 'error' THEN 'error_event' END,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) >= 95
+                THEN 'props_k_out_of_range' END
+         ], r -> r IS NOT NULL) AS reasons
+  FROM events)
+SELECT event_id, event_type, value,
+       CAST(len(reasons) AS INTEGER) AS n_reasons,
+       array_to_string(reasons, ',') AS reasons
+FROM flagged
+WHERE len(reasons) > 0
+"""
+
+
+@query("ext_dq_quarantine", DQ_QUAR_SQL)
+def ext_dq_quarantine(spark, sf_dir):
+    """Data-quality quarantine router: rows violating any rule are
+    routed OUT of the publish path with machine-readable reason
+    codes (the write-audit-publish pattern's reject stream —
+    complements ext_dq_checks, which only counts).  Emitting every
+    violated rule per row (not just the first) is what makes the
+    quarantine actionable: one scan tells you whether a source
+    regressed on one rule or across the board.
+
+    Scale shape: pure map stage — each rule is a Catalyst CASE over
+    the row, reasons fold into an array literal filtered non-null;
+    no shuffle, quarantine volume is the (small) violation rate
+    times the corpus."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("value") > 400, F.lit("value_out_of_band")),
+            F.when(F.col("event_type") == "error", F.lit("error_event")),
+            F.when(k >= 95, F.lit("props_k_out_of_range"))),
+        lambda r: r.isNotNull())
+    return (e.select("event_id", "event_type", "value",
+                     F.size(reasons).cast("int").alias("n_reasons"),
+                     F.array_join(reasons, ",").alias("reasons"))
+            .filter(F.col("n_reasons") > 0))

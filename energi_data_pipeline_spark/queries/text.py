@@ -1095,3 +1095,105 @@ def text_hapax_ratio(spark, sf_dir):
                  .alias("hapax_ratio"),
                  F.round(F.count(F.lit(1)).cast("double")
                          / F.sum("c"), 6).alias("type_token_ratio")))
+
+
+# ------------------------------ sparse TF-IDF cosine similarity join
+#: cosine at/above which a same-source doc pair is lexically similar.
+TFIDF_COS_T = 0.8
+
+TFIDF_COS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_transform({TOKENS_SQL}, t -> lower(t))) AS term
+  FROM documents),
+tf AS (SELECT doc_id, source, term, COUNT(*) AS tfq
+       FROM toks GROUP BY doc_id, source, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS dfq FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.source, tf.term,
+         ROUND(tf.tfq * ln(CAST(n.n_docs AS DOUBLE) / df.dfq), 8) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+nrm AS (
+  SELECT doc_id,
+         sqrt(CAST(CAST(SUM(CAST(ROUND(w * w, 8) AS DECIMAL(38,10)))
+                        AS VARCHAR) AS DOUBLE)) AS nrm
+  FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(CAST(SUM(CAST(ROUND(a.w * b.w, 8) AS DECIMAL(38,10)))
+                   AS VARCHAR) AS DOUBLE) AS dot,
+         COUNT(*) AS shared_terms
+  FROM w a JOIN w b
+    ON b.term = a.term AND b.source = a.source
+   AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT d.doc_a, d.doc_b,
+       CAST(d.shared_terms AS INTEGER) AS shared_terms,
+       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN nrm na ON na.doc_id = d.doc_a
+JOIN nrm nb ON nb.doc_id = d.doc_b
+WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= {TFIDF_COS_T}
+"""
+
+
+@query("text_tfidf_cosine_pairs", TFIDF_COS_SQL)
+def text_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse lexical similarity join: same-source document pairs
+    whose TF-IDF vectors have cosine >= {T} — the inverted-index
+    similarity shape (term is the join key, so only pairs that SHARE
+    a term ever meet) that complements the dense-embedding near-dup:
+    lexical overlap catches template/boilerplate pairs an embedding
+    model may map apart, and vice versa.
+
+    Scale shape: this is the classic sparse-vector self-join — the
+    dot product decomposes over the posting list of each term, so
+    the quadratic pair space never materializes; work is
+    sum-over-terms of posting-list^2 within a source block, the same
+    bound as the n-gram prefix join.  Norms and dots accumulate in
+    DECIMAL over 8-dp-pre-rounded products so both engines add
+    identical values in any order; idf uses the same ln() expression
+    both sides, pre-rounded to 8 dp before any product."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.explode(F.transform(tokens_col(F.col("text")),
+                              lambda x: F.lower(x))).alias("term"))
+    tf = toks.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).alias("tfq"))
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dfq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (tf.join(df, "term").crossJoin(F.broadcast(n))
+         .select("doc_id", "source", "term",
+                 F.round(F.col("tfq")
+                         * F.log(F.col("n_docs").cast("double")
+                                 / F.col("dfq")), 8).alias("w")))
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 8)
+                     .cast("decimal(38,10)")).cast("double"))
+        .alias("nrm"))
+    wb = w.select(F.col("doc_id").alias("doc_b"),
+                  F.col("source").alias("b_source"),
+                  F.col("term").alias("b_term"),
+                  F.col("w").alias("w_b"))
+    dots = (w.join(wb, (F.col("b_term") == F.col("term"))
+                   & (F.col("b_source") == F.col("source"))
+                   & (F.col("doc_b") > F.col("doc_id")))
+            .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+            .agg(F.sum(F.round(F.col("w") * F.col("w_b"), 8)
+                       .cast("decimal(38,10)")).cast("double")
+                 .alias("dot"),
+                 F.count(F.lit(1)).alias("shared_terms")))
+    na = nrm.select(F.col("doc_id").alias("doc_a"),
+                    F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"),
+                    F.col("nrm").alias("nrm_b"))
+    cos = F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (dots.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.col("shared_terms").cast("int")
+                    .alias("shared_terms"),
+                    cos.alias("cosine"))
+            .filter(F.col("cosine") >= TFIDF_COS_T))
