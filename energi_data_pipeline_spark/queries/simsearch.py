@@ -378,9 +378,29 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 # ------------------------------------------------------------ IVF ANN
-#: every CENT_STRIDE-th vector seeds a coarse cell — the cell count
-#: grows with the corpus (~sqrt-ish scaling is the IVF sweet spot).
+#: every CENT_STRIDE-th vector seeds a coarse cell (test-scale
+#: default; see cent_stride_for for the corpus-scaled stride).
 CENT_STRIDE = 32
+#: a FIXED stride means centroid count grows ∝ corpus, so the
+#: broadcast-assignment pass is O(n·cells) = O(n²/stride) — measured
+#: as the early knee at the 10x rehearsal (SCALE_r04.md).  The IVF
+#: sweet spot is cells ~ sqrt(n): stride grows as sqrt past the
+#: knee.  The knee sits above every test-SF corpus (<= 2000 vectors)
+#: so all test-scale oracles keep the stride-32 plan bit-identical.
+_STRIDE_KNEE = (2 * CENT_STRIDE) ** 2  # 4096
+
+
+def cent_stride_for(n_vectors: int) -> int:
+    """Centroid-seeding stride for a corpus of ``n_vectors``:
+    ``max(CENT_STRIDE, ceil(sqrt(n)))`` — cells ≈ n/stride ≈ sqrt(n)
+    past the knee, so assignment work is O(n·sqrt(n)) instead of
+    O(n²), and per-cell scan cost grows as sqrt(n) symmetrical with
+    cell count (the balanced IVF trade)."""
+    import math
+
+    if n_vectors <= _STRIDE_KNEE:
+        return CENT_STRIDE
+    return math.ceil(math.sqrt(n_vectors))
 
 IVF_SQL = f"""
 WITH vec AS (
@@ -446,7 +466,9 @@ def sims_ivf_ann(spark, sf_dir):
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm")).cache()
-    cent = vec.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
+    cent = vec.filter(
+        F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0
+    ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"))
@@ -1078,7 +1100,9 @@ def sims_ivf_multiprobe(spark, sf_dir):
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm")).cache()
-    cent = vec.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
+    cent = vec.filter(
+        F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0
+    ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"))
@@ -1641,7 +1665,9 @@ def dedup_semantic_cells(spark, sf_dir):
     vec = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm")).cache()
-    cent = vec.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
+    cent = vec.filter(
+        F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0
+    ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"))

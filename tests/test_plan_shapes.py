@@ -266,3 +266,25 @@ def test_neardup_plane_count_scales_with_corpus():
         assert neardup_planes(2 * n) == min(MAX_PLANES,
                                             neardup_planes(n) + 1)
     assert neardup_planes(10**12) == MAX_PLANES
+
+
+def test_ivf_centroid_stride_scales_with_corpus():
+    # fixed stride -> centroids ∝ corpus -> O(n²/stride) assignment
+    # (the knee SCALE_r04.md measured).  Past the test-scale knee the
+    # stride grows as sqrt(n) so cells ≈ sqrt(n): assignment is
+    # O(n·sqrt n) and per-cell scan cost grows symmetrically.
+    import math
+
+    from energi_data_pipeline_spark.queries.simsearch import (
+        CENT_STRIDE, cent_stride_for, corpus_size)
+
+    assert cent_stride_for(
+        corpus_size("/root/testdata/sf0.01")) == CENT_STRIDE
+    assert cent_stride_for(
+        corpus_size("/root/testdata/sf0.1")) == CENT_STRIDE
+    assert cent_stride_for((2 * CENT_STRIDE) ** 2) == CENT_STRIDE
+    for n in (10**5, 10**7, 10**9):
+        stride = cent_stride_for(n)
+        cells = n / stride
+        # cells within 2x of sqrt(n) — the balanced IVF shape
+        assert math.sqrt(n) / 2 <= cells <= 2 * math.sqrt(n)
