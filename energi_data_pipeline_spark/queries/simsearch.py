@@ -60,6 +60,22 @@ def planes_for(n_vectors: int) -> int:
 #: cartesian product.  Sized like a shuffle-partition count: it
 #: bounds reducer-side work, not memory.
 N_BLOCKS = 32
+#: with a FIXED block count, block SIZE grows with the corpus and a
+#: single reducer's nested-loop task grows unboundedly.  Blocks are
+#: therefore corpus-scaled to a constant target size past the test
+#: scales (block decomposition cannot change the RESULT — only how
+#: the all-pairs work shards — so no oracle is affected at any SF).
+BLOCK_TARGET = 1024
+
+
+def blocks_for(n_vectors: int) -> int:
+    """Brute-force block count: ``max(N_BLOCKS, ceil(n / BLOCK_TARGET))``
+    — constant ~BLOCK_TARGET vectors per block, reducer count grows
+    with the corpus (the scale-out dimension), per-task work stays
+    bounded."""
+    import math
+
+    return max(N_BLOCKS, math.ceil(n_vectors / BLOCK_TARGET))
 
 def corpus_size(sf_dir: str) -> int:
     """Row count of the embeddings corpus from parquet footer
@@ -138,13 +154,15 @@ def sims_cosine_topk_bruteforce(spark, sf_dir):
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"))
     corpus = vec.withColumn(
-        "blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
+        "blk", F.pmod(F.col("vec_id"),
+                      F.lit(blocks_for(corpus_size(sf_dir)))).cast("int"))
     queries = (vec.filter(F.col("vec_id") % QUERY_STRIDE == 0)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"),
                        F.col("nrm").alias("q_nrm"))
                .withColumn("blk", F.explode(
-                   F.sequence(F.lit(0), F.lit(N_BLOCKS - 1)))))
+                   F.sequence(F.lit(0), F.lit(
+                       blocks_for(corpus_size(sf_dir)) - 1)))))
     pairs = (
         queries
         .join(corpus, "blk")
@@ -615,14 +633,16 @@ def sims_knn_label_consistency(spark, sf_dir):
         "vec_id", "embedding", "label",
         _norm(F.col("embedding")).alias("nrm"))
     corpus = vec.withColumn(
-        "blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
+        "blk", F.pmod(F.col("vec_id"),
+                      F.lit(blocks_for(corpus_size(sf_dir)))).cast("int"))
     queries = (vec.filter(F.col("vec_id") % QUERY_STRIDE == 0)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("label").alias("q_label"),
                        F.col("embedding").alias("q_emb"),
                        F.col("nrm").alias("q_nrm"))
                .withColumn("blk", F.explode(
-                   F.sequence(F.lit(0), F.lit(N_BLOCKS - 1)))))
+                   F.sequence(F.lit(0), F.lit(
+                       blocks_for(corpus_size(sf_dir)) - 1)))))
     pairs = (
         queries
         .join(corpus, "blk")
@@ -1505,7 +1525,8 @@ def sims_matryoshka_recall(spark, sf_dir):
         _norm(F.col("embedding")).alias("nrm"),
         _norm(trunc).alias("nrm_t"))
     corpus = vec.withColumn(
-        "blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
+        "blk", F.pmod(F.col("vec_id"),
+                      F.lit(blocks_for(corpus_size(sf_dir)))).cast("int"))
     queries = (vec.filter(F.col("vec_id") % QUERY_STRIDE == 0)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"),
@@ -1513,7 +1534,8 @@ def sims_matryoshka_recall(spark, sf_dir):
                        F.col("nrm").alias("q_nrm"),
                        F.col("nrm_t").alias("q_nrm_t"))
                .withColumn("blk", F.explode(
-                   F.sequence(F.lit(0), F.lit(N_BLOCKS - 1)))))
+                   F.sequence(F.lit(0), F.lit(
+                       blocks_for(corpus_size(sf_dir)) - 1)))))
     pairs = (
         queries.join(corpus, "blk")
         .filter(F.col("vec_id") != F.col("query_id"))

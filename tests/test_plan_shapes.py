@@ -288,3 +288,21 @@ def test_ivf_centroid_stride_scales_with_corpus():
         cells = n / stride
         # cells within 2x of sqrt(n) — the balanced IVF shape
         assert math.sqrt(n) / 2 <= cells <= 2 * math.sqrt(n)
+
+
+def test_bruteforce_block_count_scales_with_corpus():
+    # fixed block count -> block size ∝ corpus -> one reducer's
+    # nested-loop task grows unboundedly.  Blocks hold ~BLOCK_TARGET
+    # vectors past the test scales; decomposition never changes the
+    # result, only how the all-pairs work shards.
+    import math
+
+    from energi_data_pipeline_spark.queries.simsearch import (
+        BLOCK_TARGET, N_BLOCKS, blocks_for, corpus_size)
+
+    assert blocks_for(corpus_size("/root/testdata/sf0.01")) == N_BLOCKS
+    assert blocks_for(corpus_size("/root/testdata/sf0.1")) == N_BLOCKS
+    for n in (10**6, 10**8):
+        blocks = blocks_for(n)
+        assert blocks == math.ceil(n / BLOCK_TARGET)
+        assert n / blocks <= BLOCK_TARGET
