@@ -880,3 +880,147 @@ def stream_tumbling_append_finalized(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# ---------------------- streaming incremental MinHash-LSH dedup
+from . import REGISTRY as _REG  # noqa: E402
+from . import dedup as _dedup  # noqa: E402  (registers the LSH oracle)
+
+INCR_LSH_SQL = f"""
+WITH pairs AS ({_REG["dedup_minhash_lsh_pairs"].oracle}),
+docs AS (SELECT doc_id FROM documents)
+SELECT d.doc_id,
+       EXISTS(SELECT 1 FROM pairs p WHERE p.doc_b = d.doc_id)
+         AS is_dup_of_earlier
+FROM docs d
+"""
+
+#: micro-batches the corpus is replayed as (ascending doc_id ranges).
+INCR_LSH_BATCHES = 3
+
+
+@query("stream_incremental_lsh_dedup", INCR_LSH_SQL)
+def stream_incremental_lsh_dedup(spark, sf_dir):
+    """Streaming near-dup INDEX MAINTENANCE — the production shape
+    of MinHash-LSH dedup: documents arrive in micro-batches; each
+    batch is signed, checked against the ACCUMULATED signature index
+    (band-bucket join + signature-agreement verify, partner id <
+    own id), its verdicts appended idempotently, and its signatures
+    merged into the index with the atomic snapshot publish.  The
+    tested contract is the incremental-equivalence invariant: after
+    replaying the corpus as {INCR_LSH_BATCHES} ascending-id batches,
+    the verdict table must equal the FULL-batch LSH pair query's
+    "has a lower-id near-dup partner" relation — the oracle reuses
+    that query's SQL verbatim.
+
+    Scale shape: per micro-batch work is batch-signatures (map-only)
+    + a band-key join of the batch against the index (the batch side
+    is small — AQE broadcasts it; the index side shuffles on the
+    band key only) + one key-only anti-join append.  State lives in
+    the index TABLE, not the state store, so the stream restarts
+    stateless and the index is queryable mid-stream."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..functions.hashing import base_hashes, minhash_from_hashes
+    from ..io import (insert_if_absent, publish_atomic,
+                      read_layer_table, table_path)
+    from .dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
+    from .dedup import shingles_from_tokens
+    from .text import tokens_col
+
+    tune(spark)
+    src = tempfile.mkdtemp(prefix="incr_lsh_src_")
+    wh = tempfile.mkdtemp(prefix="incr_lsh_wh_")
+    ckpt = tempfile.mkdtemp(prefix="incr_lsh_ckpt_")
+
+    d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    schema = d.schema
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    span = (max_id + INCR_LSH_BATCHES) // INCR_LSH_BATCHES
+    # replay the corpus as ascending-id single-file batches; mtimes
+    # force the file source to deliver them in id order (the verdict
+    # rule "partner id < mine" needs lower ids indexed first)
+    now = 1_700_000_000
+    for b in range(INCR_LSH_BATCHES):
+        stage = tempfile.mkdtemp(prefix="incr_lsh_stage_")
+        (d.filter((F.col("doc_id") >= b * span)
+                  & (F.col("doc_id") < (b + 1) * span))
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = next(f for f in _os.listdir(stage)
+                    if f.endswith(".parquet"))
+        dst = _os.path.join(src, f"batch{b}.parquet")
+        shutil.move(_os.path.join(stage, part), dst)
+        _os.utime(dst, (now + 100 * b, now + 100 * b))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def sign(df):
+        hashed = df.select(
+            "doc_id",
+            base_hashes(shingles_from_tokens(
+                tokens_col(F.col("text")))).alias("hl"))
+        return hashed.select(
+            "doc_id",
+            *[minhash_from_hashes(F.col("hl"), k).alias(f"mh{k}")
+              for k in range(NUM_HASHES)])
+
+    def band_long(sigs):
+        return sigs.select(
+            "doc_id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("_", *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}")
+                        .cast("string")
+                        for r in range(ROWS_PER_BAND)])).alias("key"))
+                for b in range(NUM_BANDS)])).alias("bk")
+        ).select("doc_id", "bk.band", "bk.key")
+
+    def process_batch(batch_df, _bid):
+        sess = batch_df.sparkSession
+        batch_sigs = sign(batch_df).localCheckpoint(eager=True)
+        index = read_layer_table(sess, wh, "silver", "lsh_index")
+        known = (batch_sigs if index is None
+                 else index.unionByName(batch_sigs))
+        bl = band_long(batch_sigs).alias("l")
+        kl = band_long(known).alias("r")
+        cand = (bl.join(kl, (F.col("l.band") == F.col("r.band"))
+                        & (F.col("l.key") == F.col("r.key"))
+                        & (F.col("r.doc_id") < F.col("l.doc_id")))
+                .select(F.col("l.doc_id").alias("doc_id"),
+                        F.col("r.doc_id").alias("partner_id"))
+                .distinct())
+        a, b = known.alias("a"), known.alias("b")
+        agree = sum(
+            F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1)
+            .otherwise(0) for k in range(NUM_HASHES))
+        dup_ids = (cand
+                   .join(a, cand.doc_id == F.col("a.doc_id"))
+                   .join(b, cand.partner_id == F.col("b.doc_id"))
+                   .filter((agree.cast("double") / NUM_HASHES) >= 0.5)
+                   .select(cand.doc_id).distinct())
+        verdicts = (batch_sigs.select("doc_id")
+                    .join(dup_ids.withColumn("dup", F.lit(True)),
+                          "doc_id", "left")
+                    .select("doc_id",
+                            F.coalesce(F.col("dup"), F.lit(False))
+                            .alias("is_dup_of_earlier")))
+        insert_if_absent(sess, verdicts, wh, "gold", "dup_verdicts",
+                         keys=["doc_id"])
+        publish_atomic(known, table_path(wh, "silver", "lsh_index"))
+
+    try:
+        q = (spark.readStream.schema(schema).parquet(src)
+             .writeStream.foreachBatch(process_batch)
+             .option("checkpointLocation", ckpt)
+             .option("maxFilesPerTrigger", "1")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.read.parquet(table_path(wh, "gold", "dup_verdicts"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
