@@ -357,7 +357,8 @@ FROM ranked WHERE rk = 1
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup (dedup family, BASELINE.json north
     star): nearest bucket-mate per vector by rounded cosine, flagged
-    ``is_near_dup`` at the threshold.  A coarse 4-plane sign-LSH code
+    ``is_near_dup`` at the threshold.  A coarse corpus-scaled
+    sign-LSH code (4 planes at test scale, ``neardup_planes``)
     blocks the pair space — at 100 TB the bucket is the shuffle key
     and each reducer scans one bucket, never the corpus; the exact
     all-pairs compare only ever happens inside a bucket.  Vectors
@@ -1259,7 +1260,8 @@ def sims_range_search(spark, sf_dir):
 
     Scale shape: identical to the bucketed ANN (the bucket code is
     the shuffle key, no rank window needed at all — range search is
-    one filter cheaper than top-k), on the coarser 4-plane code so
+    one filter cheaper than top-k), on the coarser corpus-scaled
+    near-dup code so
     the radius reaches past a 256-bucket shard boundary at this
     corpus size.  The threshold compares the 6-rounded cosine on
     BOTH engines so the boundary cannot drift."""

@@ -80,3 +80,26 @@ def test_merge_latest_rows_null_newest_wins(spark):
     assert got == {
         (1, "click", datetime(2024, 1, 1, 0, 5), 2, None),
         (2, "view", datetime(2024, 1, 1, 0, 1), 3, 7.0)}
+
+
+def test_incremental_lsh_dedup_matches_batch_any_split(spark, monkeypatch):
+    """The incremental-equals-batch invariant must hold for ANY batch
+    count, not just the oracle's default 3: replaying the corpus as
+    4 ascending-id micro-batches yields the same verdict table as
+    the full-batch LSH pair query's lower-id-partner relation."""
+    import energi_data_pipeline_spark.queries.streaming as st
+    from energi_data_pipeline_spark.queries.dedup import (
+        dedup_minhash_lsh_pairs)
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(st, "INCR_LSH_BATCHES", 4)
+    got = {(r.doc_id, r.is_dup_of_earlier) for r in
+           st.stream_incremental_lsh_dedup(spark, sf).collect()}
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf)
+    dup_ids = {r.doc_b for r in pairs.select("doc_b").collect()}
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    want = {(r.doc_id, r.doc_id in dup_ids)
+            for r in docs.select("doc_id").collect()}
+    assert got == want
