@@ -718,3 +718,80 @@ def curation_shard_manifest(spark, sf_dir):
                  F.min("doc_id").cast("bigint").alias("min_doc_id"),
                  F.max("doc_id").cast("bigint").alias("max_doc_id"),
                  F.bit_xor("h").alias("content_checksum")))
+
+
+# ----------------------------------------- gate agreement matrix
+GATE_OVERLAP_SQL = """
+WITH q AS (SELECT doc_id, passes_quality AS v FROM ({q}) t),
+r AS (SELECT doc_id, passes_repetition AS v FROM ({r}) t),
+b AS (SELECT doc_id, NOT is_blocked AS v FROM ({b}) t),
+l AS (SELECT doc_id, lang_pred <> 'unknown' AS v FROM ({l}) t),
+long AS (
+  SELECT doc_id, 'quality' AS gate, v FROM q
+  UNION ALL SELECT doc_id, 'repetition', v FROM r
+  UNION ALL SELECT doc_id, 'not_blocked', v FROM b
+  UNION ALL SELECT doc_id, 'lang_known', v FROM l)
+SELECT a.gate AS gate_a, c.gate AS gate_b,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN a.v AND c.v THEN 1 ELSE 0 END) AS BIGINT)
+         AS both_pass,
+       CAST(SUM(CASE WHEN NOT a.v AND NOT c.v THEN 1 ELSE 0 END)
+            AS BIGINT) AS both_fail,
+       ROUND(CAST(SUM(CASE WHEN a.v = c.v THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS agree_rate
+FROM long a JOIN long c
+  ON c.doc_id = a.doc_id AND a.gate < c.gate
+GROUP BY a.gate, c.gate
+"""
+
+
+def _gate_overlap_oracle() -> str:
+    return GATE_OVERLAP_SQL.format(
+        q=REGISTRY["text_quality_score"].oracle,
+        r=REGISTRY["text_repetition_score"].oracle,
+        b=REGISTRY["text_blocklist_filter"].oracle,
+        l=REGISTRY["text_lang_id"].oracle)
+
+
+@query("curation_gate_overlap", _gate_overlap_oracle())
+def curation_gate_overlap(spark, sf_dir):
+    """Gate agreement matrix: for every pair of curation gates
+    (quality, repetition, blocklist, language-known), how often the
+    two verdicts agree and how the pass/fail mass splits.  A pair
+    agreeing ~always means one gate is redundant (drop the expensive
+    one); a pair that NEVER both fails means they police disjoint
+    failure modes and both earn their cost — the calibration
+    evidence behind pruning a gate stack.  Composes four verified
+    scoring operators; the oracle composes their SQL verbatim, so
+    the integration is hash-checked like curation_pipeline's.
+
+    Scale shape: each gate is its map-only scoring pass; the long
+    union shuffles (doc_id, gate, bool) triples once on doc_id; the
+    output is gate-pair-cardinality."""
+    gates = [
+        ("quality", REGISTRY["text_quality_score"].fn(spark, sf_dir)
+         .select("doc_id", F.col("passes_quality").alias("v"))),
+        ("repetition", REGISTRY["text_repetition_score"].fn(spark, sf_dir)
+         .select("doc_id", F.col("passes_repetition").alias("v"))),
+        ("not_blocked", REGISTRY["text_blocklist_filter"].fn(spark, sf_dir)
+         .select("doc_id", (~F.col("is_blocked")).alias("v"))),
+        ("lang_known", REGISTRY["text_lang_id"].fn(spark, sf_dir)
+         .select("doc_id", (F.col("lang_pred") != "unknown").alias("v"))),
+    ]
+    long = None
+    for name, df in gates:
+        part = df.select("doc_id", F.lit(name).alias("gate"), "v")
+        long = part if long is None else long.unionByName(part)
+    a, c = long.alias("a"), long.alias("c")
+    return (a.join(c, (F.col("c.doc_id") == F.col("a.doc_id"))
+                   & (F.col("a.gate") < F.col("c.gate")))
+            .groupBy(F.col("a.gate").alias("gate_a"),
+                     F.col("c.gate").alias("gate_b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("a.v") & F.col("c.v"), 1)
+                       .otherwise(0)).cast("bigint").alias("both_pass"),
+                 F.sum(F.when(~F.col("a.v") & ~F.col("c.v"), 1)
+                       .otherwise(0)).cast("bigint").alias("both_fail"),
+                 F.round(F.sum(F.when(F.col("a.v") == F.col("c.v"), 1)
+                               .otherwise(0)).cast("double")
+                         / F.count(F.lit(1)), 6).alias("agree_rate")))
