@@ -1722,3 +1722,138 @@ def dedup_semantic_cells(spark, sf_dir):
             .select("vec_id", "cell_id", "max_cos_lower",
                     F.coalesce(F.col("max_cos_lower") >= SEMDEDUP_T,
                                F.lit(False)).alias("is_redundant")))
+
+
+# ------------------------------------------- IVF+PQ composite index
+IVFPQ_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm
+  FROM embeddings),
+icent AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb, nrm AS c_nrm
+  FROM vec WHERE vec_id % {CENT_STRIDE} = 0),
+iassign AS (
+  SELECT v.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ROUND((SELECT SUM(ae * be) FROM (
+                      SELECT CAST(UNNEST(v.embedding) AS DOUBLE) AS ae,
+                             CAST(UNNEST(c.c_emb) AS DOUBLE) AS be))
+                    / (v.nrm * c.c_nrm), 6) DESC, c.cent_id) AS rk
+  FROM vec v CROSS JOIN icent c),
+cell AS (
+  SELECT vec_id, cent_id AS cell_id FROM iassign WHERE rk = 1),
+pcent AS (
+  SELECT vec_id AS cent_id, embedding AS c_emb
+  FROM vec WHERE vec_id % {CB_STRIDE} = 0),
+passign AS (
+  SELECT v.vec_id, b.m, c.cent_id,
+         {_PQ_D2_SQL} AS d2
+  FROM vec v
+  CROSS JOIN (SELECT unnest(range({M_BLOCKS})) AS m) b
+  CROSS JOIN pcent c),
+codes AS (
+  SELECT vec_id, m, cent_id FROM (
+    SELECT vec_id, m, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, cent_id) AS rk
+    FROM passign) WHERE rk = 1),
+qd AS (
+  SELECT vec_id AS query_id, m, cent_id, d2
+  FROM passign WHERE vec_id % {QUERY_STRIDE} = 0),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         SUM(CAST(q.d2 AS DECIMAL(38,10))) AS s
+  FROM codes c
+  JOIN cell nc ON nc.vec_id = c.vec_id
+  JOIN qd q ON q.m = c.m AND q.cent_id = c.cent_id
+  JOIN cell qc ON qc.vec_id = q.query_id
+              AND qc.cell_id = nc.cell_id
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROUND(CAST(CAST(s AS VARCHAR) AS DOUBLE), 6) AS approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY s, neighbor_id) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, approx_d2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("sims_ivfpq_ann", IVFPQ_SQL)
+def sims_ivfpq_ann(spark, sf_dir):
+    """IVF+PQ composite index — the FAISS-style production ANN
+    (Jégou et al., TPAMI'11): the coarse quantizer restricts each
+    query to its IVF cell, and WITHIN the cell candidates are scored
+    from their product-quantization codes by asymmetric distance —
+    the corpus-wide scan touches only cell-filtered CODE rows, never
+    raw vectors.  Composes the two verified stages (sims_ivf_ann's
+    cell assignment, sims_pq_adc's code/ADC machinery); the oracle
+    composes the same CTEs, so the integration is hash-checked.
+
+    Scale shape: both centroid tables are sub-corpus-cardinality and
+    broadcast for their map-only assignments (IVF cells ~ sqrt(n)
+    via cent_stride_for, PQ codebook bounded by CB_STRIDE); the ADC
+    join keys are (block, code) + the cell equality, so the shuffle
+    carries code-width rows and each reducer scores one cell's
+    candidates.  ADC sums accumulate 6-rounded block distances in
+    DECIMAL — order-independent, engine-exact."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vec = emb.select("vec_id", "embedding",
+                     _norm(F.col("embedding")).alias("nrm")).cache()
+    stride = cent_stride_for(corpus_size(sf_dir))
+    icent = vec.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id"))
+    cell = (vec.crossJoin(F.broadcast(icent))
+            .select("vec_id", "cent_id",
+                    F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                            / (F.col("nrm") * F.col("c_nrm")), 6)
+                    .alias("c_cos"))
+            .withColumn("rk", F.row_number().over(aw))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", F.col("cent_id").alias("cell_id")))
+    blocks = F.explode(F.sequence(F.lit(0), F.lit(M_BLOCKS - 1)))
+    sub = F.expr(f"slice(embedding, m * {BLOCK_DIM} + 1, {BLOCK_DIM})")
+    v_blocks = (vec.withColumn("m", blocks)
+                .select("vec_id", "m", sub.alias("sub")))
+    pcent = (vec.filter(F.col("vec_id") % CB_STRIDE == 0)
+             .withColumn("m", blocks)
+             .select(F.col("vec_id").alias("cent_id"), "m",
+                     sub.alias("c_sub")))
+    assign = (v_blocks.join(F.broadcast(pcent), "m")
+              .select("vec_id", "m", "cent_id",
+                      _block_d2(F.col("sub"), F.col("c_sub"))
+                      .alias("d2")))
+    cw = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
+    codes = (assign.withColumn("rk", F.row_number().over(cw))
+             .filter(F.col("rk") == 1)
+             .select("vec_id", "m", "cent_id"))
+    qd = (assign.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+          .select(F.col("vec_id").alias("query_id"), "m", "cent_id",
+                  "d2"))
+    ncell = cell.select(F.col("vec_id").alias("n_id"),
+                        F.col("cell_id").alias("n_cell"))
+    qcell = cell.select(F.col("vec_id").alias("query_id"),
+                        F.col("cell_id").alias("q_cell"))
+    adc = (codes
+           .join(ncell, codes.vec_id == F.col("n_id"))
+           .join(qd, ["m", "cent_id"])
+           .join(qcell, "query_id")
+           .filter((F.col("n_cell") == F.col("q_cell"))
+                   & (F.col("vec_id") != F.col("query_id")))
+           .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+           .agg(F.sum(F.col("d2").cast("decimal(38,10)")).alias("s")))
+    w = Window.partitionBy("query_id").orderBy("s", "neighbor_id")
+    return (adc.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    F.round(F.col("s").cast("double"), 6)
+                    .alias("approx_d2"), "rank"))
