@@ -795,3 +795,101 @@ def curation_gate_overlap(spark, sf_dir):
                  F.round(F.sum(F.when(F.col("a.v") == F.col("c.v"), 1)
                                .otherwise(0)).cast("double")
                          / F.count(F.lit(1)), 6).alias("agree_rate")))
+
+
+# ------------------------------------------------- dataset card
+def _dataset_card_oracle() -> str:
+    return """
+WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+              AS BIGINT) AS n_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM documents),
+q AS (SELECT ROUND(CAST(SUM(CASE WHEN passes_quality THEN 1 ELSE 0
+                              END) AS DOUBLE) / COUNT(*), 6) AS pq
+      FROM ({q}) t),
+r AS (SELECT ROUND(CAST(SUM(CASE WHEN passes_repetition THEN 1 ELSE 0
+                              END) AS DOUBLE) / COUNT(*), 6) AS pr
+      FROM ({r}) t),
+b AS (SELECT ROUND(CAST(SUM(CASE WHEN is_blocked THEN 1 ELSE 0
+                              END) AS DOUBLE) / COUNT(*), 6) AS pb
+      FROM ({b}) t),
+e AS (
+  SELECT ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+               / SUM(c), 6) AS exact_dup_rate
+  FROM (SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '',
+                                        'g'))) AS h,
+               COUNT(*) AS c
+        FROM documents GROUP BY 1) t),
+p AS (SELECT COUNT(*) AS near_dup_pairs FROM ({lsh}) t)
+SELECT base.n_docs, base.n_tokens, base.n_chars, base.n_sources,
+       base.n_langs,
+       ROUND(CAST(base.n_tokens AS DOUBLE) / base.n_docs, 6)
+         AS mean_doc_tokens,
+       q.pq AS quality_pass_rate,
+       r.pr AS repetition_pass_rate,
+       b.pb AS blocked_rate,
+       e.exact_dup_rate,
+       CAST(p.near_dup_pairs AS BIGINT) AS near_dup_pairs
+FROM base, q, r, b, e, p
+""".format(q=REGISTRY["text_quality_score"].oracle,
+           r=REGISTRY["text_repetition_score"].oracle,
+           b=REGISTRY["text_blocklist_filter"].oracle,
+           lsh=REGISTRY["dedup_minhash_lsh_pairs"].oracle)
+
+
+@query("curation_dataset_card", _dataset_card_oracle())
+def curation_dataset_card(spark, sf_dir):
+    """Dataset card: the one-row release summary of a training
+    corpus — volume (docs/tokens/chars/sources/langs), gate pass
+    rates (quality, repetition, blocklist), exact-duplicate token
+    share, and the near-dup pair count.  The numbers a dataset
+    README publishes, produced by composing the verified operators
+    so the card can never drift from what the gates actually
+    compute; the oracle composes the same SQL, so even this summary
+    is hash-checked end-to-end.
+
+    Scale shape: each constituent is its already-audited plan; the
+    epilogue folds six single-row aggregates with cross joins of
+    scalars (bounded, broadcast by construction)."""
+    d = t(spark, sf_dir, "documents")
+    from .text import tokens_col
+
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).cast("bigint")
+        .alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"))
+    rate = lambda c: F.round(  # noqa: E731
+        F.sum(F.when(c, 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1)), 6)
+    q = (REGISTRY["text_quality_score"].fn(spark, sf_dir)
+         .agg(rate(F.col("passes_quality")).alias("quality_pass_rate")))
+    r = (REGISTRY["text_repetition_score"].fn(spark, sf_dir)
+         .agg(rate(F.col("passes_repetition"))
+              .alias("repetition_pass_rate")))
+    b = (REGISTRY["text_blocklist_filter"].fn(spark, sf_dir)
+         .agg(rate(F.col("is_blocked")).alias("blocked_rate")))
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"),
+                                       "[^a-zA-Z0-9]", "")))
+    e = (d.select(h.alias("h"))
+         .groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+         .agg(F.round(
+             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+             .cast("double") / F.sum("c"), 6).alias("exact_dup_rate")))
+    p = (dedup_minhash_lsh_pairs(spark, sf_dir)
+         .agg(F.count(F.lit(1)).cast("bigint").alias("near_dup_pairs")))
+    out = base
+    for scalar in (q, r, b, e, p):
+        out = out.crossJoin(F.broadcast(scalar))
+    return out.select(
+        "n_docs", "n_tokens", "n_chars", "n_sources", "n_langs",
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6)
+        .alias("mean_doc_tokens"),
+        "quality_pass_rate", "repetition_pass_rate", "blocked_rate",
+        "exact_dup_rate", "near_dup_pairs")
