@@ -1024,3 +1024,128 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ------------------- streaming incremental embedding near-dup index
+from .simsearch import (NEARDUP_T, _bucket_col, _dot, _norm,  # noqa: E402
+                        corpus_size, neardup_planes)
+from .simsearch import _bucket_sql as _emb_bucket_sql  # noqa: E402
+
+EMB_INDEX_SQL = f"""
+WITH vec AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+               FROM (SELECT UNNEST(embedding) AS e))) AS nrm,
+         CAST({{bucket}} AS BIGINT) AS bucket
+  FROM embeddings),
+dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM vec a JOIN vec b
+    ON b.bucket = a.bucket AND b.vec_id < a.vec_id
+  WHERE ROUND((SELECT SUM(ae * be) FROM (
+            SELECT CAST(UNNEST(a.embedding) AS DOUBLE) AS ae,
+                   CAST(UNNEST(b.embedding) AS DOUBLE) AS be))
+          / (a.nrm * b.nrm), 6) >= {NEARDUP_T})
+SELECT v.vec_id,
+       EXISTS(SELECT 1 FROM dup d WHERE d.vec_id = v.vec_id)
+         AS is_dup_of_earlier
+FROM vec v
+"""
+
+#: micro-batches the vector corpus is replayed as.
+EMB_INDEX_BATCHES = 3
+
+
+@query("stream_incremental_embedding_index",
+       EMB_INDEX_SQL.format(bucket=_emb_bucket_sql(4)))
+def stream_incremental_embedding_index(spark, sf_dir):
+    """Streaming EMBEDDING near-dup index maintenance — the vector
+    twin of stream_incremental_lsh_dedup: vectors arrive in
+    ascending-id micro-batches; each batch is sign-LSH-bucketed,
+    compared against the accumulated (bucket, vector) index — plus
+    its own lower-id rows — by exact in-bucket cosine, verdicts
+    append idempotently, and the index merges in atomically.  The
+    verified contract is again incremental-equals-batch: the verdict
+    table must equal the batch "has a lower-id bucket-mate at cosine
+    >= {NEARDUP_T}" relation.
+
+    Scale shape: per batch, signature+bucket is map-only; the
+    candidate join shuffles on the bucket key only (batch side small
+    — AQE broadcasts it); the index table is the queryable state,
+    so restarts are stateless and dedup decisions are auditable."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..io import (insert_if_absent, publish_atomic,
+                      read_layer_table, table_path)
+
+    tune(spark)
+    src = tempfile.mkdtemp(prefix="emb_idx_src_")
+    wh = tempfile.mkdtemp(prefix="emb_idx_wh_")
+    ckpt = tempfile.mkdtemp(prefix="emb_idx_ckpt_")
+
+    d = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    schema = d.schema
+    planes = neardup_planes(corpus_size(sf_dir))
+    max_id = d.agg(F.max("vec_id")).first()[0]
+    span = (max_id + EMB_INDEX_BATCHES) // EMB_INDEX_BATCHES
+    now = 1_700_000_000
+    for b in range(EMB_INDEX_BATCHES):
+        stage = tempfile.mkdtemp(prefix="emb_idx_stage_")
+        (d.filter((F.col("vec_id") >= b * span)
+                  & (F.col("vec_id") < (b + 1) * span))
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = next(f for f in _os.listdir(stage)
+                    if f.endswith(".parquet"))
+        dst = _os.path.join(src, f"batch{b}.parquet")
+        shutil.move(_os.path.join(stage, part), dst)
+        _os.utime(dst, (now + 100 * b, now + 100 * b))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def process_batch(batch_df, _bid):
+        sess = batch_df.sparkSession
+        batch_vec = (batch_df.select(
+            "vec_id", "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            _bucket_col(planes).alias("bucket"))
+            .localCheckpoint(eager=True))
+        index = read_layer_table(sess, wh, "silver", "emb_index")
+        known = (batch_vec if index is None
+                 else index.unionByName(batch_vec))
+        partner = known.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("b_emb"),
+            F.col("nrm").alias("b_nrm"),
+            F.col("bucket").alias("b_bucket"))
+        cos = F.round(_dot(F.col("embedding"), F.col("b_emb"))
+                      / (F.col("nrm") * F.col("b_nrm")), 6)
+        dup_ids = (batch_vec
+                   .join(partner,
+                         (F.col("b_bucket") == F.col("bucket"))
+                         & (F.col("b_id") < F.col("vec_id")))
+                   .filter(cos >= NEARDUP_T)
+                   .select("vec_id").distinct())
+        verdicts = (batch_vec.select("vec_id")
+                    .join(dup_ids.withColumn("dup", F.lit(True)),
+                          "vec_id", "left")
+                    .select("vec_id",
+                            F.coalesce(F.col("dup"), F.lit(False))
+                            .alias("is_dup_of_earlier")))
+        insert_if_absent(sess, verdicts, wh, "gold", "emb_verdicts",
+                         keys=["vec_id"])
+        publish_atomic(known, table_path(wh, "silver", "emb_index"))
+
+    try:
+        q = (spark.readStream.schema(schema).parquet(src)
+             .writeStream.foreachBatch(process_batch)
+             .option("checkpointLocation", ckpt)
+             .option("maxFilesPerTrigger", "1")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.read.parquet(table_path(wh, "gold", "emb_verdicts"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
