@@ -77,6 +77,10 @@ BOUNDED_BROADCAST_SIDES = {
     "total", "head",                 # one-row corpus-total aggregates
     "type_avg",                      # per-p_type agg (fixed key space)
     "donors_src",                    # k-1 rows per window bucket
+    "icent", "pcent",                # IVF cells / PQ codebook (same
+                                     # class as "cent": sub-corpus
+                                     # quantizer tables)
+    "scalar",                        # dataset-card one-row aggregates
 }
 
 
