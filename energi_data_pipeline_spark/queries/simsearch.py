@@ -670,11 +670,28 @@ def sims_knn_label_consistency(spark, sf_dir):
 # --------------------------------- product quantization (PQ) + ADC
 #: sub-vector blocks (DIM/M_BLOCKS dims each) and the codebook
 #: stride: every CB_STRIDE-th corpus vector seeds one centroid per
-#: block, so the codebook adapts to the data and grows slowly with
-#: the corpus, like the IVF coarse quantizer above.
+#: block (test-scale default; see cb_stride_for).
 M_BLOCKS = 4
 BLOCK_DIM = DIM // M_BLOCKS
 CB_STRIDE = 64
+#: textbook PQ holds the CODEBOOK size constant (one byte of code
+#: addresses 256 centroids per block) — with a fixed seeding stride
+#: the codebook instead grows ∝ corpus, so the per-vector assignment
+#: (n·codes block distances) turns quadratic and the broadcast
+#: codebook grows without bound.  Past a knee above every test SF,
+#: the stride grows linearly so the codebook stays ~CB_CODES.
+CB_CODES = 256
+
+
+def cb_stride_for(n_vectors: int) -> int:
+    """PQ codebook seeding stride:
+    ``max(CB_STRIDE, ceil(n / CB_CODES))`` — at most ~CB_CODES
+    centroids per block regardless of corpus size (the one-byte-code
+    regime); equals CB_STRIDE at every test SF, keeping those
+    oracles bit-identical."""
+    import math
+
+    return max(CB_STRIDE, math.ceil(n_vectors / CB_CODES))
 
 _PQ_D2_SQL = """
 ROUND((SELECT SUM((CAST(ve AS DOUBLE) - CAST(ce AS DOUBLE))
@@ -762,7 +779,7 @@ def sims_pq_adc(spark, sf_dir):
     sub = F.expr(f"slice(embedding, m * {BLOCK_DIM} + 1, {BLOCK_DIM})")
     v_blocks = (vec.withColumn("m", blocks)
                 .select("vec_id", "m", sub.alias("sub")))
-    cent = (vec.filter(F.col("vec_id") % CB_STRIDE == 0)
+    cent = (vec.filter(F.col("vec_id") % cb_stride_for(corpus_size(sf_dir)) == 0)
             .withColumn("m", blocks)
             .select(F.col("vec_id").alias("cent_id"), "m",
                     sub.alias("c_sub")))
@@ -1208,7 +1225,7 @@ def sims_pq_distortion(spark, sf_dir):
     sub = F.expr(f"slice(embedding, m * {BLOCK_DIM} + 1, {BLOCK_DIM})")
     v_blocks = (vec.withColumn("m", blocks)
                 .select("vec_id", "m", sub.alias("sub")))
-    cent = (vec.filter(F.col("vec_id") % CB_STRIDE == 0)
+    cent = (vec.filter(F.col("vec_id") % cb_stride_for(corpus_size(sf_dir)) == 0)
             .withColumn("m", blocks)
             .select(F.col("vec_id").alias("cent_id"), "m",
                     sub.alias("c_sub")))
@@ -1824,7 +1841,7 @@ def sims_ivfpq_ann(spark, sf_dir):
     sub = F.expr(f"slice(embedding, m * {BLOCK_DIM} + 1, {BLOCK_DIM})")
     v_blocks = (vec.withColumn("m", blocks)
                 .select("vec_id", "m", sub.alias("sub")))
-    pcent = (vec.filter(F.col("vec_id") % CB_STRIDE == 0)
+    pcent = (vec.filter(F.col("vec_id") % cb_stride_for(corpus_size(sf_dir)) == 0)
              .withColumn("m", blocks)
              .select(F.col("vec_id").alias("cent_id"), "m",
                      sub.alias("c_sub")))

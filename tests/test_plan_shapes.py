@@ -310,3 +310,22 @@ def test_bruteforce_block_count_scales_with_corpus():
         blocks = blocks_for(n)
         assert blocks == math.ceil(n / BLOCK_TARGET)
         assert n / blocks <= BLOCK_TARGET
+
+
+def test_pq_codebook_size_bounded():
+    # textbook PQ: a one-byte code addresses ~256 centroids per
+    # block regardless of corpus size.  A fixed seeding stride would
+    # grow the codebook (and the n·codes assignment pass) linearly.
+    import math
+
+    from energi_data_pipeline_spark.queries.simsearch import (
+        CB_CODES, CB_STRIDE, cb_stride_for, corpus_size)
+
+    assert cb_stride_for(corpus_size("/root/testdata/sf0.01")) \
+        == CB_STRIDE
+    assert cb_stride_for(corpus_size("/root/testdata/sf0.1")) \
+        == CB_STRIDE
+    for n in (10**6, 10**9, 10**12):
+        stride = cb_stride_for(n)
+        assert stride == max(CB_STRIDE, math.ceil(n / CB_CODES))
+        assert n / stride <= CB_CODES
