@@ -361,6 +361,14 @@ def publish_version(df: DataFrame, path: str, keep: int = 3) -> int:
     still need a real transactional format (Delta/Iceberg) — same
     single-writer contract as the reference.  Returns the new
     version number.
+
+    Unlike :func:`publish_atomic` (directory rename — atomic on
+    POSIX, nonexistent on object stores), this pointer-flip protocol
+    is the OBJECT-STORE-SAFE publish: immutable ``v=<n>/`` objects
+    plus one single-object pointer write, which S3-class stores
+    apply atomically.  On a cluster writing to an object store,
+    prefer versioned publishes (or a lakehouse format) over the
+    rename swap.
     """
     import shutil
 
