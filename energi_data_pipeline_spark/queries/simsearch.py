@@ -1874,3 +1874,107 @@ def sims_ivfpq_ann(spark, sf_dir):
             .select("query_id", "neighbor_id",
                     F.round(F.col("s").cast("double"), 6)
                     .alias("approx_d2"), "rank"))
+
+
+# ----------------------------------------------- k-means (Lloyd)
+#: refinement iterations (unrolled identically in the SQL oracle).
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-Lloyd oracle: seed centroids from the stride sample,
+    then KMEANS_ITERS rounds of (assign by rounded squared-L2 argmin,
+    recompute per-dimension DECIMAL-exact means)."""
+    header = f"""
+WITH vlong AS (
+  SELECT vec_id, i.i AS pos,
+         CAST(embedding[i.i + 1] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range({DIM})) AS i) i),
+cent0 AS (
+  SELECT vec_id AS cent_id, pos, v AS c
+  FROM vlong WHERE vec_id % {CENT_STRIDE} = 0)"""
+    steps = []
+    for it in range(KMEANS_ITERS):
+        steps.append(f"""
+d{it} AS (
+  SELECT vl.vec_id, c.cent_id,
+         ROUND(CAST(CAST(SUM(CAST(ROUND((vl.v - c.c) * (vl.v - c.c), 8)
+                                  AS DECIMAL(38,10))) AS VARCHAR)
+                    AS DOUBLE), 6) AS d2
+  FROM vlong vl JOIN cent{it} c ON c.pos = vl.pos
+  GROUP BY vl.vec_id, c.cent_id),
+a{it} AS (
+  SELECT vec_id, cent_id, d2 FROM (
+    SELECT vec_id, cent_id, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cent_id) AS rk
+    FROM d{it}) WHERE rk = 1),
+cent{it + 1} AS (
+  SELECT a.cent_id, vl.pos,
+         CAST(CAST(SUM(CAST(vl.v AS DECIMAL(38,10))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS c
+  FROM a{it} a JOIN vlong vl ON vl.vec_id = a.vec_id
+  GROUP BY a.cent_id, vl.pos)""")
+    last = KMEANS_ITERS - 1
+    return (header + "," + ",".join(steps) + f"""
+SELECT a.cent_id AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(CAST(CAST(SUM(CAST(a.d2 AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE), 6) AS inertia
+FROM a{last} a GROUP BY a.cent_id""")
+
+
+@query("sims_kmeans_lloyd", _kmeans_oracle())
+def sims_kmeans_lloyd(spark, sf_dir):
+    """Lloyd's k-means over the embedding corpus, {ITERS} refinement
+    iterations from the deterministic stride seeding — the iterative
+    ML shape (assign -> recompute means -> repeat) the IVF/PQ
+    quantizers would use to TRAIN their centroids instead of raw
+    seeding.  Returns per-cluster membership counts and inertia
+    (the sum of assigned squared distances — the quantity Lloyd
+    descends).
+
+    Scale shape: each iteration is (a) a centroid-broadcast map-side
+    distance computation + per-vector argmin — centroids are the
+    bounded quantizer table, so assignment never shuffles the corpus
+    — and (b) one map-side-combined shuffle to k·dim partial sums
+    for the mean update.  The iteration count is a constant; each
+    round's result is localCheckpoint-truncated like the
+    connected-components loop, so plans do not grow with iterations.
+    Float discipline: squared-distance terms pre-rounded to 8dp and
+    DECIMAL-accumulated, means DECIMAL-exact per dimension, argmin
+    ties broken by centroid id — bit-identical to the unrolled-CTE
+    oracle."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    vlong = (emb.select("vec_id", F.posexplode("embedding")
+                        .alias("pos", "vf"))
+             .select("vec_id", "pos",
+                     F.col("vf").cast("double").alias("v"))
+             ).cache()
+    vlong.count()
+    cent = (vlong.filter(
+        F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0)
+        .select(F.col("vec_id").alias("cent_id"), "pos",
+                F.col("v").alias("c")))
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        term = F.round((F.col("v") - F.col("c"))
+                       * (F.col("v") - F.col("c")), 8)
+        d2 = (vlong.join(F.broadcast(cent), "pos")
+              .groupBy("vec_id", "cent_id")
+              .agg(F.round(F.sum(term.cast("decimal(38,10)"))
+                           .cast("double"), 6).alias("d2")))
+        aw = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+        assign = (d2.withColumn("rk", F.row_number().over(aw))
+                  .filter(F.col("rk") == 1)
+                  .select("vec_id", "cent_id", "d2")
+                  .localCheckpoint(eager=True))
+        cent = (assign.join(vlong, "vec_id")
+                .groupBy("cent_id", "pos")
+                .agg((F.sum(F.col("v").cast("decimal(38,10)"))
+                      .cast("double") / F.count(F.lit(1))).alias("c"))
+                .localCheckpoint(eager=True))
+    return (assign.groupBy(F.col("cent_id").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.round(F.sum(F.col("d2").cast("decimal(38,10)"))
+                         .cast("double"), 6).alias("inertia")))
