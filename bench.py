@@ -216,6 +216,7 @@ def main() -> None:
         "spark_runs": spark_runs,
         "duckdb_runs": duck_runs,
         "stream_engine_startup_s": stream_startup,
+        "streaming_queries": sorted(STREAMING),
         "runs_per_query": N_RUNS,
         "aggregation": "min (median + full run lists alongside)",
         "notes": ("per-query time = min of runs_per_query measured "

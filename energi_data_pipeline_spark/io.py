@@ -262,29 +262,41 @@ def merge_upsert(spark: SparkSession, source: DataFrame, warehouse: str,
 def _pid_alive(pid: int) -> bool:
     try:
         os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
+    except (ProcessLookupError, OverflowError):
+        return False  # no such process (or impossible pid)
     except PermissionError:
         return True
     return True
 
 
 class table_lock:
-    """Advisory writer lock for a managed table: serializes the
-    read-modify-write publishers (:func:`merge_upsert`,
-    :func:`insert_if_absent`, :func:`compact_table`) so CONCURRENT
-    writers cannot interleave a read with another's publish and lose
-    an update.  The round-3 review called out that the rename-swap
-    publish is single-writer only; this closes the gap for writers
-    sharing one POSIX filesystem (the reference's own scope — its
-    ACID comes from a single local DuckDB file).
+    """Advisory writer lock for a managed table, used by
+    :func:`merge_upsert_concurrent` (ONLY that wrapper takes it —
+    bare ``merge_upsert`` / ``insert_if_absent`` / ``compact_table``
+    remain single-writer; run them under ``with table_lock(path):``
+    yourself to serialize against the locked writer).  It closes the
+    lost-update gap for writers sharing one POSIX filesystem (the
+    reference's own scope — its ACID comes from a single local
+    DuckDB file).
 
     Mechanics: ``O_CREAT|O_EXCL`` on ``{path}.__lock`` is atomic on
-    POSIX — exactly one writer wins; the file records ``pid ts`` so
-    a lock whose owner died (or exceeded ``stale_s``) is broken
-    instead of deadlocking.  NOT a distributed lock: on object
-    stores / multi-node writers use a transactional table format
-    (Delta/Iceberg) — that boundary is documented, not papered over.
+    POSIX — exactly one writer wins.  The file records
+    ``pid ts token``:
+
+    * a lock whose owner pid is DEAD is broken — atomically, by
+      renaming it aside first, so two waiters can never both
+      "break" it and race into the critical section (the rename
+      succeeds for exactly one);
+    * a lock whose owner is alive is NEVER stolen, no matter its
+      age — a long merge must not be raced by a timeout
+      (``stale_s`` applies only to locks that stay unreadable /
+      garbled longer than that, e.g. a torn write);
+    * release checks the recorded token, so a process only ever
+      unlinks its OWN lock.
+
+    NOT a distributed lock: on object stores / multi-node writers
+    use a transactional table format (Delta/Iceberg) — that boundary
+    is documented, not papered over.
     """
 
     def __init__(self, path: str, timeout_s: float = 60.0,
@@ -292,31 +304,58 @@ class table_lock:
         self.lock_path = f"{path}.__lock"
         self.timeout_s = timeout_s
         self.stale_s = stale_s
+        self.token: str | None = None
+
+    def _break_stale(self) -> None:
+        """Atomically retire a broken lock: rename it to a unique
+        name (exactly one waiter's rename succeeds; losers see
+        FileNotFoundError and simply retry) and remove the corpse."""
+        import uuid as _uuid
+
+        corpse = f"{self.lock_path}.broken-{_uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(self.lock_path, corpse)
+            os.unlink(corpse)
+        except OSError:
+            pass  # someone else already broke it
 
     def __enter__(self):
         import time
+        import uuid as _uuid
 
         deadline = time.monotonic() + self.timeout_s
+        first_unreadable: float | None = None
         while True:
             try:
+                token = _uuid.uuid4().hex
                 fd = os.open(self.lock_path,
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.write(fd, f"{os.getpid()} {time.time()} "
+                             f"{token}".encode())
                 os.close(fd)
+                self.token = token
                 return self
             except FileExistsError:
+                owner_alive = None
                 try:
                     with open(self.lock_path, encoding="utf-8") as fh:
-                        pid_s, ts_s = fh.read().split()
-                    broken = (not _pid_alive(int(pid_s))
-                              or time.time() - float(ts_s) > self.stale_s)
+                        pid_s, _ts_s, _tok = fh.read().split()
+                    owner_alive = _pid_alive(int(pid_s))
+                    first_unreadable = None
+                except FileNotFoundError:
+                    continue  # released between open and read — retry
                 except (OSError, ValueError):
-                    broken = False  # mid-write or already gone — retry
-                if broken:
-                    try:
-                        os.unlink(self.lock_path)
-                    except OSError:
-                        pass
+                    # mid-write or garbled; tolerate briefly, break
+                    # only if it STAYS unreadable past stale_s
+                    now = time.monotonic()
+                    if first_unreadable is None:
+                        first_unreadable = now
+                    elif now - first_unreadable > self.stale_s:
+                        self._break_stale()
+                        first_unreadable = None
+                        continue
+                if owner_alive is False:
+                    self._break_stale()
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -325,8 +364,11 @@ class table_lock:
 
     def __exit__(self, *exc):
         try:
-            os.unlink(self.lock_path)
-        except OSError:
+            with open(self.lock_path, encoding="utf-8") as fh:
+                _pid, _ts, tok = fh.read().split()
+            if tok == self.token:
+                os.unlink(self.lock_path)
+        except (OSError, ValueError):
             pass
         return False
 
@@ -450,8 +492,18 @@ def compact_table(spark: SparkSession, path: str,
         for f in files if not f.startswith((".", "_")))
     n_files = max(1, math.ceil(n_bytes / target_file_bytes))
     parts = _partition_columns(path)
-    df = spark.read.parquet(path)
-    out = (df.repartition(n_files, *[F.col(c) for c in parts])
-           if parts else df.coalesce(n_files))
-    publish_atomic(out, path, partition_by=parts or None)
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
+    if parts:
+        # keep partition values EXACTLY as written: type inference
+        # would read source='01' back as int 1 and the rewrite would
+        # re-encode the directory names, silently changing the data
+        spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        out = (df.repartition(n_files, *[F.col(c) for c in parts])
+               if parts else df.coalesce(n_files))
+        publish_atomic(out, path, partition_by=parts or None)
+    finally:
+        spark.conf.set(infer_key, prev_infer)
     return n_files

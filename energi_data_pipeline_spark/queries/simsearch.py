@@ -77,11 +77,18 @@ def blocks_for(n_vectors: int) -> int:
 
     return max(N_BLOCKS, math.ceil(n_vectors / BLOCK_TARGET))
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def corpus_size(sf_dir: str) -> int:
     """Row count of the embeddings corpus from parquet footer
     metadata — a driver-side peek (no Spark job), the same cheap
     statistic a catalog serves at 100 TB.  Feeds :func:`planes_for`
-    so the ANN bucket count adapts to the corpus it indexes."""
+    so the ANN bucket count adapts to the corpus it indexes.
+    Cached per directory: several query builders consult it more
+    than once per plan build, and a directory-backed corpus would
+    otherwise re-open every file footer each time."""
     import os
 
     import pyarrow.parquet as pq

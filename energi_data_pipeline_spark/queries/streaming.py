@@ -1027,8 +1027,9 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
 
 
 # ------------------- streaming incremental embedding near-dup index
-from .simsearch import (NEARDUP_T, _bucket_col, _dot, _norm,  # noqa: E402
-                        corpus_size, neardup_planes)
+from .simsearch import (NEARDUP_PLANES, NEARDUP_T,  # noqa: E402
+                        _bucket_col, _dot, _norm, corpus_size,
+                        neardup_planes)
 from .simsearch import _bucket_sql as _emb_bucket_sql  # noqa: E402
 
 EMB_INDEX_SQL = f"""
@@ -1057,7 +1058,7 @@ EMB_INDEX_BATCHES = 3
 
 
 @query("stream_incremental_embedding_index",
-       EMB_INDEX_SQL.format(bucket=_emb_bucket_sql(4)))
+       EMB_INDEX_SQL.format(bucket=_emb_bucket_sql(NEARDUP_PLANES)))
 def stream_incremental_embedding_index(spark, sf_dir):
     """Streaming EMBEDDING near-dup index maintenance — the vector
     twin of stream_incremental_lsh_dedup: vectors arrive in

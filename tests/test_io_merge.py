@@ -246,10 +246,14 @@ def test_table_lock_breaks_stale_and_releases_on_error(tmp_path):
 
     from energi_data_pipeline_spark.io import table_lock
 
+    import subprocess
+
     path = str(tmp_path / "t")
-    # stale lock from a dead pid is broken, not deadlocked on
+    # stale lock from a DEAD pid is broken, not deadlocked on
+    dead = subprocess.Popen(["true"])
+    dead.wait()
     with open(path + ".__lock", "w", encoding="utf-8") as fh:
-        fh.write("999999999 0.0")
+        fh.write(f"{dead.pid} 0.0 deadtoken")
     with table_lock(path, timeout_s=5.0):
         assert os.path.exists(path + ".__lock")
     assert not os.path.exists(path + ".__lock")
@@ -260,9 +264,65 @@ def test_table_lock_breaks_stale_and_releases_on_error(tmp_path):
     except RuntimeError:
         pass
     assert not os.path.exists(path + ".__lock")
-    # a LIVE lock times out instead of being stolen
+    # a LIVE lock times out instead of being stolen — even when its
+    # recorded age exceeds stale_s (no stealing from live writers)
     with table_lock(path, timeout_s=5.0):
         import pytest
 
+        with open(path + ".__lock", encoding="utf-8") as fh:
+            pid, _ts, tok = fh.read().split()
+        with open(path + ".__lock", "w", encoding="utf-8") as fh:
+            fh.write(f"{pid} 0.0 {tok}")  # ancient ts, live pid
         with pytest.raises(TimeoutError):
-            table_lock(path, timeout_s=0.2).__enter__()
+            table_lock(path, timeout_s=0.2, stale_s=0.01).__enter__()
+    # release-by-token still worked after the rewrite above
+    assert not os.path.exists(path + ".__lock")
+
+
+def test_table_lock_release_checks_ownership(tmp_path):
+    import os
+
+    from energi_data_pipeline_spark.io import table_lock
+
+    path = str(tmp_path / "t2")
+    lk = table_lock(path, timeout_s=5.0)
+    lk.__enter__()
+    # another process "stole" the path (e.g. after a false break):
+    # our release must NOT unlink a lock we no longer own
+    with open(path + ".__lock", "w", encoding="utf-8") as fh:
+        fh.write(f"{os.getpid()} 0.0 someoneelsestoken")
+    lk.__exit__(None, None, None)
+    assert os.path.exists(path + ".__lock")
+    os.unlink(path + ".__lock")
+
+
+def test_compact_table_preserves_stringy_partition_values(spark, tmp_path):
+    """Partition values that LOOK numeric (source='01') must survive
+    compaction verbatim: type inference would read them back as int
+    1 and re-encode the directory as d=1, silently changing data."""
+    import os
+
+    from energi_data_pipeline_spark.io import compact_table
+
+    path = str(tmp_path / "ts")
+    spark.createDataFrame(
+        [(1, "01"), (2, "01"), (3, "2")], "id int, d string") \
+        .repartition(4).write.partitionBy("d").parquet(path)
+    assert sorted(e for e in os.listdir(path)
+                  if e.startswith("d=")) == ["d=01", "d=2"]
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    spark.conf.set(infer_key, "false")
+    try:
+        before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+        compact_table(spark, path, target_file_bytes=1 << 30)
+
+        # the directory VALUES survive verbatim — without the
+        # inference guard the rewrite re-encodes d=01 as d=1
+        assert sorted(e for e in os.listdir(path)
+                      if e.startswith("d=")) == ["d=01", "d=2"]
+        after = {tuple(r) for r in spark.read.parquet(path).collect()}
+        assert after == before
+        assert ("01" in {d for _i, d in after})
+    finally:
+        spark.conf.set(infer_key, "true")

@@ -113,7 +113,7 @@ def make_events(rng: np.random.Generator, factor: int) -> pa.Table:
         "event_id": pa.array(range(n), type=pa.int64()),
         "ts": pa.array(new_ts),
         "user_id": pa.array(
-            rng.integers(0, n_users * 2, size=n), type=pa.int64()),
+            rng.integers(0, n_users, size=n), type=pa.int64()),
         "event_type": pa.array(
             rng.choice(types, size=n, p=tcounts / tcounts.sum()).tolist()),
         "value": pa.array(
