@@ -117,7 +117,7 @@ _DRIVER_VERIFIED = frozenset({
 #:
 #: ROUND-5 ACTION: once CORRECTNESS_r04.json lands, move every name
 #: with a green r04 row into _DRIVER_VERIFIED, then repopulate this
-#: window with the REMAINING 41 never-verified entries in their
+#: window with the REMAINING 42 never-verified entries in their
 #: current load_all() order — positions 50-79 today: the round-4
 #: additions (text_hapax_ratio, sims_matryoshka_recall,
 #: sims_dim_variance, dedup_semantic_cells, mm_scene_cuts,
@@ -125,7 +125,8 @@ _DRIVER_VERIFIED = frozenset({
 #: ext_dq_quarantine, text_tfidf_cosine_pairs,
 #: stream_incremental_lsh_dedup, curation_gate_overlap,
 #: sims_ivfpq_ann, curation_dataset_card,
-#: stream_incremental_embedding_index, sims_kmeans_lloyd), the 17 remaining ext_*
+#: stream_incremental_embedding_index, sims_kmeans_lloyd,
+#: dedup_minhash_bbit), the 17 remaining ext_*
 #: entries (ext_mom_growth ... ext_running_drawdown) and the 9-entry
 #: curation family — plus any round-5 additions; after r05 the union
 #: of CORRECTNESS_r* covers the whole registry.

@@ -980,3 +980,79 @@ def dedup_lsh_banding_sweep(spark, sf_dir):
             F.lit(n).cast("bigint").alias("n_candidates")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ------------------------------------- b-bit minwise hashing
+#: bits kept per minhash value (Li & Koenig, WWW'10: store 2 bits
+#: instead of 64 — 1/32 the signature bytes — and correct the
+#: estimator for accidental collisions).
+BBIT = 2
+
+_BBIT_R = 1.0 / (1 << BBIT)  # collision prob of unrelated values
+
+BBIT_SQL = f"""
+WITH {_HS_CTE},
+sigs AS (
+  SELECT doc_id, {MINHASH_SQL_COLS}
+  FROM hs),
+pairs AS ({{pairs}}),
+scored AS (
+  SELECT p.doc_a, p.doc_b, p.est_jaccard,
+         CAST({" + ".join(
+             f"CASE WHEN a.mh{k} % {1 << BBIT} = b.mh{k} % {1 << BBIT} "
+             f"THEN 1 ELSE 0 END" for k in range(NUM_HASHES))}
+              AS DOUBLE) / {NUM_HASHES} AS agree_bbit
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.doc_a
+  JOIN sigs b ON b.doc_id = p.doc_b)
+SELECT doc_a, doc_b,
+       ROUND(est_jaccard, 6) AS est_full,
+       ROUND(agree_bbit, 6) AS agree_bbit,
+       ROUND(GREATEST((agree_bbit - {_BBIT_R}) / (1 - {_BBIT_R}), 0.0),
+             6) AS est_bbit
+FROM scored
+"""
+
+
+@query(
+    "dedup_minhash_bbit",
+    BBIT_SQL.format(pairs=REGISTRY["dedup_minhash_lsh_pairs"].oracle),
+)
+def dedup_minhash_bbit(spark, sf_dir):
+    """b-bit minwise hashing (public literature: Li & Koenig,
+    WWW'10): keep only the lowest {BBIT} bits of each minhash value
+    — 1/32 of the signature bytes, which at 100 TB is the difference
+    between a signature store that fits in memory and one that
+    doesn't — and correct the agreement rate for accidental
+    collisions (Ĵ = (A − 2^-b) / (1 − 2^-b)).  Emitted per LSH
+    candidate pair next to the full-width estimate, so the accuracy
+    cost of the compression is measurable on the corpus itself
+    (the calibration evidence before switching the store over).
+
+    Scale shape: identical to the LSH pair scorer — the b-bit
+    signatures are a map-side projection of the full ones, candidate
+    pairs come from the banding join, and the two signature joins
+    shuffle signature-width rows on doc_id (AQE broadcasts the
+    candidate side while it fits)."""
+    sigs = dedup_minhash_signature(spark, sf_dir).cache()
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir) \
+        .select("doc_a", "doc_b", "est_jaccard")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{k}") % (1 << BBIT)
+               == F.col(f"b.mh{k}") % (1 << BBIT), 1).otherwise(0)
+        for k in range(NUM_HASHES))
+    scored = (pairs
+              .join(a, pairs.doc_a == F.col("a.doc_id"))
+              .join(b, pairs.doc_b == F.col("b.doc_id"))
+              .select("doc_a", "doc_b", "est_jaccard",
+                      (agree.cast("double") / NUM_HASHES)
+                      .alias("agree_bbit")))
+    corrected = F.greatest(
+        (F.col("agree_bbit") - F.lit(_BBIT_R)) / (1 - _BBIT_R),
+        F.lit(0.0))
+    return scored.select(
+        "doc_a", "doc_b",
+        F.round("est_jaccard", 6).alias("est_full"),
+        F.round("agree_bbit", 6).alias("agree_bbit"),
+        F.round(corrected, 6).alias("est_bbit"))
