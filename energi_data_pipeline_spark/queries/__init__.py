@@ -105,32 +105,7 @@ _DRIVER_VERIFIED = frozenset({
     "tpch_q7_volume_shipping", "tpch_q13_customer_distribution",
     "tpch_q22_global_sales_opportunity", "tpch_q8_national_market_share",
     "tpch_q15_top_supplier", "curation_pipeline",
-})
-
-
-#: The round-4 driver window: the next 50 entries (in this order)
-#: that have NEVER carried a driver-issued green row.  Pinned
-#: explicitly so that queries added later cannot displace them out
-#: of the driver's first-50 verify window before they get their
-#: row; new (also-unverified) entries queue directly behind this
-#: window and rotate in the following round.
-#:
-#: ROUND-5 ACTION: once CORRECTNESS_r04.json lands, move every name
-#: with a green r04 row into _DRIVER_VERIFIED, then repopulate this
-#: window with the REMAINING 42 never-verified entries in their
-#: current load_all() order — positions 50-79 today: the round-4
-#: additions (text_hapax_ratio, sims_matryoshka_recall,
-#: sims_dim_variance, dedup_semantic_cells, mm_scene_cuts,
-#: curation_token_budget, curation_shard_manifest,
-#: ext_dq_quarantine, text_tfidf_cosine_pairs,
-#: stream_incremental_lsh_dedup, curation_gate_overlap,
-#: sims_ivfpq_ann, curation_dataset_card,
-#: stream_incremental_embedding_index, sims_kmeans_lloyd,
-#: dedup_minhash_bbit), the 17 remaining ext_*
-#: entries (ext_mom_growth ... ext_running_drawdown) and the 9-entry
-#: curation family — plus any round-5 additions; after r05 the union
-#: of CORRECTNESS_r* covers the whole registry.
-_VERIFY_FRONT_WINDOW = (
+    # --- CORRECTNESS_r04 green rows (all 50 of the round-4 window) ---
     "text_repetition_score", "text_langid_agreement",
     "text_unigram_logprob", "text_duplicate_spans",
     "text_bigram_logprob", "text_zipf_slope", "text_vocab_coverage",
@@ -153,6 +128,43 @@ _VERIFY_FRONT_WINDOW = (
     "ext_string_agg_ordered", "ext_ntile_deciles", "ext_snapshot_diff",
     "ext_nth_value_frames", "ext_rfm_segmentation",
     "ext_cumulative_distinct",
+})
+
+
+#: The round-5 driver window: the 42 remaining entries (in their
+#: round-4 load_all() order) that have NEVER carried a driver-issued
+#: green row.  Pinned explicitly so that queries added later cannot
+#: displace them out of the driver's first-50 verify window before
+#: they get their row; new (also-unverified) round-5 additions queue
+#: directly behind this window (slots 43-50 of the driver's window
+#: are free, so up to 8 new entries get a row this round too).
+#:
+#: ROUND-6 ACTION: once CORRECTNESS_r05.json lands, move every name
+#: with a green r05 row into _DRIVER_VERIFIED and repopulate this
+#: window with whatever remains unverified (round-5 additions past
+#: position 50, if any).  After r05 the union of CORRECTNESS_r*
+#: should cover the whole registry.
+_VERIFY_FRONT_WINDOW = (
+    "text_hapax_ratio", "text_tfidf_cosine_pairs",
+    "dedup_minhash_bbit", "sims_matryoshka_recall",
+    "sims_dim_variance", "dedup_semantic_cells", "sims_ivfpq_ann",
+    "sims_kmeans_lloyd", "stream_incremental_lsh_dedup",
+    "stream_incremental_embedding_index", "mm_scene_cuts",
+    "ext_mom_growth", "ext_cdc_apply", "ext_benford_audit",
+    "ext_pareto_share", "ext_event_transition_matrix",
+    "ext_histogram_log_bins", "ext_rolling_active_users",
+    "ext_market_basket_pairs", "ext_association_rules",
+    "ext_reorder_gap", "ext_activity_streaks",
+    "ext_seasonality_profile", "ext_gap_fill_linear",
+    "ext_top_percent_per_group", "ext_null_profile",
+    "ext_categorical_drift", "ext_running_drawdown",
+    "ext_dq_quarantine", "curation_dataset_split",
+    "curation_decontaminate", "curation_sequence_pack",
+    "curation_mixture_sample", "curation_funnel_report",
+    "curation_quota_sample", "curation_dup_rate_by_source",
+    "curation_split_leakage", "curation_source_league",
+    "curation_token_budget", "curation_shard_manifest",
+    "curation_gate_overlap", "curation_dataset_card",
 )
 
 
