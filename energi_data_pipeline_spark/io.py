@@ -259,16 +259,6 @@ def merge_upsert(spark: SparkSession, source: DataFrame, warehouse: str,
 
 
 # ------------------------------------------- multi-writer serialization
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except (ProcessLookupError, OverflowError):
-        return False  # no such process (or impossible pid)
-    except PermissionError:
-        return True
-    return True
-
-
 class table_lock:
     """Advisory writer lock for a managed table, used by
     :func:`merge_upsert_concurrent` (ONLY that wrapper takes it —
@@ -279,20 +269,24 @@ class table_lock:
     reference's own scope — its ACID comes from a single local
     DuckDB file).
 
-    Mechanics: ``O_CREAT|O_EXCL`` on ``{path}.__lock`` is atomic on
-    POSIX — exactly one writer wins.  The file records
-    ``pid ts token``:
+    Mechanics: kernel ``flock(LOCK_EX)`` on ``{path}.__lock``.  The
+    kernel owns liveness, which removes the whole stale-break
+    protocol (and its unavoidable check-then-act races):
 
-    * a lock whose owner pid is DEAD is broken — atomically, by
-      renaming it aside first, so two waiters can never both
-      "break" it and race into the critical section (the rename
-      succeeds for exactly one);
-    * a lock whose owner is alive is NEVER stolen, no matter its
-      age — a long merge must not be raced by a timeout
-      (``stale_s`` applies only to locks that stay unreadable /
-      garbled longer than that, e.g. a torn write);
-    * release checks the recorded token, so a process only ever
-      unlinks its OWN lock.
+    * a DEAD owner's lock is released by the kernel automatically —
+      there is nothing to "break", so two waiters can never race a
+      break and both enter the critical section;
+    * a LIVE owner is never stolen from, no matter how old its lock
+      file looks — waiters simply block until ``timeout_s``;
+    * the lock file's ``pid ts token`` content is observability
+      only; a torn/garbled write cannot wedge or corrupt exclusion
+      (``stale_s`` is retained for API compatibility but unused);
+    * after acquiring the flock the fd's inode is checked against
+      the path — a release (unlink) that raced our open orphans the
+      fd, which we detect and retry, so lock-file recreation cannot
+      let two writers hold "the" lock on different inodes;
+    * release checks the recorded token before unlinking, so a
+      process only ever removes its OWN lock file.
 
     NOT a distributed lock: on object stores / multi-node writers
     use a transactional table format (Delta/Iceberg) — that boundary
@@ -303,66 +297,49 @@ class table_lock:
                  stale_s: float = 300.0):
         self.lock_path = f"{path}.__lock"
         self.timeout_s = timeout_s
-        self.stale_s = stale_s
+        self.stale_s = stale_s  # unused; kept for API compatibility
         self.token: str | None = None
-
-    def _break_stale(self) -> None:
-        """Atomically retire a broken lock: rename it to a unique
-        name (exactly one waiter's rename succeeds; losers see
-        FileNotFoundError and simply retry) and remove the corpse."""
-        import uuid as _uuid
-
-        corpse = f"{self.lock_path}.broken-{_uuid.uuid4().hex[:8]}"
-        try:
-            os.rename(self.lock_path, corpse)
-            os.unlink(corpse)
-        except OSError:
-            pass  # someone else already broke it
+        self._fd: int | None = None
 
     def __enter__(self):
+        import fcntl
         import time
         import uuid as _uuid
 
         deadline = time.monotonic() + self.timeout_s
-        first_unreadable: float | None = None
         while True:
+            fd = os.open(self.lock_path, os.O_CREAT | os.O_RDWR)
             try:
-                token = _uuid.uuid4().hex
-                fd = os.open(self.lock_path,
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()} "
-                             f"{token}".encode())
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
                 os.close(fd)
-                self.token = token
-                return self
-            except FileExistsError:
-                owner_alive = None
-                try:
-                    with open(self.lock_path, encoding="utf-8") as fh:
-                        pid_s, _ts_s, _tok = fh.read().split()
-                    owner_alive = _pid_alive(int(pid_s))
-                    first_unreadable = None
-                except FileNotFoundError:
-                    continue  # released between open and read — retry
-                except (OSError, ValueError):
-                    # mid-write or garbled; tolerate briefly, break
-                    # only if it STAYS unreadable past stale_s
-                    now = time.monotonic()
-                    if first_unreadable is None:
-                        first_unreadable = now
-                    elif now - first_unreadable > self.stale_s:
-                        self._break_stale()
-                        first_unreadable = None
-                        continue
-                if owner_alive is False:
-                    self._break_stale()
-                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"writer lock busy: {self.lock_path}")
                 time.sleep(0.05)
+                continue
+            # flock held — but only on THIS inode.  If a racing
+            # release unlinked the path between our open and flock,
+            # the lock we hold guards an orphaned inode while a new
+            # file (lockable by anyone) sits at the path: retry.
+            try:
+                if os.fstat(fd).st_ino != os.stat(self.lock_path).st_ino:
+                    raise FileNotFoundError
+            except FileNotFoundError:
+                os.close(fd)
+                continue
+            token = _uuid.uuid4().hex
+            os.ftruncate(fd, 0)
+            os.write(fd, f"{os.getpid()} {time.time()} "
+                         f"{token}".encode())
+            self.token = token
+            self._fd = fd
+            return self
 
     def __exit__(self, *exc):
+        # Unlink BEFORE dropping the flock: a waiter whose open fd
+        # already points at this inode will briefly flock the orphan,
+        # fail the inode check above, and retry on the fresh path.
         try:
             with open(self.lock_path, encoding="utf-8") as fh:
                 _pid, _ts, tok = fh.read().split()
@@ -370,6 +347,12 @@ class table_lock:
                 os.unlink(self.lock_path)
         except (OSError, ValueError):
             pass
+        if self._fd is not None:
+            try:
+                os.close(self._fd)  # drops the flock
+            except OSError:
+                pass
+            self._fd = None
         return False
 
 

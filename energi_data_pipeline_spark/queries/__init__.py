@@ -46,6 +46,43 @@ def query(name: str, oracle: str | None):
     return deco
 
 
+#: Corpus-size ceilings (embeddings row count) above which a query's
+#: STATIC oracle SQL stops matching its corpus-ADAPTIVE Spark plan:
+#: the Spark side derives index fan-outs (LSH planes, IVF centroid
+#: stride, PQ codebook stride) from corpus cardinality, while the
+#: oracle bakes the test-scale floor value at import time.  Below
+#: the knee both agree bit-for-bit; past it a parity run would
+#: compare different index geometries and fail with opaque row
+#: mismatches — the harness consults this map to fail LOUDLY
+#: instead.  Production correctness is unaffected: the Spark plan is
+#: the right one at every scale, only the differential-test oracle
+#: has a validity range.
+ORACLE_SCALE_KNEES: dict[str, int] = {}
+
+
+def register_oracle_knee(name: str, max_corpus: int) -> None:
+    ORACLE_SCALE_KNEES[name] = max_corpus
+
+
+def oracle_scale_guard(name: str, sf_dir: str) -> str | None:
+    """Return an explanation if ``name``'s oracle is NOT valid for
+    the corpus at ``sf_dir`` (corpus past the adaptive-knob knee),
+    else None.  Parity harnesses call this before comparing."""
+    knee = ORACLE_SCALE_KNEES.get(name)
+    if knee is None:
+        return None
+    from .simsearch import corpus_size
+
+    n = corpus_size(sf_dir)
+    if n <= knee:
+        return None
+    return (f"oracle for {name!r} is only valid up to {knee} "
+            f"embedding vectors (corpus at {sf_dir} has {n}): the "
+            f"Spark plan scales its index fan-out past this knee "
+            f"while the static oracle SQL does not — parity must be "
+            f"checked at a test SF below the knee")
+
+
 #: registry entries the external driver has ALREADY hash-verified
 #: (CORRECTNESS_r01 + r02 cover the first 50 registry entries of
 #: those rounds; CORRECTNESS_r03 covers the 50 that the round-3

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..io import spread
-from . import query
+from . import query, register_oracle_knee
 from .core import t
 
 TOP_K = 5
@@ -80,26 +80,34 @@ def blocks_for(n_vectors: int) -> int:
 import functools
 
 
-@functools.lru_cache(maxsize=64)
-def corpus_size(sf_dir: str) -> int:
-    """Row count of the embeddings corpus from parquet footer
-    metadata — a driver-side peek (no Spark job), the same cheap
-    statistic a catalog serves at 100 TB.  Feeds :func:`planes_for`
-    so the ANN bucket count adapts to the corpus it indexes.
-    Cached per directory: several query builders consult it more
-    than once per plan build, and a directory-backed corpus would
-    otherwise re-open every file footer each time."""
+@functools.lru_cache(maxsize=256)
+def _corpus_size_at(path: str, mtime_ns: int, size: int) -> int:
     import os
 
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isdir(path):
         return sum(
             pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
             for root, _d, files in os.walk(path)
             for f in files if f.endswith(".parquet"))
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def corpus_size(sf_dir: str) -> int:
+    """Row count of the embeddings corpus from parquet footer
+    metadata — a driver-side peek (no Spark job), the same cheap
+    statistic a catalog serves at 100 TB.  Feeds :func:`planes_for`
+    so the ANN bucket count adapts to the corpus it indexes.
+    Cached on (path, mtime, size) — not path alone — so a corpus
+    regenerated in-place in a long-lived process (rehearsal loops,
+    driver re-runs) invalidates the cache instead of freezing index
+    fan-outs at the stale row count."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(path)
+    return _corpus_size_at(path, st.st_mtime_ns, st.st_size)
 
 
 DOT_SQL_FRAGMENT = """
@@ -1504,6 +1512,11 @@ WITH vec AS (
                FROM (SELECT UNNEST(embedding[1:{MRL_DIM}]) AS e)))
            AS nrm_t
   FROM embeddings),
+-- a zero-norm (full or truncated) vector has no direction: its
+-- cosine would be 0/0, which Spark and DuckDB canonicalize
+-- differently (NULL vs NaN/inf) and would corrupt the per-query
+-- argmin on both engines differently — exclude it outright.
+vecnz AS (SELECT * FROM vec WHERE nrm > 0 AND nrm_t > 0),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          ROUND((SELECT SUM(ae * be) FROM (
@@ -1514,7 +1527,7 @@ pairs AS (
                   SELECT CAST(UNNEST(a.emb_t) AS DOUBLE) AS ae,
                          CAST(UNNEST(b.emb_t) AS DOUBLE) AS be))
                / (a.nrm_t * b.nrm_t), 6) AS cos_trunc
-  FROM vec a JOIN vec b ON b.vec_id <> a.vec_id
+  FROM vecnz a JOIN vecnz b ON b.vec_id <> a.vec_id
   WHERE a.vec_id % {QUERY_STRIDE} = 0),
 best AS (
   SELECT query_id,
@@ -1546,10 +1559,14 @@ def sims_matryoshka_recall(spark, sf_dir):
     neighbor id, mirroring the oracle's MIN(struct_pack(...))."""
     emb = spread(t(spark, sf_dir, "embeddings"))
     trunc = F.slice(F.col("embedding"), 1, MRL_DIM)
-    vec = emb.select(
+    vec = (emb.select(
         "vec_id", "embedding", trunc.alias("emb_t"),
         _norm(F.col("embedding")).alias("nrm"),
         _norm(trunc).alias("nrm_t"))
+        # zero-norm (full or truncated) vectors have no direction;
+        # their 0/0 cosine canonicalizes differently per engine —
+        # excluded on both sides (see vecnz in the oracle).
+        .filter((F.col("nrm") > 0) & (F.col("nrm_t") > 0)))
     corpus = vec.withColumn(
         "blk", F.pmod(F.col("vec_id"),
                       F.lit(blocks_for(corpus_size(sf_dir)))).cast("int"))
@@ -1985,3 +2002,30 @@ def sims_kmeans_lloyd(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
                  F.round(F.sum(F.col("d2").cast("decimal(38,10)"))
                          .cast("double"), 6).alias("inertia")))
+
+
+# ----------------------------- oracle validity knees (see queries/
+# __init__.py ORACLE_SCALE_KNEES): corpus size at which each
+# adaptive fan-out knob leaves its test-scale floor value, i.e. the
+# last corpus size at which the static oracle SQL still matches the
+# Spark plan bit-for-bit.
+_KNEE_PLANES = TARGET_BUCKET_OCC << N_PLANES        # planes_for
+_KNEE_NEARDUP = NEARDUP_OCC << NEARDUP_PLANES       # neardup_planes
+_KNEE_CENT = _STRIDE_KNEE                           # cent_stride_for
+_KNEE_CB = CB_STRIDE * CB_CODES                     # cb_stride_for
+for _name, _knee in {
+    "sims_ann_lsh_bucketed": _KNEE_PLANES,
+    "sims_bucket_balance": _KNEE_PLANES,
+    "dedup_embedding_cosine": _KNEE_NEARDUP,
+    "dedup_incremental_embedding": _KNEE_NEARDUP,
+    "sims_range_search": _KNEE_NEARDUP,
+    "sims_cosine_histogram": _KNEE_NEARDUP,
+    "sims_ivf_ann": _KNEE_CENT,
+    "sims_ivf_multiprobe": _KNEE_CENT,
+    "dedup_semantic_cells": _KNEE_CENT,
+    "sims_kmeans_lloyd": _KNEE_CENT,
+    "sims_pq_adc": _KNEE_CB,
+    "sims_pq_distortion": _KNEE_CB,
+    "sims_ivfpq_ann": min(_KNEE_CENT, _KNEE_CB),
+}.items():
+    register_oracle_knee(_name, _knee)

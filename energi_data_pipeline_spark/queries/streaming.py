@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..session import tune
-from . import query
+from . import query, register_oracle_knee
 
 
 def _stateful_shuffle_partitions(spark, input_path: str) -> str:
@@ -1150,3 +1150,11 @@ def stream_incremental_embedding_index(spark, sf_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
+
+
+# stream_incremental_embedding_index's oracle bakes the test-scale
+# NEARDUP_PLANES bucket SQL; the Spark side derives planes from the
+# corpus (see queries/__init__.py ORACLE_SCALE_KNEES).
+from .simsearch import _KNEE_NEARDUP as _SIKNEE  # noqa: E402
+
+register_oracle_knee("stream_incremental_embedding_index", _SIKNEE)

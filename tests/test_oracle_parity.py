@@ -24,7 +24,14 @@ def duck():
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, duck, name):
+    from energi_data_pipeline_spark.queries import oracle_scale_guard
+
     qd = REGISTRY[name]
+    # Oracles with a corpus-size validity knee must fail LOUDLY when
+    # the harness is pointed at a scaled corpus (rehearsal data),
+    # not with opaque row mismatches.
+    msg = oracle_scale_guard(name, SF0001)
+    assert msg is None, msg
     df = qd.fn(spark, SF0001)
     res = compare(df, duck, qd.oracle)
     assert res["ok"], f"{name}: {res}"

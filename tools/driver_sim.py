@@ -43,9 +43,16 @@ def main() -> int:
               if any(pat in n for pat in ONLY)}
     con = duck_connection(SF)
     failures = 0
+    from energi_data_pipeline_spark.queries import oracle_scale_guard
+
     for name, fn in qs.items():
         t0 = time.time()
         try:
+            guard_msg = oracle_scale_guard(name, SF)
+            if guard_msg is not None and name in oracles:
+                # static oracle invalid past its scaling knee: fail
+                # loudly, never as an opaque row mismatch
+                raise RuntimeError(guard_msg)
             df = fn(spark, SF)
             if name in oracles:
                 res = compare(df, con, oracles[name])
