@@ -905,8 +905,10 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
     of MinHash-LSH dedup: documents arrive in micro-batches; each
     batch is signed, checked against the ACCUMULATED signature index
     (band-bucket join + signature-agreement verify, partner id <
-    own id), its verdicts appended idempotently, and its signatures
-    merged into the index with the atomic snapshot publish.  The
+    own id), its verdicts appended idempotently, and its signatures +
+    band-long posting rows APPENDED to the two index tables
+    (band-partitioned) through insert_if_absent — per-batch write
+    volume is O(batch), never a full index rewrite.  The
     tested contract is the incremental-equivalence invariant: after
     replaying the corpus as {INCR_LSH_BATCHES} ascending-id batches,
     the verdict table must equal the FULL-batch LSH pair query's
@@ -924,8 +926,7 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
     import tempfile
 
     from ..functions.hashing import base_hashes, minhash_from_hashes
-    from ..io import (insert_if_absent, publish_atomic,
-                      read_layer_table, table_path)
+    from ..io import insert_if_absent, read_layer_table, table_path
     from .dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
     from .dedup import shingles_from_tokens
     from .text import tokens_col
@@ -981,18 +982,30 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
     def process_batch(batch_df, _bid):
         sess = batch_df.sparkSession
         batch_sigs = sign(batch_df).localCheckpoint(eager=True)
-        index = read_layer_table(sess, wh, "silver", "lsh_index")
-        known = (batch_sigs if index is None
-                 else index.unionByName(batch_sigs))
-        bl = band_long(batch_sigs).alias("l")
-        kl = band_long(known).alias("r")
+        batch_bands = band_long(batch_sigs).localCheckpoint(eager=True)
+        # The index is TWO append-only tables: signatures (verify
+        # side) and the band-long posting list (candidate side,
+        # partitioned by band).  Per batch we APPEND the batch delta
+        # through insert_if_absent — O(batch) write volume — instead
+        # of republishing the whole index snapshot, whose total
+        # write volume is O(batches x index): quadratic in stream
+        # length, the scale-killer shape flagged in round 4.
+        idx_bands = read_layer_table(sess, wh, "silver", "lsh_bands")
+        all_bands = (batch_bands if idx_bands is None
+                     else idx_bands.select("doc_id", "band", "key")
+                     .unionByName(batch_bands))
+        bl = batch_bands.alias("l")
+        kl = all_bands.alias("r")
         cand = (bl.join(kl, (F.col("l.band") == F.col("r.band"))
                         & (F.col("l.key") == F.col("r.key"))
                         & (F.col("r.doc_id") < F.col("l.doc_id")))
                 .select(F.col("l.doc_id").alias("doc_id"),
                         F.col("r.doc_id").alias("partner_id"))
                 .distinct())
-        a, b = known.alias("a"), known.alias("b")
+        idx_sigs = read_layer_table(sess, wh, "silver", "lsh_index")
+        sigs_all = (batch_sigs if idx_sigs is None
+                    else idx_sigs.unionByName(batch_sigs))
+        a, b = batch_sigs.alias("a"), sigs_all.alias("b")
         agree = sum(
             F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1)
             .otherwise(0) for k in range(NUM_HASHES))
@@ -1009,7 +1022,11 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
                             .alias("is_dup_of_earlier")))
         insert_if_absent(sess, verdicts, wh, "gold", "dup_verdicts",
                          keys=["doc_id"])
-        publish_atomic(known, table_path(wh, "silver", "lsh_index"))
+        insert_if_absent(sess, batch_sigs, wh, "silver", "lsh_index",
+                         keys=["doc_id"])
+        insert_if_absent(sess, batch_bands, wh, "silver", "lsh_bands",
+                         keys=["doc_id", "band"],
+                         partition_by=["band"])
 
     try:
         q = (spark.readStream.schema(schema).parquet(src)
@@ -1065,7 +1082,9 @@ def stream_incremental_embedding_index(spark, sf_dir):
     ascending-id micro-batches; each batch is sign-LSH-bucketed,
     compared against the accumulated (bucket, vector) index — plus
     its own lower-id rows — by exact in-bucket cosine, verdicts
-    append idempotently, and the index merges in atomically.  The
+    append idempotently, and the batch's vectors APPEND to the
+    bucket-partitioned index through insert_if_absent (O(batch)
+    write volume per batch, never a full index rewrite).  The
     verified contract is again incremental-equals-batch: the verdict
     table must equal the batch "has a lower-id bucket-mate at cosine
     >= {NEARDUP_T}" relation.
@@ -1078,8 +1097,7 @@ def stream_incremental_embedding_index(spark, sf_dir):
     import shutil
     import tempfile
 
-    from ..io import (insert_if_absent, publish_atomic,
-                      read_layer_table, table_path)
+    from ..io import insert_if_absent, read_layer_table, table_path
 
     tune(spark)
     src = tempfile.mkdtemp(prefix="emb_idx_src_")
@@ -1109,11 +1127,16 @@ def stream_incremental_embedding_index(spark, sf_dir):
         batch_vec = (batch_df.select(
             "vec_id", "embedding",
             _norm(F.col("embedding")).alias("nrm"),
-            _bucket_col(planes).alias("bucket"))
+            _bucket_col(planes).cast("bigint").alias("bucket"))
             .localCheckpoint(eager=True))
         index = read_layer_table(sess, wh, "silver", "emb_index")
+        # bucket comes back as a partition directory value — re-cast
+        # so the union's type matches the batch side exactly
         known = (batch_vec if index is None
-                 else index.unionByName(batch_vec))
+                 else index.select(
+                     "vec_id", "embedding", "nrm",
+                     F.col("bucket").cast("bigint").alias("bucket"))
+                 .unionByName(batch_vec))
         partner = known.select(
             F.col("vec_id").alias("b_id"),
             F.col("embedding").alias("b_emb"),
@@ -1135,7 +1158,11 @@ def stream_incremental_embedding_index(spark, sf_dir):
                             .alias("is_dup_of_earlier")))
         insert_if_absent(sess, verdicts, wh, "gold", "emb_verdicts",
                          keys=["vec_id"])
-        publish_atomic(known, table_path(wh, "silver", "emb_index"))
+        # append the batch delta only (bucket-partitioned) — the
+        # full-snapshot republish was O(batches x index) total write
+        # volume, quadratic in stream length
+        insert_if_absent(sess, batch_vec, wh, "silver", "emb_index",
+                         keys=["vec_id"], partition_by=["bucket"])
 
     try:
         q = (spark.readStream.schema(schema).parquet(src)
