@@ -25,6 +25,31 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .session import tune
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _parquet_rows_at(path: str, _mtime_ns: int, _size: int) -> int:
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _d, files in os.walk(path)
+            for f in files if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def parquet_row_count(path: str) -> int:
+    """Row count from parquet footer metadata — a driver-side peek
+    (no Spark job), the same cheap statistic a catalog serves at
+    100 TB.  Feeds the corpus-adaptive index fan-outs (LSH planes,
+    MinHash signature width, IVF strides).  Cached on (path, mtime,
+    size) so a corpus regenerated in-place invalidates the cache."""
+    st = os.stat(path)
+    return _parquet_rows_at(path, st.st_mtime_ns, st.st_size)
+
+
 #: parquet path -> list of timestamp[ns] column names (footer cache)
 _NANOS_COLS: dict[str, list[str]] = {}
 

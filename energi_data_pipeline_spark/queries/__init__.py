@@ -57,27 +57,30 @@ def query(name: str, oracle: str | None):
 #: instead.  Production correctness is unaffected: the Spark plan is
 #: the right one at every scale, only the differential-test oracle
 #: has a validity range.
-ORACLE_SCALE_KNEES: dict[str, int] = {}
+ORACLE_SCALE_KNEES: dict[str, tuple[str, int]] = {}
 
 
-def register_oracle_knee(name: str, max_corpus: int) -> None:
-    ORACLE_SCALE_KNEES[name] = max_corpus
+def register_oracle_knee(name: str, max_corpus: int,
+                         table: str = "embeddings") -> None:
+    ORACLE_SCALE_KNEES[name] = (table, max_corpus)
 
 
 def oracle_scale_guard(name: str, sf_dir: str) -> str | None:
     """Return an explanation if ``name``'s oracle is NOT valid for
     the corpus at ``sf_dir`` (corpus past the adaptive-knob knee),
     else None.  Parity harnesses call this before comparing."""
-    knee = ORACLE_SCALE_KNEES.get(name)
-    if knee is None:
-        return None
-    from .simsearch import corpus_size
+    import os
 
-    n = corpus_size(sf_dir)
+    if name not in ORACLE_SCALE_KNEES:
+        return None
+    table, knee = ORACLE_SCALE_KNEES[name]
+    from ..io import parquet_row_count
+
+    n = parquet_row_count(os.path.join(sf_dir, f"{table}.parquet"))
     if n <= knee:
         return None
     return (f"oracle for {name!r} is only valid up to {knee} "
-            f"embedding vectors (corpus at {sf_dir} has {n}): the "
+            f"{table} rows (corpus at {sf_dir} has {n}): the "
             f"Spark plan scales its index fan-out past this knee "
             f"while the static oracle SQL does not — parity must be "
             f"checked at a test SF below the knee")

@@ -893,3 +893,14 @@ def curation_dataset_card(spark, sf_dir):
         .alias("mean_doc_tokens"),
         "quality_pass_rate", "repetition_pass_rate", "blocked_rate",
         "exact_dup_rate", "near_dup_pairs")
+
+
+# oracle validity knees: these compose dedup_minhash_lsh_pairs
+# (corpus-adaptive signature on the Spark side, floor-valued SQL in
+# the composed oracle) — see queries/__init__.py ORACLE_SCALE_KNEES.
+from . import register_oracle_knee as _rok  # noqa: E402
+from .dedup import SIG_KNEE as _SIGKNEE  # noqa: E402
+
+for _name in ("curation_pipeline", "curation_funnel_report",
+              "curation_split_leakage", "curation_dataset_card"):
+    _rok(_name, _SIGKNEE, table="documents")

@@ -34,6 +34,53 @@ NUM_HASHES = 8
 NUM_BANDS = 2
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
+#: documents-corpus knee for the signature width: through this many
+#: docs the signature keeps the (NUM_HASHES, NUM_BANDS) test-scale
+#: floor — the static oracles bake those values, so every test-SF
+#: oracle is unchanged (registered in ORACLE_SCALE_KNEES) — then
+#: widens toward the 64-128-hash production regime.
+SIG_KNEE = 1 << 17  # 131072 docs
+MAX_HASHES = 128
+#: the floor's candidate threshold (1/2)^(1/4) ≈ 0.84 estimated
+#: Jaccard — wider signatures choose the banding whose threshold
+#: stays closest to this operating point.
+_T_STAR = (1.0 / NUM_BANDS) ** (1.0 / ROWS_PER_BAND)
+
+
+def minhash_params(n_docs: int) -> tuple[int, int]:
+    """``(num_hashes, num_bands)`` for a corpus of ``n_docs``: the
+    (NUM_HASHES, NUM_BANDS) floor through SIG_KNEE documents, then
+    the signature DOUBLES per 4x corpus growth, capped at
+    MAX_HASHES.  An 8-hash signature gives 1/8-granularity Jaccard
+    estimates and a shallow S-curve — fine for thousands of docs,
+    far too coarse for billions (production-grade is 64-128 hashes,
+    e.g. Lee et al., "Deduplicating Training Data Makes Language
+    Models Better").  The banding is then the divisor split
+    (b, r = nh/b) whose threshold (1/b)^(1/r) lands closest to the
+    floor's ~0.84 operating point (ties -> more rows per band, the
+    sharper S-curve), so scaling the signature width does not move
+    the near-dup operating point."""
+    import math
+
+    if n_docs <= SIG_KNEE:
+        return NUM_HASHES, NUM_BANDS
+    doublings = math.ceil(math.log(n_docs / SIG_KNEE) / math.log(4))
+    nh = min(MAX_HASHES, NUM_HASHES << doublings)
+    nb = min(
+        (b for b in range(1, nh + 1) if nh % b == 0),
+        key=lambda b: (abs((1.0 / b) ** (b / nh) - _T_STAR), b))
+    return nh, nb
+
+
+def docs_corpus_size(sf_dir: str) -> int:
+    """Row count of the documents corpus (parquet-footer peek, no
+    Spark job; cached on path+mtime+size)."""
+    import os
+
+    from ..io import parquet_row_count
+
+    return parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
+
 NORM_SQL = "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
 
 
@@ -196,6 +243,7 @@ def dedup_minhash_signature(spark, sf_dir):
     split into the shingle lambda (one split per element access) and
     the md5 pass into all 8 minhash columns (8 md5 passes per doc) —
     measured 7x slower at sf0.1."""
+    nh, _ = minhash_params(docs_corpus_size(sf_dir))
     d = spread(t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", tokens_col(F.col("text")).alias("tk")).cache()
@@ -207,7 +255,7 @@ def dedup_minhash_signature(spark, sf_dir):
     return hashed.select(
         "doc_id",
         *[minhash_from_hashes(F.col("hl"), k).alias(f"mh{k}")
-          for k in range(NUM_HASHES)],
+          for k in range(nh)],
     )
 
 
@@ -263,21 +311,23 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     (band, band_key) buckets, dedup pairs, score by signature
     agreement.  The join key space is tiny vs all-pairs — this is
     the 100 TB-safe near-dup shape."""
+    nh, nb = minhash_params(docs_corpus_size(sf_dir))
+    rpb = nh // nb
     # the signature table feeds three plan branches (banding + both
     # sides of the pair join) — materialize it once, it's tiny
     sigs = dedup_minhash_signature(spark, sf_dir).cache()
     band_cols = [
         F.md5(F.concat_ws("_", *[
-            F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-            for r in range(ROWS_PER_BAND)])).alias(f"band{b}")
-        for b in range(NUM_BANDS)
+            F.col(f"mh{b * rpb + r}").cast("string")
+            for r in range(rpb)])).alias(f"band{b}")
+        for b in range(nb)
     ]
     banded = sigs.select("doc_id", *band_cols)
     long = banded.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
-            for b in range(NUM_BANDS)])).alias("bk"),
+            for b in range(nb)])).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
     l, r = long.alias("l"), long.alias("r")
     pairs = (
@@ -292,7 +342,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     b = sigs.alias("b")
     agree = sum(
         F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
-        for k in range(NUM_HASHES))
+        for k in range(nh))
     # plain joins on doc_id: the signature table is corpus-cardinality,
     # so a hardcoded broadcast would OOM at 10B docs — AQE still picks
     # a broadcast build side whenever the table is actually small
@@ -300,7 +350,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
         .join(b, pairs.doc_b == F.col("b.doc_id"))
         .select("doc_a", "doc_b",
-                (agree.cast("double") / NUM_HASHES).alias("est_jaccard"))
+                (agree.cast("double") / nh).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
     )
 
@@ -1034,6 +1084,7 @@ def dedup_minhash_bbit(spark, sf_dir):
     pairs come from the banding join, and the two signature joins
     shuffle signature-width rows on doc_id (AQE broadcasts the
     candidate side while it fits)."""
+    nh, _ = minhash_params(docs_corpus_size(sf_dir))
     sigs = dedup_minhash_signature(spark, sf_dir).cache()
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir) \
         .select("doc_a", "doc_b", "est_jaccard")
@@ -1041,12 +1092,12 @@ def dedup_minhash_bbit(spark, sf_dir):
     agree = sum(
         F.when(F.col(f"a.mh{k}") % (1 << BBIT)
                == F.col(f"b.mh{k}") % (1 << BBIT), 1).otherwise(0)
-        for k in range(NUM_HASHES))
+        for k in range(nh))
     scored = (pairs
               .join(a, pairs.doc_a == F.col("a.doc_id"))
               .join(b, pairs.doc_b == F.col("b.doc_id"))
               .select("doc_a", "doc_b", "est_jaccard",
-                      (agree.cast("double") / NUM_HASHES)
+                      (agree.cast("double") / nh)
                       .alias("agree_bbit")))
     corrected = F.greatest(
         (F.col("agree_bbit") - F.lit(_BBIT_R)) / (1 - _BBIT_R),
@@ -1056,3 +1107,19 @@ def dedup_minhash_bbit(spark, sf_dir):
         F.round("est_jaccard", 6).alias("est_full"),
         F.round("agree_bbit", 6).alias("agree_bbit"),
         F.round(corrected, 6).alias("est_bbit"))
+
+
+# ----------------------------- oracle validity knees (documents):
+# these queries' Spark plans derive the MinHash signature width /
+# banding from corpus cardinality (minhash_params) while their
+# oracles bake the (NUM_HASHES, NUM_BANDS) floor — valid through
+# SIG_KNEE documents (see queries/__init__.py ORACLE_SCALE_KNEES).
+from . import register_oracle_knee as _rok  # noqa: E402
+
+for _name in (
+    "dedup_minhash_signature", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_calibration", "dedup_minhash_bbit",
+    "dedup_connected_components", "dedup_connected_components_star",
+    "dedup_cluster_keep_best", "dedup_cluster_size_histogram",
+):
+    _rok(_name, SIG_KNEE, table="documents")

@@ -80,34 +80,17 @@ def blocks_for(n_vectors: int) -> int:
 import functools
 
 
-@functools.lru_cache(maxsize=256)
-def _corpus_size_at(path: str, mtime_ns: int, size: int) -> int:
-    import os
-
-    import pyarrow.parquet as pq
-
-    if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-            for root, _d, files in os.walk(path)
-            for f in files if f.endswith(".parquet"))
-    return pq.ParquetFile(path).metadata.num_rows
-
-
 def corpus_size(sf_dir: str) -> int:
-    """Row count of the embeddings corpus from parquet footer
-    metadata — a driver-side peek (no Spark job), the same cheap
-    statistic a catalog serves at 100 TB.  Feeds :func:`planes_for`
-    so the ANN bucket count adapts to the corpus it indexes.
-    Cached on (path, mtime, size) — not path alone — so a corpus
-    regenerated in-place in a long-lived process (rehearsal loops,
-    driver re-runs) invalidates the cache instead of freezing index
-    fan-outs at the stale row count."""
+    """Row count of the embeddings corpus (parquet-footer peek, no
+    Spark job).  Feeds :func:`planes_for` so the ANN bucket count
+    adapts to the corpus it indexes.  Cached on (path, mtime, size)
+    — not path alone — so a corpus regenerated in-place invalidates
+    the cache (see :func:`..io.parquet_row_count`)."""
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(path)
-    return _corpus_size_at(path, st.st_mtime_ns, st.st_size)
+    from ..io import parquet_row_count
+
+    return parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 DOT_SQL_FRAGMENT = """

@@ -927,7 +927,7 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
 
     from ..functions.hashing import base_hashes, minhash_from_hashes
     from ..io import insert_if_absent, read_layer_table, table_path
-    from .dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND
+    from .dedup import docs_corpus_size, minhash_params
     from .dedup import shingles_from_tokens
     from .text import tokens_col
 
@@ -938,6 +938,10 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
 
     d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
     schema = d.schema
+    # corpus-adaptive signature width/banding, same floor-preserving
+    # rule as the batch LSH family (dedup.minhash_params)
+    nh, nb = minhash_params(docs_corpus_size(sf_dir))
+    rpb = nh // nb
     max_id = d.agg(F.max("doc_id")).first()[0]
     span = (max_id + INCR_LSH_BATCHES) // INCR_LSH_BATCHES
     # replay the corpus as ascending-id single-file batches; mtimes
@@ -964,7 +968,7 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
         return hashed.select(
             "doc_id",
             *[minhash_from_hashes(F.col("hl"), k).alias(f"mh{k}")
-              for k in range(NUM_HASHES)])
+              for k in range(nh)])
 
     def band_long(sigs):
         return sigs.select(
@@ -973,10 +977,10 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
                 F.struct(
                     F.lit(b).alias("band"),
                     F.md5(F.concat_ws("_", *[
-                        F.col(f"mh{b * ROWS_PER_BAND + r}")
+                        F.col(f"mh{b * rpb + r}")
                         .cast("string")
-                        for r in range(ROWS_PER_BAND)])).alias("key"))
-                for b in range(NUM_BANDS)])).alias("bk")
+                        for r in range(rpb)])).alias("key"))
+                for b in range(nb)])).alias("bk")
         ).select("doc_id", "bk.band", "bk.key")
 
     def process_batch(batch_df, _bid):
@@ -1008,11 +1012,11 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
         a, b = batch_sigs.alias("a"), sigs_all.alias("b")
         agree = sum(
             F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1)
-            .otherwise(0) for k in range(NUM_HASHES))
+            .otherwise(0) for k in range(nh))
         dup_ids = (cand
                    .join(a, cand.doc_id == F.col("a.doc_id"))
                    .join(b, cand.partner_id == F.col("b.doc_id"))
-                   .filter((agree.cast("double") / NUM_HASHES) >= 0.5)
+                   .filter((agree.cast("double") / nh) >= 0.5)
                    .select(cand.doc_id).distinct())
         verdicts = (batch_sigs.select("doc_id")
                     .join(dup_ids.withColumn("dup", F.lit(True)),
@@ -1185,3 +1189,10 @@ def stream_incremental_embedding_index(spark, sf_dir):
 from .simsearch import _KNEE_NEARDUP as _SIKNEE  # noqa: E402
 
 register_oracle_knee("stream_incremental_embedding_index", _SIKNEE)
+
+# ...and its LSH twin derives the signature width from the documents
+# corpus (dedup.minhash_params) while the oracle bakes the floor.
+from .dedup import SIG_KNEE as _SIGKNEE  # noqa: E402
+
+register_oracle_knee("stream_incremental_lsh_dedup", _SIGKNEE,
+                     table="documents")
