@@ -61,11 +61,38 @@ HEADLINE = [
     "ext_asof_join",
     "ext_range_join_binned",
     "mm_binary_metadata",
+    # round-5: the heavy tail — the repo's most expensive operators,
+    # previously unbenched (the r04 verdict: "BENCH currently
+    # measures the cheap half of the engine")
+    "text_tfidf_cosine_pairs",
+    "dedup_semantic_cells",
+    "sims_ivfpq_ann",
+    "stream_incremental_lsh_dedup",
+    "curation_pipeline",
+    # fixed-point production twins of the two DECIMAL-tax queries
+    # (benched alongside the oracle-exact ones, per the r04 verdict)
+    "core_groupby_agg_fastsum",
+    "core_cte_chain_fastsum",
 ]
 
 #: streaming entries: their per-run time includes micro-batch engine
-#: startup (see stream_engine_startup_s in the artifact)
-STREAMING = {"stream_tumbling_window"}
+#: startup (see stream_engine_startup_s in the artifact);
+#: stream_incremental_lsh_dedup additionally pays per-run warehouse
+#: setup + 3 micro-batches (it IS an index-maintenance pipeline, not
+#: a single query)
+STREAMING = {"stream_tumbling_window", "stream_incremental_lsh_dedup"}
+
+#: query pairs excluded from the ex-outlier ratio: their DuckDB
+#: oracle is the correlated-subquery MinHash-LSH scoring SQL (25-75s
+#: at sf0.1 where the banded Spark plan is 1-10s) — a pathology of
+#: the ORACLE formulation, not a Spark win to bank.  Declared
+#: explicitly (stream_incremental_lsh_dedup reuses that SQL
+#: verbatim) instead of the old drop-the-single-largest rule, which
+#: would under-drop now that two entries share the pathological
+#: oracle.  Both ratios are still published.
+PATHOLOGICAL_ORACLES = ["dedup_minhash_lsh_pairs",
+                        "stream_incremental_lsh_dedup",
+                        "curation_pipeline"]
 
 #: measured executions per query (min = steady state; median and the
 #: full run list are recorded so cold/warm behavior is visible)
@@ -193,11 +220,13 @@ def main() -> None:
                     for n, rs in spark_runs.items()}
     total = round(sum(spark_times.values()), 3)
     duck_total = round(sum(duck_times.values()), 3)
-    # drop the single pair with the largest DuckDB-side time: one
-    # pathological oracle must not flatter (or hide) the headline
-    outlier = max(duck_times, key=duck_times.get)
-    total_ex = round(total - spark_times.get(outlier, 0.0), 3)
-    duck_total_ex = round(duck_total - duck_times[outlier], 3)
+    # drop the declared pathological-oracle pairs: DuckDB's
+    # correlated-subquery LSH scoring must not flatter the headline
+    outliers = [n for n in PATHOLOGICAL_ORACLES if n in duck_times]
+    total_ex = round(
+        total - sum(spark_times.get(n, 0.0) for n in outliers), 3)
+    duck_total_ex = round(
+        duck_total - sum(duck_times[n] for n in outliers), 3)
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -208,7 +237,7 @@ def main() -> None:
         "duckdb_baseline": duck_times,
         "duckdb_total": duck_total,
         "ratio_vs_duckdb": round(total / duck_total, 3),
-        "outlier_dropped": outlier,
+        "outliers_dropped": outliers,
         "value_ex_outlier": total_ex,
         "duckdb_total_ex_outlier": duck_total_ex,
         "ratio_ex_outlier": round(total_ex / duck_total_ex, 3),
@@ -223,10 +252,10 @@ def main() -> None:
                   "executions, Spark and DuckDB alike (steady-state; "
                   "caches dropped between runs; all runs recorded in "
                   "spark_runs/duckdb_runs so cold/warm is visible); "
-                  "ratio_ex_outlier drops the one query pair where "
-                  "the DuckDB oracle is pathological "
-                  "(correlated-subquery LSH scoring) — report BOTH "
-                  "ratios; streaming entries pay "
+                  "ratio_ex_outlier drops the declared pairs whose "
+                  "DuckDB oracle is pathological (correlated-"
+                  "subquery LSH scoring; see PATHOLOGICAL_ORACLES) "
+                  "— report BOTH ratios; streaming entries pay "
                   "~stream_engine_startup_s of micro-batch engine "
                   "init per execution that a resident stream pays "
                   "once (measured on a trivial rate-source run); "

@@ -439,6 +439,59 @@ def core_groupby_agg(spark, sf_dir):
     )
 
 
+# fixed-point twin of core_groupby_agg: the DECIMAL(38,10) hash
+# accumulator is exact at any scale but costs ~0.9s of the query's
+# 1.14s at sf0.1 (Spark's >18-digit decimal sum is a non-vectorized
+# BigDecimal path; DuckDB's int128 path is vectorized — measured
+# breakdown in SURVEY §8).  Production variant: pre-round each term
+# to its EXACT decimal scale (prices 2dp, discounted revenue 4dp),
+# accumulate as scaled BIGINT — order-independent, deterministic,
+# native codegen — and rescale once per group.  Bound: the long
+# accumulator holds ~8e9 rows/group at the 1e4 scale; past that use
+# the decimal variant (documented, not hidden).
+@query(
+    "core_groupby_agg_fastsum",
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 100, 6) AS sum_qty,
+              ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 100, 6) AS sum_base_price,
+              ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice
+                    * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 10000, 6) AS sum_disc_price,
+              ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 100 / COUNT(*), 6)
+                AS avg_qty,
+              COUNT(*) AS count_order
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def core_groupby_agg_fastsum(spark, sf_dir):
+    """TPC-H Q1 shape with fixed-point scaled-long accumulation —
+    the production twin of core_groupby_agg (3.5x faster at sf0.1:
+    0.32s vs 1.14s; see SURVEY §8 stage breakdown).  floor(x*s+0.5)
+    is identical IEEE arithmetic on both engines, so the scaled
+    integers (and their exact BIGINT sums) hash-match
+    deterministically at any addition order."""
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def fsum(col, scale, alias):
+        return F.round(
+            F.sum(F.floor(col * scale + 0.5).cast("long"))
+            .cast("double") / scale, 6).alias(alias)
+
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        fsum(F.col("l_quantity"), 100, "sum_qty"),
+        fsum(F.col("l_extendedprice"), 100, "sum_base_price"),
+        fsum(disc, 10000, "sum_disc_price"),
+        F.round(F.sum(F.floor(F.col("l_quantity") * 100 + 0.5)
+                      .cast("long")).cast("double") / 100
+                / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
 # --------------------------------------------------------------- row 17
 @query(
     "core_cte_chain",
@@ -483,6 +536,56 @@ def core_cte_chain(spark, sf_dir):
         daily.groupBy("n_name",
                       F.trunc("order_day", "month").alias("order_month"))
         .agg(F.round(F.sum("rev").cast("double"), 6).alias("revenue"),
+             F.count(F.lit(1)).alias("n_days"))
+    )
+
+
+# fixed-point twin of core_cte_chain (same rationale as
+# core_groupby_agg_fastsum; discounted revenue is exactly 4dp so the
+# 1e4-scaled BIGINT accumulator is exact): 1.02s vs 1.38s at sf0.1 —
+# the rest of the gap is the star-join (0.35s) plus the two-phase
+# ~60k-group aggregation floor (~0.5s over 600k rows), both of which
+# amortize with data volume; breakdown in SURVEY §8.
+@query(
+    "core_cte_chain_fastsum",
+    """WITH daily AS (
+         SELECT n_name,
+                CAST(o_orderdate AS DATE) AS order_day,
+                SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS rev_s
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         GROUP BY n_name, CAST(o_orderdate AS DATE))
+       SELECT n_name,
+              DATE_TRUNC('month', order_day) AS order_month,
+              ROUND(CAST(SUM(rev_s) AS DOUBLE) / 10000, 6) AS revenue,
+              COUNT(*) AS n_days
+       FROM daily
+       GROUP BY n_name, DATE_TRUNC('month', order_day)""",
+)
+def core_cte_chain_fastsum(spark, sf_dir):
+    """core_cte_chain with fixed-point scaled-long revenue sums —
+    the production variant of the two-grain star aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    daily = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.to_date("o_orderdate").alias("order_day"))
+        .agg(F.sum(F.floor(disc * 10000 + 0.5).cast("long"))
+             .alias("rev_s"))
+    )
+    return (
+        daily.groupBy("n_name",
+                      F.trunc("order_day", "month").alias("order_month"))
+        .agg(F.round(F.sum("rev_s").cast("double") / 10000, 6)
+             .alias("revenue"),
              F.count(F.lit(1)).alias("n_days"))
     )
 

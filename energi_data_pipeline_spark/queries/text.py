@@ -1151,11 +1151,17 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
     dot product decomposes over the posting list of each term, so
     the quadratic pair space never materializes; work is
     sum-over-terms of posting-list^2 within a source block, the same
-    bound as the n-gram prefix join.  Norms and dots accumulate in
-    DECIMAL over 8-dp-pre-rounded products so both engines add
-    identical values in any order; idf uses the same ln() expression
-    both sides, pre-rounded to 8 dp before any product."""
-    d = t(spark, sf_dir, "documents")
+    bound as the n-gram prefix join.  The weight table feeds THREE
+    plan branches (norms + both join sides), so it is spread across
+    cores at the scan (the tokenizer otherwise runs in the one task
+    a single-row-group parquet file yields) and cached — without the
+    cache the tokenize+tf+idf pipeline re-executes per branch
+    (measured 3 x 6s of the query's former 15s at sf0.1).  Norms and
+    dots accumulate in DECIMAL over 8-dp-pre-rounded products so
+    both engines add identical values in any order; idf uses the
+    same ln() expression both sides, pre-rounded to 8 dp before any
+    product."""
+    d = spread(t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "source",
         F.explode(F.transform(tokens_col(F.col("text")),
@@ -1169,7 +1175,8 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
          .select("doc_id", "source", "term",
                  F.round(F.col("tfq")
                          * F.log(F.col("n_docs").cast("double")
-                                 / F.col("dfq")), 8).alias("w")))
+                                 / F.col("dfq")), 8).alias("w"))
+         .cache())
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 8)
                      .cast("decimal(38,10)")).cast("double"))
