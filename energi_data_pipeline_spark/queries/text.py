@@ -1116,13 +1116,13 @@ w AS (
   FROM tf JOIN df USING (term) CROSS JOIN n),
 nrm AS (
   SELECT doc_id,
-         sqrt(CAST(CAST(SUM(CAST(ROUND(w * w, 8) AS DECIMAL(38,10)))
-                        AS VARCHAR) AS DOUBLE)) AS nrm
+         sqrt(CAST(SUM(CAST(FLOOR(w * w * 100000000 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 100000000) AS nrm
   FROM w GROUP BY doc_id),
 dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(CAST(SUM(CAST(ROUND(a.w * b.w, 8) AS DECIMAL(38,10)))
-                   AS VARCHAR) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(FLOOR(a.w * b.w * 100000000 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100000000 AS dot,
          COUNT(*) AS shared_terms
   FROM w a JOIN w b
     ON b.term = a.term AND b.source = a.source
@@ -1178,8 +1178,8 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
                                  / F.col("dfq")), 8).alias("w"))
          .cache())
     nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.round(F.col("w") * F.col("w"), 8)
-                     .cast("decimal(38,10)")).cast("double"))
+        F.sqrt(F.sum(F.floor(F.col("w") * F.col("w") * 1e8 + 0.5)
+                     .cast("long")).cast("double") / 1e8)
         .alias("nrm"))
     wb = w.select(F.col("doc_id").alias("doc_b"),
                   F.col("source").alias("b_source"),
@@ -1189,8 +1189,8 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
                    & (F.col("b_source") == F.col("source"))
                    & (F.col("doc_b") > F.col("doc_id")))
             .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-            .agg(F.sum(F.round(F.col("w") * F.col("w_b"), 8)
-                       .cast("decimal(38,10)")).cast("double")
+            .agg((F.sum(F.floor(F.col("w") * F.col("w_b") * 1e8 + 0.5)
+                        .cast("long")).cast("double") / 1e8)
                  .alias("dot"),
                  F.count(F.lit(1)).alias("shared_terms")))
     na = nrm.select(F.col("doc_id").alias("doc_a"),

@@ -164,6 +164,18 @@ def main() -> None:
     print("embeddings 131k ...", flush=True)
     write(make_embeddings(rng, 131_072), dann, "embeddings")
     link_static(dann)
+    # round-5: a 30x documents corpus (150k docs, 600 sources) — the
+    # second scale point for the steepest curves (ngram jaccard,
+    # TF-IDF pairs), and past SIG_KNEE so the corpus-adaptive MinHash
+    # signature (minhash_params) is exercised end-to-end.
+    d30 = os.path.join(OUT, "x30")
+    print("documents x30 ...", flush=True)
+    write(make_documents(rng, 30), d30, "documents")
+    for name in ("events", "embeddings"):
+        dst = os.path.join(d30, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+    link_static(d30)
     print("done:", OUT)
 
 
