@@ -364,3 +364,31 @@ def test_minhash_signature_scales_with_corpus():
         nh, nb = minhash_params(n)
         t = (1.0 / nb) ** (nb / nh)
         assert abs(t - t_floor) < 0.12, (nh, nb, t)
+
+
+def test_fastsum_twins_have_no_decimal_in_plan(spark):
+    # the fixed-point production twins exist precisely to avoid
+    # Spark's non-vectorized >18-digit decimal accumulation — a
+    # decimal cast creeping back into their plans would silently
+    # reintroduce the 4-5x tax they were measured to remove.
+    from energi_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    for name in ("core_groupby_agg_fastsum", "core_cte_chain_fastsum"):
+        plan = reg[name].fn(
+            spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "decimal(38," not in plan, f"{name}: decimal crept in"
+
+
+def test_tfidf_pairs_weight_table_is_cached(spark):
+    # the TF-IDF weight table feeds three plan branches; uncached it
+    # re-ran the single-task tokenizer per branch (15.3s -> 3.4s at
+    # sf0.1 when fixed).  Pin the InMemoryRelation into the plan.
+    from energi_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    df = reg["text_tfidf_cosine_pairs"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    spark.catalog.clearCache()
