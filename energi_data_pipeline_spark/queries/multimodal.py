@@ -692,3 +692,112 @@ def mm_scene_cuts(spark, sf_dir):
     return cuts.select(
         "doc_id", "frame_idx", "dist",
         (F.col("dist") >= SCENE_CUT_T).alias("is_cut"))
+
+
+# ------------------------------ real binary-format header parsing
+#: docs whose synthetic payload is deliberately corrupted (bad
+#: magic), exercising the parser's validity branch.
+PNG_CORRUPT_STRIDE = 7
+
+PNG_HEADER_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + n_chars % 240 AS w,
+         16 + doc_id % 200 AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 0
+              WHEN doc_id % 3 = 1 THEN 2 ELSE 6 END AS ct
+  FROM documents),
+blobs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PNG_CORRUPT_STRIDE} = 0
+              THEN unhex('DEADBEEF0D0A1A0A')
+              ELSE unhex('89504E470D0A1A0A') END
+         || unhex(lpad(hex(13), 8, '0')) || unhex('49484452')
+         || unhex(lpad(hex(w), 8, '0')) || unhex(lpad(hex(h), 8, '0'))
+         || unhex('08') || unhex(lpad(hex(ct), 2, '0'))
+         || unhex('000000') AS payload
+  FROM dims),
+parsed AS (
+  SELECT doc_id, hex(payload) AS hx FROM blobs)
+SELECT doc_id,
+       substring(hx, 1, 16) = '89504E470D0A1A0A' AS is_png,
+       CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+            THEN CAST(('0x' || substring(hx, 33, 8))::BIGINT AS INTEGER)
+            END AS width,
+       CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+            THEN CAST(('0x' || substring(hx, 41, 8))::BIGINT AS INTEGER)
+            END AS height,
+       CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+            THEN CAST(('0x' || substring(hx, 49, 2))::BIGINT AS INTEGER)
+            END AS bit_depth,
+       CASE WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+            THEN CAST(('0x' || substring(hx, 51, 2))::BIGINT AS INTEGER)
+            END AS colour_type,
+       CASE WHEN substring(hx, 1, 16) <> '89504E470D0A1A0A' THEN NULL
+            WHEN ('0x' || substring(hx, 51, 2))::BIGINT = 0 THEN 1
+            WHEN ('0x' || substring(hx, 51, 2))::BIGINT = 2 THEN 3
+            WHEN ('0x' || substring(hx, 51, 2))::BIGINT = 4 THEN 2
+            WHEN ('0x' || substring(hx, 51, 2))::BIGINT = 6 THEN 4
+            END AS n_channels
+FROM parsed
+"""
+
+
+@query("mm_png_header_parse", PNG_HEADER_SQL)
+def mm_png_header_parse(spark, sf_dir):
+    """REAL binary-format parsing, entirely JVM-side: sniff the PNG
+    signature and decode the IHDR fields (big-endian width/height,
+    bit depth, colour type -> channel count) from a ``binary``
+    payload column with built-in expressions only — substring on
+    binary, hex, conv — no Python in the loop.  This is the header
+    layer a 100 TB media pipeline runs BEFORE deciding what to
+    decode (route by format/dimensions, reject corrupt blobs); the
+    full pixel decode stays behind the injectable Arrow kernel
+    (``functions/png.py`` is the real decoder, exercised in
+    tests/test_multimodal_inject.py).
+
+    The corpus has no binary column, so the payloads are built
+    in-query (spec-correct signature+IHDR bytes from per-doc
+    dimensions; every {PNG_CORRUPT_STRIDE}th doc gets a corrupted
+    magic to exercise the validity branch) — the PARSE side reads
+    any real PNG's first 26 bytes identically.
+
+    Scale shape: map-only (build + parse in one projection), no
+    shuffle, whole-stage codegen end to end."""
+    d = t(spark, sf_dir, "documents")
+
+    def be(col, nbytes):
+        return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+    w = 16 + F.col("n_chars") % 240
+    h = 16 + F.col("doc_id") % 200
+    ct = (F.when(F.col("doc_id") % 3 == 0, 0)
+          .when(F.col("doc_id") % 3 == 1, 2).otherwise(6))
+    magic = F.when(F.col("doc_id") % PNG_CORRUPT_STRIDE == 0,
+                   F.unhex(F.lit("DEADBEEF0D0A1A0A"))) \
+        .otherwise(F.unhex(F.lit("89504E470D0A1A0A")))
+    payload = F.concat(
+        magic, be(F.lit(13), 4), F.unhex(F.lit("49484452")),
+        be(w, 4), be(h, 4), F.unhex(F.lit("08")), be(ct, 1),
+        F.unhex(F.lit("000000")))
+    blobs = d.select("doc_id", payload.alias("payload"))
+
+    def field(pos, nbytes):
+        return F.conv(F.hex(F.substring(F.col("payload"), pos, nbytes)),
+                      16, 10).cast("int")
+
+    is_png = F.hex(F.substring(F.col("payload"), 1, 8)) \
+        == "89504E470D0A1A0A"
+    ctype = field(26, 1)
+    return blobs.select(
+        "doc_id",
+        is_png.alias("is_png"),
+        F.when(is_png, field(17, 4)).alias("width"),
+        F.when(is_png, field(21, 4)).alias("height"),
+        F.when(is_png, field(25, 1)).alias("bit_depth"),
+        F.when(is_png, ctype).alias("colour_type"),
+        F.when(is_png,
+               F.when(ctype == 0, 1).when(ctype == 2, 3)
+               .when(ctype == 4, 2).when(ctype == 6, 4))
+        .alias("n_channels"),
+    )

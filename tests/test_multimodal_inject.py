@@ -137,3 +137,41 @@ def test_real_png_decoder_through_the_seam(spark):
         .flatten().tolist()).collect()}
     assert embs[1] == ",".join(str(v) for v in grey.flatten())
     assert embs[2] == ",".join(str(v) for v in rgb.flatten())
+
+
+def test_png_header_parse_reads_real_encoder_output(spark):
+    """mm_png_header_parse's JVM-side field extraction must agree
+    with real PNG bytes (functions/png.py encoder), not only with
+    its own in-query synthetic payloads."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.functions.png import encode_png
+
+    rng = np.random.default_rng(11)
+    imgs = {
+        1: rng.integers(0, 256, size=(21, 37), dtype=np.uint8),       # grey
+        2: rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8),     # RGB
+        3: rng.integers(0, 256, size=(4, 9, 4), dtype=np.uint8),      # RGBA
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_png(v))) for k, v in imgs.items()],
+        "doc_id long, payload binary")
+
+    def field(pos, nbytes):
+        return F.conv(F.hex(F.substring(F.col("payload"), pos, nbytes)),
+                      16, 10).cast("int")
+
+    parsed = {r.doc_id: r for r in df.select(
+        "doc_id",
+        (F.hex(F.substring("payload", 1, 8)) == "89504E470D0A1A0A")
+        .alias("is_png"),
+        field(17, 4).alias("width"), field(21, 4).alias("height"),
+        field(25, 1).alias("bit_depth"), field(26, 1).alias("ct"),
+    ).collect()}
+    assert all(parsed[k].is_png for k in imgs)
+    assert (parsed[1].width, parsed[1].height) == (37, 21)
+    assert (parsed[2].width, parsed[2].height) == (6, 10)
+    assert (parsed[3].width, parsed[3].height) == (9, 4)
+    assert {parsed[1].ct, parsed[2].ct, parsed[3].ct} == {0, 2, 6}
+    assert all(parsed[k].bit_depth == 8 for k in imgs)
