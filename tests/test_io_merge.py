@@ -326,3 +326,42 @@ def test_compact_table_preserves_stringy_partition_values(spark, tmp_path):
         assert ("01" in {d for _i, d in after})
     finally:
         spark.conf.set(infer_key, "true")
+
+
+def test_table_lock_released_when_owner_killed(tmp_path):
+    """The flock rewrite's headline property: a lock whose owner dies
+    WITHOUT cleanup (kill -9) is released by the kernel — no stale-
+    break protocol, no TOCTOU window."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    from energi_data_pipeline_spark.io import table_lock
+
+    path = str(tmp_path / "t3")
+    child = subprocess.Popen(
+        [sys.executable, "-c", textwrap.dedent(f"""
+            import sys, time
+            sys.path.insert(0, {os.getcwd()!r})
+            from energi_data_pipeline_spark.io import table_lock
+            lk = table_lock({path!r}, timeout_s=30.0)
+            lk.__enter__()
+            print("HELD", flush=True)
+            time.sleep(60)
+        """)],
+        stdout=subprocess.PIPE, text=True)
+    assert child.stdout.readline().strip() == "HELD"
+    # lock is genuinely held: a short acquire attempt times out
+    import pytest
+
+    with pytest.raises(TimeoutError):
+        table_lock(path, timeout_s=0.3).__enter__()
+    # kill -9 the owner; the kernel drops its flock with the fds
+    child.kill()
+    child.wait()
+    t0 = time.time()
+    with table_lock(path, timeout_s=10.0):
+        pass  # acquired despite the owner never releasing
+    assert time.time() - t0 < 5.0

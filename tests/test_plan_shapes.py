@@ -392,3 +392,39 @@ def test_tfidf_pairs_weight_table_is_cached(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan
     spark.catalog.clearCache()
+
+
+def test_oracle_scale_guard_fires_past_the_knee(tmp_path):
+    # the guard exists so a parity run against a rehearsal-scale
+    # corpus fails LOUDLY; prove it actually fires (every test SF is
+    # below the knees, so without this the firing path is untested).
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from energi_data_pipeline_spark.queries import (ORACLE_SCALE_KNEES,
+                                                    load_all,
+                                                    oracle_scale_guard)
+
+    load_all()
+    assert ORACLE_SCALE_KNEES, "knee registry is empty"
+    # corpus past the near-dup knee (2048 embeddings), tiny payload
+    n = 3000
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": pa.array([[0.0]] * n,
+                                        type=pa.list_(pa.float32())),
+                  "label": pa.array([0] * n, type=pa.int32())}),
+        str(tmp_path / "embeddings.parquet"))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(200_000), type=pa.int64())}),
+        str(tmp_path / "documents.parquet"))
+    msg = oracle_scale_guard("dedup_embedding_cosine", str(tmp_path))
+    assert msg is not None and "2048" in msg
+    msg = oracle_scale_guard("dedup_minhash_lsh_pairs", str(tmp_path))
+    assert msg is not None and "131072" in msg
+    # below-knee corpora stay guarded-green
+    assert oracle_scale_guard("dedup_embedding_cosine",
+                              "/root/testdata/sf0.01") is None
+    # unknown queries never block
+    assert oracle_scale_guard("core_groupby_agg", str(tmp_path)) is None
