@@ -801,3 +801,119 @@ def mm_png_header_parse(spark, sf_dir):
                .when(ctype == 4, 2).when(ctype == 6, 4))
         .alias("n_channels"),
     )
+
+
+# ------------------------- RIFF/WAV header parsing (little-endian)
+#: docs whose synthetic payload gets a corrupted RIFF magic.
+WAV_CORRUPT_STRIDE = 11
+
+#: canonical sample-rate choices the builder cycles through.
+_WAV_RATES = (8000, 16000, 44100, 48000)
+
+_WAV_RATE_SQL = ("CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+                 "WHEN 2 THEN 44100 ELSE 48000 END")
+
+
+def _le_sql(pos: int, nbytes: int) -> str:
+    """DuckDB: little-endian int from hex-string offsets."""
+    parts = " || ".join(
+        f"substring(hx, {pos + 2 * (nbytes - 1 - i)}, 2)"
+        for i in range(nbytes))
+    return f"('0x' || {parts})::BIGINT"
+
+
+WAV_HEADER_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS ch,
+         {_WAV_RATE_SQL} AS rate,
+         CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS bits
+  FROM documents),
+le AS (
+  SELECT doc_id, ch, rate, bits,
+         CASE WHEN doc_id % {WAV_CORRUPT_STRIDE} = 0
+              THEN unhex('4A554E4B') ELSE unhex('52494646') END
+         || unhex('24080000') || unhex('57415645') || unhex('666D7420')
+         || unhex('10000000') || unhex('0100')
+         || unhex(substring(lpad(hex(ch), 4, '0'), 3, 2)
+                  || substring(lpad(hex(ch), 4, '0'), 1, 2))
+         || unhex(substring(lpad(hex(rate), 8, '0'), 7, 2)
+                  || substring(lpad(hex(rate), 8, '0'), 5, 2)
+                  || substring(lpad(hex(rate), 8, '0'), 3, 2)
+                  || substring(lpad(hex(rate), 8, '0'), 1, 2))
+         || unhex('00000000') || unhex('0000')
+         || unhex(substring(lpad(hex(bits), 4, '0'), 3, 2)
+                  || substring(lpad(hex(bits), 4, '0'), 1, 2))
+           AS payload
+  FROM dims),
+parsed AS (SELECT doc_id, hex(payload) AS hx FROM le)
+SELECT doc_id,
+       substring(hx, 1, 8) = '52494646'
+         AND substring(hx, 17, 8) = '57415645' AS is_wav,
+       CASE WHEN substring(hx, 1, 8) = '52494646'
+                 AND substring(hx, 17, 8) = '57415645'
+            THEN CAST({_le_sql(45, 2)} AS INTEGER) END AS n_channels,
+       CASE WHEN substring(hx, 1, 8) = '52494646'
+                 AND substring(hx, 17, 8) = '57415645'
+            THEN CAST({_le_sql(49, 4)} AS INTEGER) END AS sample_rate,
+       CASE WHEN substring(hx, 1, 8) = '52494646'
+                 AND substring(hx, 17, 8) = '57415645'
+            THEN CAST({_le_sql(69, 2)} AS INTEGER) END AS bits_per_sample
+FROM parsed
+"""
+
+
+@query("mm_wav_header_parse", WAV_HEADER_SQL)
+def mm_wav_header_parse(spark, sf_dir):
+    """RIFF/WAV header parsing — the LITTLE-endian twin of
+    mm_png_header_parse: validate the RIFF+WAVE magics and decode
+    the fmt-chunk fields (channel count, sample rate, bit depth)
+    from a binary payload, JVM-side built-ins only.  Little-endian
+    extraction is hex-substring byte reversal — the technique any
+    LE format (WAV, BMP, ZIP local headers) needs.
+
+    Payloads are built in-query (spec-correct canonical-fmt WAV
+    prefix; every {WAV_CORRUPT_STRIDE}th doc has a corrupted RIFF
+    magic); the parse side reads any real canonical-fmt WAV's first
+    36 bytes identically.  Map-only, whole-stage codegen."""
+    d = t(spark, sf_dir, "documents")
+
+    def le_bytes(col, nbytes):
+        """int column -> nbytes little-endian binary."""
+        hx = F.lpad(F.hex(col), 2 * nbytes, "0")
+        return F.unhex(F.concat(*[
+            F.substring(hx, 2 * (nbytes - 1 - i) + 1, 2)
+            for i in range(nbytes)]))
+
+    ch = 1 + F.col("doc_id") % 2
+    rate = (F.when(F.col("doc_id") % 4 == 0, 8000)
+            .when(F.col("doc_id") % 4 == 1, 16000)
+            .when(F.col("doc_id") % 4 == 2, 44100).otherwise(48000))
+    bits = F.when(F.col("doc_id") % 2 == 0, 16).otherwise(8)
+    magic = F.when(F.col("doc_id") % WAV_CORRUPT_STRIDE == 0,
+                   F.unhex(F.lit("4A554E4B"))) \
+        .otherwise(F.unhex(F.lit("52494646")))
+    payload = F.concat(
+        magic, F.unhex(F.lit("24080000")), F.unhex(F.lit("57415645")),
+        F.unhex(F.lit("666D7420")), F.unhex(F.lit("10000000")),
+        F.unhex(F.lit("0100")), le_bytes(ch, 2), le_bytes(rate, 4),
+        F.unhex(F.lit("00000000")), F.unhex(F.lit("0000")),
+        le_bytes(bits, 2))
+    blobs = d.select("doc_id", payload.alias("payload"))
+
+    def le_field(pos, nbytes):
+        """little-endian int from binary offsets (1-based bytes)."""
+        return F.conv(F.concat(*[
+            F.hex(F.substring(F.col("payload"),
+                              pos + (nbytes - 1 - i), 1))
+            for i in range(nbytes)]), 16, 10).cast("int")
+
+    is_wav = (F.hex(F.substring(F.col("payload"), 1, 4)) == "52494646") \
+        & (F.hex(F.substring(F.col("payload"), 9, 4)) == "57415645")
+    return blobs.select(
+        "doc_id",
+        is_wav.alias("is_wav"),
+        F.when(is_wav, le_field(23, 2)).alias("n_channels"),
+        F.when(is_wav, le_field(25, 4)).alias("sample_rate"),
+        F.when(is_wav, le_field(35, 2)).alias("bits_per_sample"),
+    )
