@@ -50,22 +50,24 @@ def parquet_row_count(path: str) -> int:
     return _parquet_rows_at(path, st.st_mtime_ns, st.st_size)
 
 
-#: parquet path -> list of timestamp[ns] column names (footer cache)
-_NANOS_COLS: dict[str, list[str]] = {}
+@functools.lru_cache(maxsize=256)
+def _nanos_columns_at(path: str, _mtime_ns: int,
+                      _size: int) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(f.name for f in schema
+                 if str(f.type).startswith("timestamp[ns"))
 
 
-def _nanos_columns(path: str) -> list[str]:
+def _nanos_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) (driver-side footer
-    peek via pyarrow — one tiny metadata read per table, cached)."""
-    if path not in _NANOS_COLS:
-        import pyarrow.parquet as pq
-
-        schema = pq.read_schema(path)
-        _NANOS_COLS[path] = [
-            f.name for f in schema
-            if str(f.type).startswith("timestamp[ns")
-        ]
-    return _NANOS_COLS[path]
+    peek via pyarrow — one tiny metadata read per table).  Cached on
+    (path, mtime, size) — not path alone — so a table regenerated
+    in-place with a different encoding (it happened: the round-3
+    driver re-encode) invalidates instead of serving stale dtypes."""
+    st = os.stat(path)
+    return _nanos_columns_at(path, st.st_mtime_ns, st.st_size)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
