@@ -44,9 +44,19 @@ def parquet_row_count(path: str) -> int:
     """Row count from parquet footer metadata — a driver-side peek
     (no Spark job), the same cheap statistic a catalog serves at
     100 TB.  Feeds the corpus-adaptive index fan-outs (LSH planes,
-    MinHash signature width, IVF strides).  Cached on (path, mtime,
-    size) so a corpus regenerated in-place invalidates the cache."""
+    MinHash signature width, IVF strides).  Cached on file identity
+    (mtime+size of the file, or of every part file for a
+    directory-backed table — a directory's OWN stat only changes on
+    entry create/delete, not on in-place part rewrites) so a corpus
+    regenerated in-place invalidates the cache."""
     st = os.stat(path)
+    if os.path.isdir(path):
+        ident = hash(tuple(sorted(
+            (os.path.join(root, f), os.stat(os.path.join(root, f)).st_mtime_ns,
+             os.stat(os.path.join(root, f)).st_size)
+            for root, _d, files in os.walk(path)
+            for f in files if f.endswith(".parquet"))))
+        return _parquet_rows_at(path, ident, -1)
     return _parquet_rows_at(path, st.st_mtime_ns, st.st_size)
 
 
@@ -354,6 +364,13 @@ class table_lock:
                     raise FileNotFoundError
             except FileNotFoundError:
                 os.close(fd)
+                # same deadline/backoff as the flock-busy branch —
+                # sustained lock churn must not bypass timeout_s or
+                # busy-spin
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"writer lock busy: {self.lock_path}")
+                time.sleep(0.05)
                 continue
             token = _uuid.uuid4().hex
             os.ftruncate(fd, 0)

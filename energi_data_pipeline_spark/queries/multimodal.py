@@ -807,9 +807,8 @@ def mm_png_header_parse(spark, sf_dir):
 #: docs whose synthetic payload gets a corrupted RIFF magic.
 WAV_CORRUPT_STRIDE = 11
 
-#: canonical sample-rate choices the builder cycles through.
-_WAV_RATES = (8000, 16000, 44100, 48000)
-
+#: canonical sample rates (8/16/44.1/48 kHz) the builder cycles
+#: through — mirrored in the Spark-side CASE below.
 _WAV_RATE_SQL = ("CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
                  "WHEN 2 THEN 44100 ELSE 48000 END")
 

@@ -1157,9 +1157,10 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
     a single-row-group parquet file yields) and cached — without the
     cache the tokenize+tf+idf pipeline re-executes per branch
     (measured 3 x 6s of the query's former 15s at sf0.1).  Norms and
-    dots accumulate in DECIMAL over 8-dp-pre-rounded products so
-    both engines add identical values in any order; idf uses the
-    same ln() expression both sides, pre-rounded to 8 dp before any
+    dots accumulate in exact fixed point — floor(w_a*w_b*1e8+0.5) as
+    BIGINT on both engines, order-independent and ~2x faster than
+    Spark's >18-digit DECIMAL path (SURVEY §8); idf uses the same
+    ln() expression both sides, pre-rounded to 8 dp before any
     product."""
     d = spread(t(spark, sf_dir, "documents"))
     toks = d.select(
