@@ -2512,3 +2512,138 @@ def ext_dq_quarantine(spark, sf_dir):
                      F.size(reasons).cast("int").alias("n_reasons"),
                      F.array_join(reasons, ",").alias("reasons"))
             .filter(F.col("n_reasons") > 0))
+
+
+# --------------------------------------- PageRank (power iteration)
+#: damping factor (the canonical 0.85) and unrolled iteration count.
+PR_DAMPING = 0.85
+PR_ITERS = 2
+
+_PR_EDGE_CTES = """
+seq AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type),
+tot AS (
+  SELECT from_type, SUM(n) AS t FROM trans GROUP BY from_type),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+pr0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / nn.n_nodes AS pr
+  FROM nodes CROSS JOIN nn)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One unrolled power-iteration step as chained CTEs (DuckDB):
+    fixed-point (1e-12) contribution sums keep both engines'
+    accumulation order-independent and bit-identical."""
+    prev = f"pr{i - 1}"
+    return f"""
+inflow{i} AS (
+  SELECT e.to_type AS node,
+         CAST(SUM(CAST(FLOOR(p.pr * (CAST(e.n AS DOUBLE)
+                                     / CAST(t.t AS DOUBLE))
+                             * 1000000000000 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000000 AS inflow
+  FROM trans e
+  JOIN tot t ON t.from_type = e.from_type
+  JOIN {prev} p ON p.node = e.from_type
+  GROUP BY e.to_type),
+dang{i} AS (
+  SELECT COALESCE(CAST(SUM(CAST(FLOOR(pr * 1000000000000 + 0.5)
+                               AS BIGINT)) AS DOUBLE)
+                  / 1000000000000, CAST(0.0 AS DOUBLE)) AS m
+  FROM {prev}
+  WHERE node NOT IN (SELECT from_type FROM tot)),
+pr{i} AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) / nn.n_nodes
+           + CAST(0.85 AS DOUBLE)
+             * (COALESCE(i.inflow, CAST(0.0 AS DOUBLE))
+                + d.m / nn.n_nodes) AS pr
+  FROM nodes n
+  CROSS JOIN nn CROSS JOIN dang{i} d
+  LEFT JOIN inflow{i} i ON i.node = n.node)
+"""
+
+
+PAGERANK_SQL = (
+    "WITH " + _PR_EDGE_CTES.strip()
+    + "".join("," + _pr_iter_sql(i) for i in range(1, PR_ITERS + 1))
+    + f"""
+SELECT node AS event_type, ROUND(pr, 6) AS pagerank
+FROM pr{PR_ITERS}
+""")
+
+
+@query("ext_pagerank_power", PAGERANK_SQL)
+def ext_pagerank_power(spark, sf_dir):
+    """Weighted PageRank over the event-transition graph (nodes =
+    event types, edge weight = observed transition count), {ITERS}
+    unrolled power iterations with the canonical 0.85 damping and
+    dangling-mass redistribution — the link-analysis primitive a
+    crawl-curation pipeline uses to weight sources by citation.
+
+    Like sims_kmeans_lloyd, the ITERATIVE trainer is hash-verified
+    bit-for-bit: the oracle unrolls each iteration as chained CTEs,
+    and per-node contribution sums accumulate in 1e-12 fixed point
+    (floor-scaled BIGINT) so both engines add identical integers in
+    any order.
+
+    Scale shape: edges build with one user-partitioned LAG window +
+    a |types|^2-bounded aggregate; each iteration is one edge⋈rank
+    join shuffling on the node key plus a node-cardinality
+    aggregate.  At web scale nodes/edges are corpus-sized — the same
+    plan co-partitions edges and ranks on node and AQE handles skew;
+    the rank vector never needs to fit on one machine (contrast
+    broadcast-based PageRank)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"))
+    trans = (seq.filter(F.col("from_type").isNotNull())
+             .groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("t"))
+    edges = (trans.join(tot, "from_type")
+             .select("from_type", "to_type",
+                     (F.col("n").cast("double")
+                      / F.col("t").cast("double")).alias("p"))
+             .localCheckpoint(eager=True))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    pr = (nodes.crossJoin(F.broadcast(nn))
+          .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")))
+    out_nodes = tot.select(F.col("from_type").alias("node"))
+    for _ in range(PR_ITERS):
+        contrib = (edges.join(pr, edges.from_type == pr.node)
+                   .groupBy(F.col("to_type").alias("node"))
+                   .agg((F.sum(F.floor(F.col("pr") * F.col("p")
+                                       * F.lit(1000000000000) + 0.5)
+                               .cast("long")).cast("double")
+                         / F.lit(1000000000000)).alias("inflow")))
+        dang = (pr.join(out_nodes, "node", "left_anti")
+                .agg(F.coalesce(
+                    F.sum(F.floor(F.col("pr") * F.lit(1000000000000)
+                                  + 0.5).cast("long")).cast("double")
+                    / F.lit(1000000000000), F.lit(0.0)).alias("m")))
+        pr = (nodes.crossJoin(F.broadcast(nn))
+              .crossJoin(F.broadcast(dang))
+              .join(contrib, "node", "left")
+              .select("node",
+                      (F.lit(0.15) / F.col("n_nodes")
+                       + F.lit(0.85)
+                       * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                          + F.col("m") / F.col("n_nodes"))).alias("pr")))
+    return pr.select(F.col("node").alias("event_type"),
+                     F.round("pr", 6).alias("pagerank"))

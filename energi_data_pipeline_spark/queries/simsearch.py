@@ -2016,3 +2016,111 @@ for _name, _knee in {
     "sims_ivfpq_ann": min(_KNEE_CENT, _KNEE_CB),
 }.items():
     register_oracle_knee(_name, _knee)
+
+
+# ------------------------------ hybrid retrieval (RRF fusion)
+#: reciprocal-rank-fusion constant (Cormack et al., SIGIR'09 — 60 is
+#: the published default).
+RRF_K = 60
+#: fused candidates kept per query.
+RRF_TOP = 5
+
+from . import REGISTRY as _SREG  # noqa: E402
+
+HYBRID_RRF_SQL = f"""
+WITH lex_pairs AS ({_SREG["text_tfidf_cosine_pairs"].oracle}),
+ann AS ({_SREG["sims_ann_lsh_bucketed"].oracle}),
+lex_sym AS (
+  SELECT doc_a AS query_id, doc_b AS cand, cosine FROM lex_pairs
+  UNION ALL
+  SELECT doc_b AS query_id, doc_a AS cand, cosine FROM lex_pairs),
+lexr AS (
+  SELECT query_id, cand,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand)
+              AS INTEGER) AS lex_rank
+  FROM lex_sym WHERE query_id % {{stride}} = 0),
+annr AS (
+  SELECT query_id, neighbor_id AS cand, CAST(rank AS INTEGER) AS vec_rank
+  FROM ann),
+fused AS (
+  SELECT COALESCE(l.query_id, a.query_id) AS query_id,
+         COALESCE(l.cand, a.cand) AS candidate_id,
+         l.lex_rank, a.vec_rank,
+         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rank),
+                        CAST(0.0 AS DOUBLE))
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + a.vec_rank),
+                          CAST(0.0 AS DOUBLE)), 6) AS rrf_score
+  FROM lexr l
+  FULL OUTER JOIN annr a
+    ON a.query_id = l.query_id AND a.cand = l.cand)
+SELECT query_id, candidate_id, lex_rank, vec_rank, rrf_score,
+       CAST(fr AS INTEGER) AS fused_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, candidate_id) AS fr
+  FROM fused) z
+WHERE fr <= {RRF_TOP}
+""".format(stride=QUERY_STRIDE)
+
+
+@query("sims_hybrid_rrf", HYBRID_RRF_SQL)
+def sims_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (public literature:
+    Cormack, Clarke & Buettcher, SIGIR'09) of the LEXICAL ranking
+    (TF-IDF cosine pairs — the inverted-index join) and the VECTOR
+    ranking (sign-LSH bucketed ANN) for the shared query set.  Each
+    candidate scores sum 1/(k+rank) over the lists that retrieved it
+    — the standard way modern retrieval stacks combine BM25-style
+    and embedding search without score calibration, and the
+    retrieval-side complement of the lexical+semantic DEDUP pairing
+    this engine already ships.
+
+    Composes two driver-verified operators; the oracle inlines their
+    SQL verbatim, so the fused ranking is hash-verified end to end.
+    Scale shape: both inputs are already bounded per query (top-k /
+    threshold-filtered); fusion is one full-outer join on
+    (query, candidate) plus a per-query top-{RRF_TOP} window —
+    query-partitioned, no corpus-sized state."""
+    from .text import text_tfidf_cosine_pairs
+
+    lex = text_tfidf_cosine_pairs(spark, sf_dir)
+    lex_sym = (lex.select(F.col("doc_a").alias("query_id"),
+                          F.col("doc_b").alias("cand"), "cosine")
+               .unionByName(
+                   lex.select(F.col("doc_b").alias("query_id"),
+                              F.col("doc_a").alias("cand"), "cosine"))
+               .filter(F.col("query_id") % QUERY_STRIDE == 0))
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand"))
+    lexr = lex_sym.select(
+        "query_id", "cand",
+        F.row_number().over(wl).cast("int").alias("lex_rank"))
+    ann = sims_ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_cand"),
+        F.col("rank").cast("int").alias("vec_rank"))
+    fused = (lexr.join(
+        ann, (F.col("a_query_id") == F.col("query_id"))
+        & (F.col("a_cand") == F.col("cand")), "full_outer")
+        .select(
+            F.coalesce(F.col("query_id"), F.col("a_query_id"))
+            .alias("query_id"),
+            F.coalesce(F.col("cand"), F.col("a_cand"))
+            .alias("candidate_id"),
+            "lex_rank", "vec_rank",
+            F.round(
+                F.coalesce(F.lit(1.0) / (RRF_K + F.col("lex_rank")),
+                           F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_K + F.col("vec_rank")),
+                             F.lit(0.0)), 6).alias("rrf_score")))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("candidate_id"))
+    return (fused.withColumn("fused_rank",
+                             F.row_number().over(wf).cast("int"))
+            .filter(F.col("fused_rank") <= RRF_TOP))
+
+
+# inherits sims_ann_lsh_bucketed's plane-count validity range (its
+# oracle is inlined verbatim)
+register_oracle_knee("sims_hybrid_rrf", _KNEE_PLANES)
