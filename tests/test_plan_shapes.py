@@ -81,6 +81,8 @@ BOUNDED_BROADCAST_SIDES = {
                                      # class as "cent": sub-corpus
                                      # quantizer tables)
     "scalar",                        # dataset-card one-row aggregates
+    "nn", "dang",                    # PageRank one-row scalars
+                                     # (node count; dangling mass)
 }
 
 
