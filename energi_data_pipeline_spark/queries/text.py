@@ -1205,3 +1205,126 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
                     .alias("shared_terms"),
                     cos.alias("cosine"))
             .filter(F.col("cosine") >= TFIDF_COS_T))
+
+
+# ------------------------------- BPE merge learning (2 iterations)
+#: unrolled merge-learning iterations.
+BPE_MERGES = 2
+
+_BPE_BASE_CTES = f"""
+toks AS (
+  SELECT lower(unnest({TOKENS_SQL})) AS wd FROM documents),
+wc AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM toks WHERE len(wd) > 0 GROUP BY wd),
+seq0 AS (
+  SELECT wd, cnt,
+         array_to_string(list_transform(range(1, len(wd) + 1),
+                                        i -> wd[i]), ' ') AS seq
+  FROM wc)
+"""
+
+
+def _bpe_iter_sql(i: int) -> str:
+    prev = f"seq{i - 1}"
+    return f"""
+p{i} AS (
+  SELECT pair, SUM(cnt) AS c FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(sp)),
+                                 j -> sp[j] || ' ' || sp[j + 1])) AS pair
+    FROM (SELECT cnt, str_split(seq, ' ') AS sp FROM {prev}))
+  GROUP BY pair),
+b{i} AS (
+  SELECT MIN(struct_pack(nc := -c, p := pair)) AS b FROM p{i}),
+seq{i} AS (
+  SELECT wd, cnt,
+         trim(replace(' ' || seq || ' ',
+                      ' ' || b.p || ' ',
+                      ' ' || replace(b.p, ' ', '') || ' ')) AS seq
+  FROM {prev} CROSS JOIN b{i})
+"""
+
+
+BPE_SQL = (
+    "WITH " + _BPE_BASE_CTES.strip()
+    + "".join("," + _bpe_iter_sql(i) for i in range(1, BPE_MERGES + 1))
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, b.p AS pair, "
+        f"CAST(-b.nc AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, BPE_MERGES + 1))
+    + "\n)")
+
+
+@query("text_bpe_learn_merges", BPE_SQL)
+def text_bpe_learn_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (Sennrich et al., ACL'16): learn the
+    first {N} merge rules from the corpus — count adjacent symbol
+    pairs weighted by word frequency, adopt the most frequent pair
+    (ties to the lexicographically first), rewrite the symbol
+    sequences, repeat.  This is the corpus-side primitive behind
+    every byte-pair vocabulary; `text_bpe_token_count` is the
+    INFERENCE side of the same family.
+
+    Like the k-means and PageRank trainers, the iterative learner is
+    hash-verified: the oracle unrolls each merge as chained CTEs.
+    Merge application is the boundary-padded leftmost
+    non-overlapping string replace — identical semantics in both
+    engines (verified: ' a a a ' -> ' aa a ' in both), with
+    repeated-symbol chains merging on later iterations.
+
+    Scale shape: the ONLY corpus-sized stage is the word count (one
+    shuffle with map-side combine); merge learning then runs on the
+    word-frequency table — vocabulary-cardinality, exactly how
+    production BPE trainers operate.  Pair counting per iteration is
+    a vocabulary-sized explode + aggregate; the chosen pair is a
+    one-row broadcast."""
+    d = spread(t(spark, sf_dir, "documents"))
+    wc = (d.select(F.explode(F.transform(
+        tokens_col(F.col("text")), lambda x: F.lower(x))).alias("wd"))
+        .filter(F.length("wd") > 0)
+        .groupBy("wd").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("wd")),
+        lambda i: F.col("wd").substr(i, F.lit(1)))
+    seq = wc.select("wd", "cnt",
+                    F.array_join(chars, " ").alias("seq")) \
+        .localCheckpoint(eager=True)
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        sp = F.split(F.col("seq"), " ")
+        # Spark's sequence(1, 0) counts DOWN (same trap as
+        # shingles_from_tokens): single-symbol words need an
+        # explicit empty index list
+        idx = F.when(F.size(sp) >= 2,
+                     F.sequence(F.lit(1), F.size(sp) - 1)) \
+            .otherwise(F.expr("CAST(array() AS array<int>)"))
+        pair = F.transform(
+            idx,
+            lambda j: F.concat(F.element_at(sp, j), F.lit(" "),
+                               F.element_at(sp, j + 1)))
+        pairs = (seq.select("cnt", F.explode(pair).alias("pair"))
+                 .groupBy("pair").agg(F.sum("cnt").alias("c")))
+        best = pairs.agg(F.min(F.struct(
+            (-F.col("c")).alias("nc"), F.col("pair").alias("p")))
+            .alias("b")).select(
+                F.col("b.p").alias("p"),
+                (-F.col("b.nc")).cast("bigint").alias("c")) \
+            .localCheckpoint(eager=True)
+        merges.append(best.select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("p").alias("pair"),
+            F.col("c").alias("pair_count")))
+        joined = F.concat(F.lit(" "), F.col("p"), F.lit(" "))
+        merged = F.concat(F.lit(" "),
+                          F.replace(F.col("p"), F.lit(" "), F.lit("")),
+                          F.lit(" "))
+        seq = (seq.crossJoin(F.broadcast(best))
+               .select("wd", "cnt", F.trim(F.replace(
+                   F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                   joined, merged)).alias("seq"))
+               .localCheckpoint(eager=True))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
