@@ -70,11 +70,22 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, meta = 8, b"", None
     while pos < len(payload):
-        (length,) = struct.unpack(">I", payload[pos:pos + 4])
-        tag = payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + length]
+        try:
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+            tag = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if len(tag) != 4 or len(data) != length:
+                raise ValueError("truncated PNG chunk")
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length:pos + 12 + length])
+        except struct.error as exc:  # short read anywhere in the header
+            raise ValueError(f"truncated PNG chunk header: {exc}") from exc
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         pos += 12 + length
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed IHDR chunk")
             meta = struct.unpack(">IIBBBBB", data)
         elif tag == b"IDAT":
             idat += data

@@ -168,23 +168,9 @@ _DRIVER_VERIFIED = frozenset({
     "ext_string_agg_ordered", "ext_ntile_deciles", "ext_snapshot_diff",
     "ext_nth_value_frames", "ext_rfm_segmentation",
     "ext_cumulative_distinct",
-})
-
-
-#: The round-5 driver window: the 42 remaining entries (in their
-#: round-4 load_all() order) that have NEVER carried a driver-issued
-#: green row.  Pinned explicitly so that queries added later cannot
-#: displace them out of the driver's first-50 verify window before
-#: they get their row; new (also-unverified) round-5 additions queue
-#: directly behind this window (slots 43-50 of the driver's window
-#: are free, so up to 8 new entries get a row this round too).
-#:
-#: ROUND-6 ACTION: once CORRECTNESS_r05.json lands, move every name
-#: with a green r05 row into _DRIVER_VERIFIED and repopulate this
-#: window with whatever remains unverified (round-5 additions past
-#: position 50, if any).  After r05 the union of CORRECTNESS_r*
-#: should cover the whole registry.
-_VERIFY_FRONT_WINDOW = (
+    # --- CORRECTNESS_r05 green rows (all 50 of the round-5 window:
+    # the 42 pinned never-verified entries plus the 8 round-5
+    # additions; core_watermark_max was re-verified) ---
     "text_hapax_ratio", "text_tfidf_cosine_pairs",
     "dedup_minhash_bbit", "sims_matryoshka_recall",
     "sims_dim_variance", "dedup_semantic_cells", "sims_ivfpq_ann",
@@ -205,7 +191,25 @@ _VERIFY_FRONT_WINDOW = (
     "curation_split_leakage", "curation_source_league",
     "curation_token_budget", "curation_shard_manifest",
     "curation_gate_overlap", "curation_dataset_card",
-)
+    "core_groupby_agg_fastsum", "core_cte_chain_fastsum",
+    "text_bpe_learn_merges", "sims_hybrid_rrf",
+    "mm_png_header_parse", "mm_wav_header_parse",
+    "ext_pagerank_power",
+})
+
+
+#: The round-6 driver window: after CORRECTNESS_r05 every one of the
+#: 198 registry entries has carried a driver-issued green row
+#: (r01∪r02∪r03∪r04∪r05), so the pinned window is EMPTY — any query
+#: added in round 6+ is automatically unverified, sorts into the
+#: (1, 0) bucket of load_all()'s order (ahead of the verified
+#: backlog, behind this window), and therefore lands inside the
+#: driver's first-50 verify slice the round it is added.
+#:
+#: ROUND-7 ACTION: once CORRECTNESS_r06.json lands, move every name
+#: with a green r06 row into _DRIVER_VERIFIED (keep this window
+#: empty unless additions outrun the 50-slot budget).
+_VERIFY_FRONT_WINDOW: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QueryDef]:

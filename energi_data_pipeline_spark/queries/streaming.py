@@ -995,8 +995,14 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
         # write volume is O(batches x index): quadratic in stream
         # length, the scale-killer shape flagged in round 4.
         idx_bands = read_layer_table(sess, wh, "silver", "lsh_bands")
+        # band is the partitionBy column; re-cast on read-back so the
+        # union/join keeps its int type even when
+        # partitionColumnTypeInference is disabled (same read-back
+        # typing fix as emb_index's bucket column).
         all_bands = (batch_bands if idx_bands is None
-                     else idx_bands.select("doc_id", "band", "key")
+                     else idx_bands.select(
+                         "doc_id", F.col("band").cast("int").alias("band"),
+                         "key")
                      .unionByName(batch_bands))
         bl = batch_bands.alias("l")
         kl = all_bands.alias("r")

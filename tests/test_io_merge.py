@@ -9,6 +9,7 @@ swap, so readers see the old or the new snapshot, never a mix.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 import pytest
 
@@ -340,11 +341,12 @@ def test_table_lock_released_when_owner_killed(tmp_path):
 
     from energi_data_pipeline_spark.io import table_lock
 
+    repo_root = str(Path(__file__).resolve().parents[1])
     path = str(tmp_path / "t3")
     child = subprocess.Popen(
         [sys.executable, "-c", textwrap.dedent(f"""
             import sys, time
-            sys.path.insert(0, {os.getcwd()!r})
+            sys.path.insert(0, {repo_root!r})
             from energi_data_pipeline_spark.io import table_lock
             lk = table_lock({path!r}, timeout_s=30.0)
             lk.__enter__()
