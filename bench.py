@@ -94,6 +94,17 @@ PATHOLOGICAL_ORACLES = ["dedup_minhash_lsh_pairs",
                         "stream_incremental_lsh_dedup",
                         "curation_pipeline"]
 
+#: DECIMAL(38,10)-exact parity anchors: retained deliberately as
+#: oracle-exact hash-parity twins even though Spark's non-vectorized
+#: BigDecimal accumulation costs 4-5x vs DuckDB's vectorized int128
+#: path (profiled in SURVEY §8).  The production number for each is
+#: its fixed-point fastsum twin, benched alongside.  Annotated here
+#: so the headline table doesn't read as unexplained >10x rows.
+ORACLE_EXACT_ANCHORS = {
+    "core_groupby_agg": "core_groupby_agg_fastsum",
+    "core_cte_chain": "core_cte_chain_fastsum",
+}
+
 #: measured executions per query (min = steady state; median and the
 #: full run list are recorded so cold/warm behavior is visible)
 N_RUNS = 3
@@ -207,8 +218,133 @@ def run_duckdb(sf_dir: str) -> dict[str, list[float]]:
     return runs
 
 
+def run_sweep(sf_dir: str, out_path: str) -> None:
+    """Time EVERY registry query once (Spark + its DuckDB oracle) at
+    ``sf_dir`` and write a per-query artifact to ``out_path``.
+
+    Purpose (round-5 verdict #1): the headline set covers 25 of the
+    registry's ~200 entries; the only plan bug of rounds 4-5 (the
+    triple-recompute in text_tfidf_cosine_pairs, 33x over oracle) was
+    invisible until that query was FIRST benched.  The sweep is the
+    sleeper detector: single-execution wall times, flagged when
+    spark_s > SLEEPER_ABS_S or spark/oracle > SLEEPER_RATIO, so
+    anything expensive that suite-green never surfaces gets promoted
+    into HEADLINE and fixed or adjudicated.
+
+    Methodology: one shared warm session; one measured execution per
+    query via the noop sink (first-touch codegen is included — at the
+    flag thresholds, 0.2-0.5s of compile noise cannot create a false
+    sleeper, and a query whose SINGLE run is multi-second is worth a
+    look regardless of which part compiled); DuckDB oracle timed with
+    the same single-run rule.  Streaming entries carry their engine
+    startup per run, annotated via the streaming flag.
+    """
+    from energi_data_pipeline_spark.queries import load_all
+    from energi_data_pipeline_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("energi-sweep")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark_s: dict[str, float] = {}
+    spark_err: dict[str, str] = {}
+    for i, (name, qd) in enumerate(registry.items()):
+        t0 = time.perf_counter()
+        try:
+            qd.fn(spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            spark_s[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record, keep sweeping
+            spark_err[name] = f"{type(exc).__name__}: {exc}"[:300]
+        spark.catalog.clearCache()
+        print(f"# sweep spark {i + 1}/{len(registry)} {name} "
+              f"{spark_s.get(name, 'ERR')}", file=sys.stderr, flush=True)
+    spark.stop()
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from parity import duck_connection
+
+    con = duck_connection(sf_dir)
+    duck_s: dict[str, float] = {}
+    duck_err: dict[str, str] = {}
+    for i, (name, qd) in enumerate(registry.items()):
+        if qd.oracle is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            con.execute(qd.oracle).fetchall()
+            duck_s[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            duck_err[name] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# sweep duck {i + 1}/{len(registry)} {name} "
+              f"{duck_s.get(name, 'ERR')}", file=sys.stderr, flush=True)
+    con.close()
+
+    rows = {}
+    sleepers = []
+    for name in registry:
+        s = spark_s.get(name)
+        d = duck_s.get(name)
+        ratio = (round(s / d, 2) if s is not None and d else None)
+        flag = bool(
+            s is not None
+            and name not in HEADLINE
+            and (s > SLEEPER_ABS_S
+                 or (ratio is not None and ratio > SLEEPER_RATIO
+                     and s - d > SLEEPER_MIN_GAP_S
+                     and name not in PATHOLOGICAL_ORACLES)))
+        rows[name] = {"spark_s": s, "duckdb_s": d, "ratio": ratio,
+                      "sleeper": flag,
+                      **({"spark_err": spark_err[name]}
+                         if name in spark_err else {}),
+                      **({"duckdb_err": duck_err[name]}
+                         if name in duck_err else {})}
+        if flag:
+            sleepers.append(name)
+    payload = json.dumps({
+        "metric": "full_registry_sweep",
+        "sf_dir": sf_dir,
+        "n_queries": len(registry),
+        "runs_per_query": 1,
+        "sleeper_thresholds": {"abs_s": SLEEPER_ABS_S,
+                               "ratio": SLEEPER_RATIO,
+                               "ratio_min_gap_s": SLEEPER_MIN_GAP_S},
+        "sleepers": sorted(
+            sleepers, key=lambda n: -(rows[n]["spark_s"] or 0)),
+        "headline": HEADLINE,
+        "pathological_oracles": PATHOLOGICAL_ORACLES,
+        "spark_errors": spark_err, "duckdb_errors": duck_err,
+        "queries": rows,
+        "notes": ("single-execution wall per query (shared warm "
+                  "session, noop sink; first-touch codegen included "
+                  "- see run_sweep docstring); sleeper = non-"
+                  "headline query with spark_s>abs_s OR "
+                  "(spark/oracle>ratio AND absolute gap>"
+                  "ratio_min_gap_s; pathological-oracle pairs "
+                  "exempt from the ratio rule); streaming entries "
+                  "pay micro-batch engine startup per execution"),
+    }, indent=1)
+    Path(out_path).write_text(payload + "\n", encoding="utf-8")
+    print(payload, flush=True)
+    os._exit(0)
+
+
+#: sweep sleeper thresholds (round-5 verdict #1: ">2s or >5x"); the
+#: ratio rule additionally requires a real absolute gap — a 0.3s
+#: Spark query vs a 10ms oracle is per-query session floor (JIT +
+#: scheduler + scan setup; r05 verdict adjudicated 13 such headline
+#: cases), not a plan bug worth a fix, and without the gap guard the
+#: sweep would flag most of the registry at small SF
+SLEEPER_ABS_S = 2.0
+SLEEPER_RATIO = 5.0
+SLEEPER_MIN_GAP_S = 0.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sweep" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        run_sweep(sf_dir, args[0] if args else "SWEEP_r06.json")
+        return
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     spark_runs = run_spark(sf_dir)
     stream_startup = spark_runs.pop("__stream_engine_startup__")[0]
@@ -246,6 +382,10 @@ def main() -> None:
         "duckdb_runs": duck_runs,
         "stream_engine_startup_s": stream_startup,
         "streaming_queries": sorted(STREAMING),
+        "oracle_exact_anchors": {
+            k: (f"DECIMAL(38,10)-exact parity anchor (BigDecimal "
+                f"accumulation tax, SURVEY §8); production twin: {v}")
+            for k, v in ORACLE_EXACT_ANCHORS.items()},
         "runs_per_query": N_RUNS,
         "aggregation": "min (median + full run lists alongside)",
         "notes": ("per-query time = min of runs_per_query measured "

@@ -9,13 +9,14 @@ collapses to one task in Spark — fine at parity-test scale, fatal at
 * :func:`trailing_exprs` — the plain global-window expressions used
   where oracle-exact ordering matters (driver correctness gate).
 * :func:`with_trailing_partitioned` — the scale path: partition the
-  window by a bucket (e.g. ``to_date(ts)``), then repair the first
-  ``k`` rows of every bucket by replaying the previous buckets' last
-  ``k`` rows ("warm-up" rows, the same lookback-and-trim trick the
-  reference itself uses at its incremental boundary,
-  gold_aggr.py:98,219).  The warm-up set is ~``k`` rows per bucket —
-  tiny — so it is broadcast; the result is exact equality with the
-  global window while every bucket computes in parallel.
+  window by a bucket (e.g. ``to_date(ts)``), compute everything in
+  ONE bucket-parallel window pass, then repair the first ``k-1``
+  rows of every bucket (whose frames reach earlier buckets — the
+  same lookback-and-trim boundary the reference itself handles at
+  its incremental edge, gold_aggr.py:98,219) from the tiny
+  bucket-edge set.  Exact equality with the global window, every
+  bucket computes in parallel, and the corpus is scanned and
+  shuffled exactly once (see the in-function design note).
 """
 
 from __future__ import annotations
@@ -23,8 +24,6 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-
-WARMUP_FLAG = "__is_warmup"
 
 
 def trailing_window(order_cols: list[str], k: int,
@@ -66,52 +65,61 @@ def with_trailing_partitioned(
     # group is bucketed independently and warm-up donors only flow
     # within their group — (group, bucket) is the unit of parallelism
     # instead of one task per group.
+    #
+    # SINGLE-SHUFFLE design (round-6; the round-1..5 version shuffled
+    # the corpus three times — a donor-tails window pass, a distinct-
+    # buckets aggregation, and the final window — with no exchange
+    # reuse, 4.3x the oracle on gold_events_full).  Now:
+    #
+    # 1. ONE corpus window pass partitioned by (group, bucket)
+    #    computes row_number, a last-k-1-rows flag, AND the trailing
+    #    aggregates.  Interior rows (rn >= k) have their whole frame
+    #    inside the bucket — already exact.
+    # 2. EDGE rows — the first k-1 (frames reach earlier buckets:
+    #    values wrong, need repair) and last k-1 (the donor rows
+    #    those frames reach) of every bucket — are ~2(k-1) rows per
+    #    (group, bucket): tiny at any scale.  Re-running the window
+    #    over just this set, partitioned by group alone, yields
+    #    exact values for the first-k-1 rows: walking a head row's
+    #    frame backwards never leaves the set (in-bucket
+    #    predecessors are heads; at most k-1 rows are drawn from
+    #    earlier buckets, always their latest rows, i.e. tails).
+    # 3. Result = interior ∪ repaired heads (disjoint, complete).
+    #
+    # Both filter branches sit directly above the SAME window-over-
+    # exchange subtree, so Spark's ReuseExchange materializes the
+    # shuffle once; the corpus is scanned once and shuffled once at
+    # every scale, and no corpus-sized cache is required.
     order_cols = [order_col] if isinstance(order_col, str) else order_col
-    desc_order = [F.col(c).desc() for c in order_cols]
     group_by = group_by or []
     if bucket is None:
         bucket = F.to_date(F.col(order_cols[0]))
     b = df.withColumn("__bucket", bucket)
     part = group_by + ["__bucket"]
 
-    # Last k-1 rows of every (group, bucket) — candidate warm-up
-    # donors.  k-1 rows each => tiny (groups * days * (k-1)) =>
-    # broadcast.
-    per_bucket = Window.partitionBy(*part).orderBy(*desc_order)
-    tails = (
-        b.withColumn("__rn", F.row_number().over(per_bucket))
-        .filter(F.col("__rn") < k)
-        .drop("__rn")
+    w = (Window.partitionBy(*part).orderBy(*order_cols)
+         .rowsBetween(-(k - 1), 0))
+    wn = Window.partitionBy(*part).orderBy(*order_cols)
+    # __tail: row is among its bucket's last k-1 (lead falls off the
+    # partition end) — same window spec as row_number, so rn, tail
+    # flag and the aggregates all evaluate in ONE Window exec pass
+    main = b.select(
+        "*",
+        F.row_number().over(wn).alias("__rn"),
+        F.lead(F.lit(1), k - 1).over(wn).isNull().alias("__tail"),
+        *agg_builder(w),
     )
+    agg_names = main.columns[len(b.columns) + 2:]
+    helper = ["__rn", "__tail", "__bucket"]
 
-    # For each target (group, bucket), the donors are tail rows of
-    # the SAME group from strictly earlier buckets; keep the k-1
-    # latest per target.
-    buckets = b.select(*part).distinct()
-    join_cond = F.col("__src_bucket") < F.col("__bucket")
-    for g in group_by:
-        join_cond = join_cond & (F.col(f"__src_{g}") == F.col(g))
-    donors_src = tails.withColumnRenamed("__bucket", "__src_bucket")
-    for g in group_by:
-        donors_src = donors_src.withColumnRenamed(g, f"__src_{g}")
-    donors = (
-        F.broadcast(donors_src)
-        .join(buckets, join_cond, "inner")
-        .drop(*[f"__src_{g}" for g in group_by])
-    )
-    pick = Window.partitionBy(*part).orderBy(*desc_order)
-    warmup = (
-        donors.withColumn("__rn", F.row_number().over(pick))
+    interior = main.filter(F.col("__rn") >= k).drop(*helper)
+    edge = main.filter((F.col("__rn") < k) | F.col("__tail"))
+    wg = ((Window.partitionBy(*group_by) if group_by else Window)
+          .orderBy(*order_cols).rowsBetween(-(k - 1), 0))
+    repaired = (
+        edge.drop(*agg_names)
+        .select("*", *agg_builder(wg))
         .filter(F.col("__rn") < k)
-        .drop("__rn", "__src_bucket")
-        .withColumn(WARMUP_FLAG, F.lit(True))
+        .drop(*helper)
     )
-
-    unioned = b.withColumn(WARMUP_FLAG, F.lit(False)).unionByName(warmup)
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(*order_cols)
-        .rowsBetween(-(k - 1), 0)
-    )
-    out = unioned.select("*", *agg_builder(w))
-    return out.filter(~F.col(WARMUP_FLAG)).drop(WARMUP_FLAG, "__bucket")
+    return interior.unionByName(repaired)
