@@ -895,6 +895,159 @@ def curation_dataset_card(spark, sf_dir):
         "exact_dup_rate", "near_dup_pairs")
 
 
+# ------------------------------- learned quality gate (trained)
+#: hashing-trick feature buckets (+1 bias feature at index D_FEATS)
+D_FEATS = 64
+#: unrolled batch-gradient-descent iterations (mirrored in the SQL
+#: oracle) and learning rate (0.5 is binary-exact)
+GD_ITERS = 2
+GD_LR = 0.5
+
+#: engine-portable squashing link: p = 0.5 + 0.5*m/(1+|m|) — the
+#: "fast sigmoid".  Chosen over 1/(1+exp(-m)) deliberately: exp()
+#: goes through libm and Java's Math.exp / DuckDB's C exp can differ
+#: in the last ulp, which would poison the hash compare after two
+#: training iterations; the rational link is plain IEEE arithmetic,
+#: bit-identical on both engines, and monotone (0,1) like the
+#: logistic it stands in for.
+_LINK_SQL = "0.5 + 0.5 * {m} / (1 + abs({m}))"
+
+_CLS_GATE_SQL = f"""
+  CASE WHEN len({TOKENS_SQL}) >= 10 AND len({TOKENS_SQL}) <= 1000
+            AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     AS DOUBLE) / length(text) < 0.2
+            AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     AS DOUBLE) / length(text) < 0.3
+       THEN 1.0 ELSE 0.0 END"""
+
+
+def _classifier_oracle() -> str:
+    """Unrolled-GD oracle: hashed token counts + bias feature,
+    zero-initialized weights, GD_ITERS rounds of (fixed-point margin
+    -> fast-sigmoid probability -> fixed-point gradient -> 8dp
+    weight update) against the rule-gate labels."""
+    header = f"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest({TOKENS_SQL})) AS tok FROM documents),
+fx AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 14))::BIGINT % {D_FEATS}
+              AS INTEGER) AS feat,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, {D_FEATS} AS feat, 1.0 AS x FROM documents),
+labels AS (
+  SELECT doc_id, {_CLS_GATE_SQL} AS y FROM documents),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+w0 AS (SELECT DISTINCT feat, 0.0 AS w FROM fx)"""
+    steps = []
+    for i in range(GD_ITERS):
+        link = _LINK_SQL.format(m="m.m")
+        steps.append(f"""
+m{i} AS (
+  SELECT f.doc_id,
+         CAST(SUM(CAST(FLOOR(w.w * f.x * 100000000 + 0.5) AS BIGINT))
+              AS DOUBLE) / 100000000 AS m
+  FROM fx f JOIN w{i} w USING (feat) GROUP BY f.doc_id),
+p{i} AS (SELECT m.doc_id, {link} AS p FROM m{i} m),
+g{i} AS (
+  SELECT f.feat,
+         CAST(SUM(CAST(FLOOR((p.p - l.y) * f.x * 100000000 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100000000 AS g
+  FROM fx f JOIN p{i} p USING (doc_id) JOIN labels l USING (doc_id)
+  GROUP BY f.feat),
+w{i + 1} AS (
+  SELECT w.feat,
+         ROUND(w.w - {GD_LR} * COALESCE(g.g, 0) / (SELECT n FROM nd),
+               8) AS w
+  FROM w{i} w LEFT JOIN g{i} g USING (feat))""")
+    return (header + "," + ",".join(steps) + f"""
+SELECT feat, w AS weight FROM w{GD_ITERS}""")
+
+
+@query("curation_quality_classifier", _classifier_oracle())
+def curation_quality_classifier(spark, sf_dir):
+    """Learned quality gate: a linear classifier over hashing-trick
+    token features, trained with {GD_ITERS} unrolled batch-gradient-
+    descent iterations against the rule-based gate
+    (text_quality_score's passes_quality) as labels — the
+    rule->learned progression every production curation pipeline
+    runs (rules bootstrap labels, the model generalizes them).
+    Returns the learned weight vector (feat, weight).
+
+    Scale shape: the corpus is scanned ONCE to build the hashed
+    feature table (doc, feat, x) — at most D_FEATS+1 = {D}+1 rows
+    per document — which is persisted DISK_ONLY (never pinned
+    executor memory) and feeds every iteration.  Each iteration is
+    (a) margins: feature-table join with the BROADCAST weight
+    vector (D+1 rows — bounded by construction) + one
+    map-side-combined shuffle to per-doc sums; (b) gradient: join
+    per-doc errors back to the feature table on doc_id + one
+    map-side-combined shuffle to D+1 partial sums.  The weight
+    vector is localCheckpoint-truncated per round like the
+    k-means/PageRank trainers, so plans don't grow with iterations;
+    no corpus-sized state ever sits on the driver or in one task.
+
+    Float discipline: margins and gradients accumulate in exact
+    fixed point (floor(v*1e8+0.5) as BIGINT); the link is the
+    rational fast-sigmoid (see _LINK_SQL — no libm exp, engine-
+    exact); weights round to 8dp per update; lr=0.5 and the integer
+    feature counts are binary-exact."""
+    from pyspark import StorageLevel
+
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = (d.select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(F.col("text")),
+                              lambda x: F.lower(x))).alias("tok"))
+        .filter(F.length("tok") > 0))
+    fx = (toks.select(
+        "doc_id",
+        (stable_hash64(F.col("tok")) % D_FEATS).cast("int")
+        .alias("feat"))
+        .groupBy("doc_id", "feat")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .unionByName(d.select(
+            "doc_id", F.lit(D_FEATS).cast("int").alias("feat"),
+            F.lit(1.0).alias("x")))
+        .persist(StorageLevel.DISK_ONLY))
+    ntok = F.size(tokens_col(F.col("text")))
+    ratio = lambda pat: (  # noqa: E731
+        F.length(F.regexp_replace(F.col("text"), pat, ""))
+        .cast("double") / F.length("text"))
+    labels = d.select(
+        "doc_id",
+        F.when((ntok >= 10) & (ntok <= 1000)
+               & (ratio("[^.,;:!?]") < 0.2)
+               & (ratio("[^0-9]") < 0.3),
+               F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"))
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    fp = lambda c: (F.sum(F.floor(c * 1e8 + 0.5).cast("long"))  # noqa: E731
+                    .cast("double") / 1e8)
+    w = fx.select("feat").distinct().withColumn("w", F.lit(0.0))
+    for _ in range(GD_ITERS):
+        m = (fx.join(F.broadcast(w), "feat")
+             .groupBy("doc_id")
+             .agg(fp(F.col("w") * F.col("x")).alias("m")))
+        p = m.select(
+            "doc_id",
+            (F.lit(0.5) + F.lit(0.5) * F.col("m")
+             / (F.lit(1) + F.abs(F.col("m")))).alias("p"))
+        g = (fx.join(p, "doc_id").join(labels, "doc_id")
+             .groupBy("feat")
+             .agg(fp((F.col("p") - F.col("y")) * F.col("x"))
+                  .alias("g")))
+        w = (w.join(g, "feat", "left").crossJoin(F.broadcast(nd))
+             .select("feat",
+                     F.round(F.col("w")
+                             - F.lit(GD_LR)
+                             * F.coalesce(F.col("g"), F.lit(0.0))
+                             / F.col("n"), 8).alias("w"))
+             .localCheckpoint(eager=True))
+    return w.select("feat", F.col("w").alias("weight"))
+
+
 # oracle validity knees: these compose dedup_minhash_lsh_pairs
 # (corpus-adaptive signature on the Spark side, floor-valued SQL in
 # the composed oracle) — see queries/__init__.py ORACLE_SCALE_KNEES.
