@@ -900,7 +900,9 @@ INCR_LSH_BATCHES = 3
 
 
 @query("stream_incremental_lsh_dedup", INCR_LSH_SQL)
-def stream_incremental_lsh_dedup(spark, sf_dir):
+def stream_incremental_lsh_dedup(spark, sf_dir,
+                                 n_batches: int = INCR_LSH_BATCHES,
+                                 batch_times: list | None = None):
     """Streaming near-dup INDEX MAINTENANCE — the production shape
     of MinHash-LSH dedup: documents arrive in micro-batches; each
     batch is signed, checked against the ACCUMULATED signature index
@@ -943,12 +945,12 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
     nh, nb = minhash_params(docs_corpus_size(sf_dir))
     rpb = nh // nb
     max_id = d.agg(F.max("doc_id")).first()[0]
-    span = (max_id + INCR_LSH_BATCHES) // INCR_LSH_BATCHES
+    span = (max_id + n_batches) // n_batches
     # replay the corpus as ascending-id single-file batches; mtimes
     # force the file source to deliver them in id order (the verdict
     # rule "partner id < mine" needs lower ids indexed first)
     now = 1_700_000_000
-    for b in range(INCR_LSH_BATCHES):
+    for b in range(n_batches):
         stage = tempfile.mkdtemp(prefix="incr_lsh_stage_")
         (d.filter((F.col("doc_id") >= b * span)
                   & (F.col("doc_id") < (b + 1) * span))
@@ -1038,11 +1040,25 @@ def stream_incremental_lsh_dedup(spark, sf_dir):
                          keys=["doc_id", "band"],
                          partition_by=["band"])
 
+    def timed_batch(batch_df, bid):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        process_batch(batch_df, bid)
+        if batch_times is not None:
+            batch_times.append(round(_time.perf_counter() - t0, 3))
+
     try:
-        q = (spark.readStream.schema(schema).parquet(src)
-             .writeStream.foreachBatch(process_batch)
+        # maxFilesPerTrigger is a SOURCE option: it must be set on the
+        # readStream (on the writer it is silently ignored and the
+        # whole replay collapses into ONE micro-batch — round-6 fix;
+        # the incremental-vs-batch equivalence invariant is what
+        # caught nothing here, because a single batch trivially
+        # equals the batch result)
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(src)
+             .writeStream.foreachBatch(timed_batch)
              .option("checkpointLocation", ckpt)
-             .option("maxFilesPerTrigger", "1")
              .trigger(availableNow=True).start())
         q.awaitTermination()
         out = spark.read.parquet(table_path(wh, "gold", "dup_verdicts"))
@@ -1175,10 +1191,13 @@ def stream_incremental_embedding_index(spark, sf_dir):
                          keys=["vec_id"], partition_by=["bucket"])
 
     try:
-        q = (spark.readStream.schema(schema).parquet(src)
+        # maxFilesPerTrigger: source option (same round-6 fix as the
+        # LSH stream — on the writer it is ignored and the replay
+        # runs as one batch)
+        q = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(src)
              .writeStream.foreachBatch(process_batch)
              .option("checkpointLocation", ckpt)
-             .option("maxFilesPerTrigger", "1")
              .trigger(availableNow=True).start())
         q.awaitTermination()
         out = spark.read.parquet(table_path(wh, "gold", "emb_verdicts"))
