@@ -405,18 +405,34 @@ def main() -> None:
                   "equality-tested in tests/test_streaming_state.py"),
     }
     payload = json.dumps(result)
-    # Belt: write the artifact to a file directly (round-2's BENCH
-    # artifact was truncated by bounded stdout-tail capture).
+    # Belt: write the FULL artifact to a file directly (round-2's
+    # BENCH artifact was truncated by bounded stdout-tail capture).
     try:
         out = Path(__file__).resolve().parent / "BENCH_LAST.json"
         out.write_text(payload + "\n", encoding="utf-8")
     except OSError:
         pass
+    # The driver records only the LAST 2000 chars of stdout and
+    # json-parses that tail (BENCH_r04/r05 carried "parsed": null
+    # because the full payload overflowed it).  Print a COMPACT line
+    # that always fits; the full detail lives in BENCH_LAST.json.
+    compact = json.dumps({
+        "metric": result["metric"], "value": total, "unit": "sec",
+        "queries": {n: round(v, 2) for n, v in spark_times.items()},
+        "sf": sf, "duckdb_total": duck_total,
+        "ratio_vs_duckdb": result["ratio_vs_duckdb"],
+        "value_ex_outlier": total_ex,
+        "duckdb_total_ex_outlier": duck_total_ex,
+        "ratio_ex_outlier": result["ratio_ex_outlier"],
+        "outliers_dropped": outliers,
+        "oracle_exact_anchors": sorted(ORACLE_EXACT_ANCHORS),
+        "full_artifact": "BENCH_LAST.json",
+    }, separators=(",", ":"))
     # Braces: the JSON must also be the LAST bytes this process
     # emits: Spark's streaming StateStore maintenance thread logs a
     # shutdown stack trace AFTER main() returns.  Flush, then
     # hard-exit before any JVM shutdown hook can print.
-    print(payload, flush=True)
+    print(compact, flush=True)
     sys.stderr.flush()
     os._exit(0)
 
