@@ -261,6 +261,8 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
     spark.stop()
 
     sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    import threading
+
     from parity import duck_connection
 
     con = duck_connection(sf_dir)
@@ -269,14 +271,36 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
     for i, (name, qd) in enumerate(registry.items()):
         if qd.oracle is None:
             continue
+        # per-oracle wall cap: the pathological correlated-subquery
+        # LSH/graph oracles run minutes at sf0.1 — without a cap one
+        # oracle family dominates the whole sweep's wall clock.  A
+        # timed-out oracle is recorded as ">cap" (Spark wins the
+        # comparison by construction; the sleeper ratio rule skips
+        # rows without a finite duck time).
+        done = threading.Event()
+
+        def _interrupt():
+            if not done.wait(DUCK_ORACLE_CAP_S):
+                con.interrupt()
+
+        killer = threading.Thread(target=_interrupt, daemon=True)
+        killer.start()
         t0 = time.perf_counter()
         try:
             con.execute(qd.oracle).fetchall()
             duck_s[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:
-            duck_err[name] = f"{type(exc).__name__}: {exc}"[:300]
+            if time.perf_counter() - t0 >= DUCK_ORACLE_CAP_S - 1:
+                duck_err[name] = (f"timeout: oracle exceeded "
+                                  f"{DUCK_ORACLE_CAP_S}s cap")
+            else:
+                duck_err[name] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            done.set()
+            killer.join()
         print(f"# sweep duck {i + 1}/{len(registry)} {name} "
-              f"{duck_s.get(name, 'ERR')}", file=sys.stderr, flush=True)
+              f"{duck_s.get(name, duck_err.get(name, '?'))}",
+              file=sys.stderr, flush=True)
     con.close()
 
     rows = {}
@@ -337,6 +361,8 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
 SLEEPER_ABS_S = 2.0
 SLEEPER_RATIO = 5.0
 SLEEPER_MIN_GAP_S = 0.5
+#: per-oracle DuckDB wall cap in the sweep (see run_sweep)
+DUCK_ORACLE_CAP_S = 120.0
 
 
 def main() -> None:

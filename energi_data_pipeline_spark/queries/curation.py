@@ -940,7 +940,8 @@ fx AS (
 labels AS (
   SELECT doc_id, {_CLS_GATE_SQL} AS y FROM documents),
 nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-w0 AS (SELECT DISTINCT feat, 0.0 AS w FROM fx)"""
+w0 AS (SELECT CAST(unnest(range(0, {D_FEATS} + 1)) AS INTEGER)
+              AS feat, 0.0 AS w)"""
     steps = []
     for i in range(GD_ITERS):
         link = _LINK_SQL.format(m="m.m")
@@ -976,24 +977,32 @@ def curation_quality_classifier(spark, sf_dir):
     runs (rules bootstrap labels, the model generalizes them).
     Returns the learned weight vector (feat, weight).
 
-    Scale shape: the corpus is scanned ONCE to build the hashed
-    feature table (doc, feat, x) — at most D_FEATS+1 = {D}+1 rows
-    per document — which is persisted DISK_ONLY (never pinned
-    executor memory) and feeds every iteration.  Each iteration is
-    (a) margins: feature-table join with the BROADCAST weight
-    vector (D+1 rows — bounded by construction) + one
-    map-side-combined shuffle to per-doc sums; (b) gradient: join
-    per-doc errors back to the feature table on doc_id + one
-    map-side-combined shuffle to D+1 partial sums.  The weight
-    vector is localCheckpoint-truncated per round like the
-    k-means/PageRank trainers, so plans don't grow with iterations;
-    no corpus-sized state ever sits on the driver or in one task.
+    Scale shape — the textbook distributed-GD layout (one vector
+    per example, model broadcast, gradient tree-aggregated): the
+    corpus is scanned ONCE into a DENSE per-doc feature vector
+    (array<double> of D+1 = {D}+1 hashed-bucket counts + bias) with
+    its label, persisted DISK_ONLY.  The weight vector is a python
+    list turned into a LITERAL array column each round (model
+    parameters — bounded at D+1 by construction, never data), so an
+    iteration is ONE job: a map stage computing margin/link/error
+    per doc (zip_with + aggregate over the array — pure codegen),
+    then posexplode to (bucket, err*x) rows whose groupBy(bucket)
+    partially aggregates map-side to D+1 rows per task — the
+    shuffle moves ~(D+1) x n_tasks rows, never the corpus — and a
+    D+1-row collect of the rounded weight update.  Plans cannot
+    grow with iterations because each round starts from literals.
+    (The round-6 sweep caught the first version of this operator at
+    10.9s: long-format weights as a DataFrame meant 4 corpus
+    shuffles + 2 localCheckpoints per round.)
 
     Float discipline: margins and gradients accumulate in exact
-    fixed point (floor(v*1e8+0.5) as BIGINT); the link is the
-    rational fast-sigmoid (see _LINK_SQL — no libm exp, engine-
-    exact); weights round to 8dp per update; lr=0.5 and the integer
-    feature counts are binary-exact."""
+    fixed point (floor(v*1e8+0.5) as BIGINT; absent buckets
+    contribute floor(0.5) = 0, so the dense form equals the
+    oracle's sparse join bit-for-bit); the link is the rational
+    fast-sigmoid (see _LINK_SQL — no libm exp, engine-exact);
+    weights round to 8dp per update IN SPARK (F.round half-up ==
+    DuckDB ROUND; python round() is half-to-even and must not
+    touch them); lr=0.5 and the integer counts are binary-exact."""
     from pyspark import StorageLevel
 
     d = spread(t(spark, sf_dir, "documents"))
@@ -1002,16 +1011,15 @@ def curation_quality_classifier(spark, sf_dir):
         F.explode(F.transform(tokens_col(F.col("text")),
                               lambda x: F.lower(x))).alias("tok"))
         .filter(F.length("tok") > 0))
-    fx = (toks.select(
+    fmap = (toks.select(
         "doc_id",
         (stable_hash64(F.col("tok")) % D_FEATS).cast("int")
         .alias("feat"))
         .groupBy("doc_id", "feat")
         .agg(F.count(F.lit(1)).cast("double").alias("x"))
-        .unionByName(d.select(
-            "doc_id", F.lit(D_FEATS).cast("int").alias("feat"),
-            F.lit(1.0).alias("x")))
-        .persist(StorageLevel.DISK_ONLY))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("feat", "x"))).alias("fm")))
     ntok = F.size(tokens_col(F.col("text")))
     ratio = lambda pat: (  # noqa: E731
         F.length(F.regexp_replace(F.col("text"), pat, ""))
@@ -1022,30 +1030,41 @@ def curation_quality_classifier(spark, sf_dir):
                & (ratio("[^.,;:!?]") < 0.2)
                & (ratio("[^0-9]") < 0.3),
                F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"))
-    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    fp = lambda c: (F.sum(F.floor(c * 1e8 + 0.5).cast("long"))  # noqa: E731
-                    .cast("double") / 1e8)
-    w = fx.select("feat").distinct().withColumn("w", F.lit(0.0))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(D_FEATS)),
+        lambda i: F.when(i == D_FEATS, F.lit(1.0)).otherwise(
+            F.coalesce(F.element_at(F.col("fm"), i), F.lit(0.0))))
+    fxv = (labels.join(fmap, "doc_id", "left")
+           .select("doc_id", "y", dense.alias("xs"))
+           .persist(StorageLevel.DISK_ONLY))
+    n_docs = float(fxv.count())  # scalar; also materializes the persist
+
+    w = [0.0] * (D_FEATS + 1)
     for _ in range(GD_ITERS):
-        m = (fx.join(F.broadcast(w), "feat")
-             .groupBy("doc_id")
-             .agg(fp(F.col("w") * F.col("x")).alias("m")))
-        p = m.select(
-            "doc_id",
-            (F.lit(0.5) + F.lit(0.5) * F.col("m")
-             / (F.lit(1) + F.abs(F.col("m")))).alias("p"))
-        g = (fx.join(p, "doc_id").join(labels, "doc_id")
-             .groupBy("feat")
-             .agg(fp((F.col("p") - F.col("y")) * F.col("x"))
-                  .alias("g")))
-        w = (w.join(g, "feat", "left").crossJoin(F.broadcast(nd))
-             .select("feat",
-                     F.round(F.col("w")
-                             - F.lit(GD_LR)
-                             * F.coalesce(F.col("g"), F.lit(0.0))
-                             / F.col("n"), 8).alias("w"))
-             .localCheckpoint(eager=True))
-    return w.select("feat", F.col("w").alias("weight"))
+        w_arr = F.array(*[F.lit(v) for v in w])
+        m = (F.aggregate(
+            F.zip_with(F.col("xs"), w_arr,
+                       lambda x, wv: F.floor(wv * x * 1e8 + 0.5)
+                       .cast("long")),
+            F.lit(0).cast("long"), lambda a, b: a + b)
+            .cast("double") / 1e8)
+        p = F.lit(0.5) + F.lit(0.5) * m / (F.lit(1) + F.abs(m))
+        ex = fxv.select((p - F.col("y")).alias("err"),
+                        F.posexplode("xs").alias("pos", "x"))
+        grad = (ex.groupBy("pos")
+                .agg((F.sum(F.floor(F.col("err") * F.col("x")
+                                    * 1e8 + 0.5).cast("long"))
+                      .cast("double") / 1e8).alias("g")))
+        upd = grad.select(
+            "pos",
+            F.round(F.element_at(w_arr, F.col("pos") + 1)
+                    - F.lit(GD_LR) * F.col("g") / F.lit(n_docs),
+                    8).alias("w"))
+        got = {r["pos"]: r["w"] for r in upd.collect()}
+        w = [got[j] for j in range(D_FEATS + 1)]
+    return spark.createDataFrame(
+        [(j, w[j]) for j in range(D_FEATS + 1)],
+        "feat int, weight double")
 
 
 # oracle validity knees: these compose dedup_minhash_lsh_pairs
