@@ -771,8 +771,11 @@ def text_duplicate_spans(spark, sf_dir):
     # both the dfreq aggregate and the join side, which would
     # otherwise each recompute the whole normalize+hash subtree
     norm = d.select("doc_id", "source", s.alias("s")).cache()
-    spans = (norm.select("doc_id", "source", spans_arr.alias("hs"))
-             .filter(F.size("hs") > 0)
+    # short docs dropped via the cheap length(s) pre-filter — a
+    # size(hs) filter invites pushdown to inline the whole span
+    # expression into an interpreted Filter (round-6 trap)
+    spans = (norm.filter(F.length("s") >= SPAN_W)
+             .select("doc_id", "source", spans_arr.alias("hs"))
              .select("doc_id", "source", F.explode("hs").alias("h"))
              ).cache()
     spans.count()
