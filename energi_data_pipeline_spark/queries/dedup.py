@@ -442,28 +442,34 @@ JACCARD_T = 0.5
                  / (sa.n + sb.n - i.n_common) >= 0.5""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Character n-gram Jaccard similarity with PPJoin-style prefix
-    filtering (Xiao et al., WWW'08 — public literature):
+    """Character n-gram Jaccard similarity as an inverted-index
+    COUNT JOIN (round-6 revision, same as the containment twin):
+    explode each doc's distinct hashed grams, self-join the gram
+    stream on the (source, gram-hash) key with doc_a < doc_b, and
+    partially aggregate matches straight into per-pair common-gram
+    counts; J = common / (n_a + n_b - common).
 
-    1. distinct grams per doc computed map-side (``array_distinct``
-       inside the array, no shuffle);
-    2. document frequency per (source, gram) — a COUNT window over
-       the exploded gram stream, NOT a groupBy + join-back: one
-       shuffle on (source, gram) produces the df-annotated rows
-       directly, with no broadcast (gram vocabulary grows with the
-       corpus) and no second pass over ``grams``;
-    3. each doc keeps only its *prefix*: the ``n - ceil(t*n) + 1``
-       rarest grams (global (df, gram) order).  Any pair with
-       J >= t MUST share a prefix gram, so joining prefixes instead
-       of full gram sets is lossless but cuts the join fan-out by
-       ~4x (half the grams on each side, squared);
-    4. candidate pairs verified exactly via ``array_intersect`` on
-       the full gram arrays (JVM-side, no UDF).
+    One shuffle chain, map-side combine absorbing hot grams, no
+    per-pair array shipping.  The previous PPJoin prefix-filter plan
+    (Xiao et al., WWW'08 — rarest n-ceil(t*n)+1 grams as candidates,
+    array-intersect verify) was MEASURED SLOWER on every tested
+    corpus shape: this corpus's gram distribution is boilerplate-
+    heavy (7.5k distinct 11-grams for 713k occurrences), where the
+    prefix degenerates (prefix postings as fat as full postings, the
+    verify shipping n_a+n_b hashes per candidate pair), and with
+    realistic near-unique shingles the count-join is linear in the
+    gram stream anyway.  The `source` blocking key bounds the join
+    per block in both regimes; the quadratic all-pairs compare never
+    materializes.  Gram hashing (xxhash64) shuffles longs instead of
+    11-char strings; n_a/n_b come from the ORIGINAL distinct string
+    arrays, so a collision cannot change sizes (per-pair count
+    collision odds ~300^2/2^64 ≈ 5e-15 — negligible, and the oracle
+    parity test would surface it).  Short docs are dropped via the
+    cheap length(s) pre-filter — a size(ga) filter invites predicate
+    pushdown to inline the gram expression into an interpreted
+    Filter (the 43s containment trap)."""
+    from pyspark import StorageLevel
 
-    Blocking on ``source`` bounds the candidate space; the result is
-    bit-identical to the naive relational oracle.  At 100 TB the
-    (source, gram) window key and the prefix join key shard the work
-    — the quadratic all-pairs compare never materializes."""
     d = spread(t(spark, sf_dir, "documents"))
     s = norm_col()
     # dynamic-position substring needs the SQL expression form
@@ -474,73 +480,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
         f"transform(sequence(1, length(s) - {NGRAM - 1}), "
         f"i -> substring(s, i, {NGRAM})) "
         f"ELSE CAST(array() AS array<string>) END"))
-    # CollapseProject would inline the regex into the transform
-    # lambda (re-running it once PER GRAM, ~300x per doc); the cache
-    # is an optimization barrier that pins one evaluation per doc
-    norm = d.select("doc_id", "source", s.alias("s")).cache()
-    # the gram-array subtree feeds five plan branches (dfreq, both
-    # sides of the prefix self-join, da, db) — without caching the
-    # normalize+shingle work re-executes per branch (~6x); the
-    # count() materializes the cache BEFORE the branches race it
-    # (broadcast jobs launch concurrently and would each miss).
-    # Empty docs are dropped via the CHEAP length(s) pre-filter:
-    # filtering on size(ga) invites predicate pushdown to inline
-    # the whole gram expression into an interpreted Filter (the
-    # 43s-vs-0.5s containment trap, round 6)
-    docs = (
-        norm.filter(F.length("s") >= NGRAM)
-        .select("doc_id", "source", ga.alias("ga"))
-        .withColumn("n", F.size("ga"))
-    ).cache()
-    docs.count()
-    grams = docs.select("doc_id", "source", "n", F.explode("ga").alias("g"))
-    w_df = Window.partitionBy("source", "g")
-    # prefix length for Jaccard >= t on an n-gram set of size n
-    pref_len = F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)) + 1
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "g")
-    prefix = (
-        grams.withColumn("df", F.count(F.lit(1)).over(w_df))
-        .withColumn("rk", F.row_number().over(w_doc))
-        .filter(F.col("rk") <= pref_len)
-        .select("doc_id", "source", "g", "n")
-    ).cache()
-    prefix.count()  # materialize before the self-join reads it twice
-    pa, pb = prefix.alias("pa"), prefix.alias("pb")
-    # length filter (lossless): J >= t forces t*|A| <= |B| <= |A|/t,
-    # so wildly different-sized docs never become candidates
-    cand = (
-        pa.join(pb, (F.col("pa.g") == F.col("pb.g"))
-                & (F.col("pa.source") == F.col("pb.source"))
-                & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-                & (F.col("pa.n") * JACCARD_T <= F.col("pb.n"))
-                & (F.col("pb.n") * JACCARD_T <= F.col("pa.n")))
-        .select(F.col("pa.doc_id").alias("doc_a"),
-                F.col("pb.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # verify on 64-bit-hashed gram arrays: long-set intersection is
-    # ~2x faster than string-set intersection and the COUNT is equal
-    # unless xxhash64 collides within a single pair's gram sets
-    # (~300^2/2^64 ≈ 5e-15 per pair — negligible, and the oracle
-    # parity test would surface it)
     gh = F.transform(F.col("ga"), lambda x: F.xxhash64(x))
-    da = docs.select(F.col("doc_id").alias("doc_a"),
-                     gh.alias("gh_a"), F.col("n").alias("n_a"))
-    db = docs.select(F.col("doc_id").alias("doc_b"),
-                     gh.alias("gh_b"), F.col("n").alias("n_b"))
-    inter = F.size(F.array_intersect("gh_a", "gh_b"))
-    jac = (inter.cast("double")
-           / (F.col("n_a") + F.col("n_b") - inter))
-    # plain joins: da/db carry the FULL per-doc gram-hash arrays
-    # (corpus-cardinality, wide rows) — broadcasting them was the
-    # round-1 scale-killer; a shuffle hash join on doc_id is the
-    # 100 TB shape, and AQE still broadcasts when genuinely small
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_T)
-    )
+    gl = (d.select("doc_id", "source", s.alias("s"))
+          .filter(F.length("s") >= NGRAM)
+          .select("doc_id", "source", ga.alias("ga"))
+          .withColumn("n", F.size("ga"))
+          .select("doc_id", "source", "n", F.explode(gh).alias("h"))
+          .persist(StorageLevel.DISK_ONLY))
+    a = gl.select(F.col("doc_id").alias("doc_a"), "source",
+                  F.col("n").alias("n_a"), "h")
+    b = gl.select(F.col("doc_id").alias("doc_b"),
+                  F.col("source").alias("src_b"),
+                  F.col("n").alias("n_b"), F.col("h").alias("h_b"))
+    # length filter (lossless): J >= t forces t*|A| <= |B| <= |A|/t,
+    # applied inside the join so out-of-band pairs never aggregate
+    inter = (a.join(b, (F.col("source") == F.col("src_b"))
+                    & (F.col("h") == F.col("h_b"))
+                    & (F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("n_a") * JACCARD_T <= F.col("n_b"))
+                    & (F.col("n_b") * JACCARD_T <= F.col("n_a")))
+             .groupBy("doc_a", "doc_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    return (inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_T))
 
 
 # ---------------------------------------- near-dup cluster closure
