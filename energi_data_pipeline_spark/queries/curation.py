@@ -1067,6 +1067,116 @@ def curation_quality_classifier(spark, sf_dir):
         "feat int, weight double")
 
 
+def _gate_oracle() -> str:
+    """Scoring oracle: the classifier-training CTE chain (reused
+    verbatim from _classifier_oracle) + one scoring pass that
+    re-derives each doc's margin under the FINAL weights and
+    compares the model's decision (fast-sigmoid >= 0.5, i.e.
+    margin >= 0) with the rule gate, rolled up per source."""
+    train = _classifier_oracle()
+    # strip the trailing SELECT, keep the WITH chain
+    ctes = train[:train.rindex("\nSELECT")]
+    return ctes + f""",
+score AS (
+  SELECT f.doc_id,
+         CAST(SUM(CAST(FLOOR(w.w * f.x * 100000000 + 0.5) AS BIGINT))
+              AS DOUBLE) / 100000000 AS m
+  FROM fx f JOIN w{GD_ITERS} w USING (feat) GROUP BY f.doc_id),
+verdicts AS (
+  SELECT d.source,
+         CASE WHEN s.m >= 0 THEN 1.0 ELSE 0.0 END AS model_pass,
+         l.y AS rule_pass
+  FROM documents d
+  JOIN score s ON s.doc_id = d.doc_id
+  JOIN labels l ON l.doc_id = d.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(rule_pass AS BIGINT)) AS BIGINT) AS n_rule_pass,
+       CAST(SUM(CAST(model_pass AS BIGINT)) AS BIGINT) AS n_model_pass,
+       CAST(SUM(CASE WHEN rule_pass = model_pass THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       ROUND(CAST(SUM(CASE WHEN rule_pass = model_pass
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS agreement_rate
+FROM verdicts GROUP BY source"""
+
+
+@query("curation_classifier_gate", _gate_oracle())
+def curation_classifier_gate(spark, sf_dir):
+    """APPLY the learned quality gate: train the classifier
+    (curation_quality_classifier's unrolled GD — the composed
+    verified operator), then score every document map-only against
+    the BROADCAST final weights and roll up per-source agreement
+    between the model's decision (margin >= 0, the fast-sigmoid 0.5
+    threshold — exact, since p = 0.5 iff m = 0) and the rule gate
+    it was trained on.  This is the train->apply handshake every
+    learned curation gate ships with: the agreement table is the
+    go/no-go report before a model replaces the rules.
+
+    Scale shape: training as documented on the trainer; scoring is
+    ONE map pass over the persisted dense feature vectors (fixed-
+    point dot with a literal weight array, no join, no shuffle)
+    followed by a source-keyed partial aggregation."""
+    trained = {r["feat"]: r["weight"]
+               for r in curation_quality_classifier(spark, sf_dir)
+               .collect()}  # D+1 model parameters, bounded
+    w_arr = F.lit([float(trained[j]) for j in range(D_FEATS + 1)])
+    # rebuild the same dense feature vectors + labels the trainer
+    # used (the trainer's persisted fxv is session-cached by plan
+    # identity, so this resolves to the same storage entry)
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = (d.select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(F.col("text")),
+                              lambda x: F.lower(x))).alias("tok"))
+        .filter(F.length("tok") > 0))
+    fmap = (toks.select(
+        "doc_id",
+        (stable_hash64(F.col("tok")) % D_FEATS).cast("int")
+        .alias("feat"))
+        .groupBy("doc_id", "feat")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("feat", "x"))).alias("fm")))
+    ntok = F.size(tokens_col(F.col("text")))
+    ratio = lambda pat: (  # noqa: E731
+        F.length(F.regexp_replace(F.col("text"), pat, ""))
+        .cast("double") / F.length("text"))
+    rule = F.when((ntok >= 10) & (ntok <= 1000)
+                  & (ratio("[^.,;:!?]") < 0.2)
+                  & (ratio("[^0-9]") < 0.3),
+                  F.lit(1.0)).otherwise(F.lit(0.0))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(D_FEATS)),
+        lambda i: F.when(i == D_FEATS, F.lit(1.0)).otherwise(
+            F.coalesce(F.element_at(F.col("fm"), i), F.lit(0.0))))
+    m = (F.aggregate(
+        F.zip_with(F.col("xs"), w_arr,
+                   lambda x, wv: F.floor(wv * x * 1e8 + 0.5)
+                   .cast("long")),
+        F.lit(0).cast("long"), lambda a, b: a + b)
+        .cast("double") / 1e8)
+    scored = (d.select("doc_id", "source", rule.alias("rule_pass"))
+              .join(fmap, "doc_id", "left")
+              .select("source", "rule_pass", dense.alias("xs"))
+              .select("source", "rule_pass",
+                      F.when(m >= 0, F.lit(1.0)).otherwise(F.lit(0.0))
+                      .alias("model_pass")))
+    agree = F.when(F.col("rule_pass") == F.col("model_pass"), 1) \
+        .otherwise(0)
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.col("rule_pass").cast("bigint"))
+                 .cast("bigint").alias("n_rule_pass"),
+                 F.sum(F.col("model_pass").cast("bigint"))
+                 .cast("bigint").alias("n_model_pass"),
+                 F.sum(agree).cast("bigint").alias("n_agree"),
+                 F.round(F.sum(agree).cast("double")
+                         / F.count(F.lit(1)), 6)
+                 .alias("agreement_rate")))
+
+
 # oracle validity knees: these compose dedup_minhash_lsh_pairs
 # (corpus-adaptive signature on the Spark side, floor-valued SQL in
 # the composed oracle) — see queries/__init__.py ORACLE_SCALE_KNEES.
