@@ -151,6 +151,21 @@ def make_embeddings(rng: np.random.Generator, n: int) -> pa.Table:
 
 def main() -> None:
     rng = np.random.default_rng(SEED)
+    if "x100" in sys.argv:
+        # round-6 (verdict #9): a 100x documents corpus (500k docs,
+        # 2000 sources) extending the count-join linearity evidence
+        # past x30; documents only — the other tables symlink sf0.1
+        d100 = os.path.join(OUT, "x100")
+        rng100 = np.random.default_rng(SEED + 100)
+        print("documents x100 ...", flush=True)
+        write(make_documents(rng100, 100), d100, "documents")
+        for name in ("events", "embeddings"):
+            dst = os.path.join(d100, f"{name}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+        link_static(d100)
+        print("done:", d100)
+        return
     d10 = os.path.join(OUT, "x10")
     print("documents x10 ...", flush=True)
     write(make_documents(rng, 10), d10, "documents")
