@@ -227,6 +227,7 @@ def load_all() -> dict[str, QueryDef]:
     from . import asof  # noqa: F401
     from . import relational_ext  # noqa: F401
     from . import tpch  # noqa: F401
+    from . import sketches  # noqa: F401
     from . import curation  # noqa: F401  (composes dedup+text -> last)
     front = {n: i for i, n in enumerate(_VERIFY_FRONT_WINDOW)}
     ordered = sorted(REGISTRY, key=lambda n: (

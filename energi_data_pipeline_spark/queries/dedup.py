@@ -487,6 +487,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
           .withColumn("n", F.size("ga"))
           .select("doc_id", "source", "n", F.explode(gh).alias("h"))
           .persist(StorageLevel.DISK_ONLY))
+    # materialize BEFORE planning the self-join: a parquet scan's
+    # size estimate does not model explode fan-out, so the planner
+    # would happily broadcast a corpus-sized gram stream whenever the
+    # compressed FILE is under the broadcast threshold (measured: an
+    # x100 corpus is a 58 MB file -> a ~71M-row broadcast -> driver
+    # OOM).  With the cache materialized the join side is an
+    # InMemoryRelation with its REAL byte size, and broadcast-vs-
+    # shuffle is decided on that — small corpora still broadcast,
+    # big ones shuffle on (source, hash).
+    gl.count()
     a = gl.select(F.col("doc_id").alias("doc_a"), "source",
                   F.col("n").alias("n_a"), "h")
     b = gl.select(F.col("doc_id").alias("doc_b"),
@@ -712,6 +722,10 @@ def dedup_containment(spark, sf_dir):
           .withColumn("n", F.size("ga"))
           .select("doc_id", "source", "n", F.explode(gh).alias("h"))
           .persist(StorageLevel.DISK_ONLY))
+    # eager materialization: accurate join-side stats (see the
+    # Jaccard twin — un-materialized, the planner sizes this side by
+    # the parquet FILE and broadcasts a corpus-sized gram stream)
+    gl.count()
     a = gl.select(F.col("doc_id").alias("doc_a"), "source",
                   F.col("n").alias("n_a"), "h")
     b = gl.select(F.col("doc_id").alias("doc_b"),

@@ -2076,21 +2076,20 @@ def sims_hybrid_rrf(spark, sf_dir):
     retrieval-side complement of the lexical+semantic DEDUP pairing
     this engine already ships.
 
-    Composes two driver-verified operators; the oracle inlines their
-    SQL verbatim, so the fused ranking is hash-verified end to end.
+    Composes two driver-verified operators (the lexical leg through
+    its query-sided twin, proven bit-equal in tests); the oracle
+    inlines their SQL verbatim, so the fused ranking is
+    hash-verified end to end.
     Scale shape: both inputs are already bounded per query (top-k /
     threshold-filtered); fusion is one full-outer join on
     (query, candidate) plus a per-query top-{RRF_TOP} window —
     query-partitioned, no corpus-sized state."""
-    from .text import text_tfidf_cosine_pairs
+    from .text import tfidf_query_cosine
 
-    lex = text_tfidf_cosine_pairs(spark, sf_dir)
-    lex_sym = (lex.select(F.col("doc_a").alias("query_id"),
-                          F.col("doc_b").alias("cand"), "cosine")
-               .unionByName(
-                   lex.select(F.col("doc_b").alias("query_id"),
-                              F.col("doc_a").alias("cand"), "cosine"))
-               .filter(F.col("query_id") % QUERY_STRIDE == 0))
+    # bit-equal to symmetrizing text_tfidf_cosine_pairs and keeping
+    # strided queries, but probes only the query docs' posting mass
+    # (~1/stride) against the inverted index — see tfidf_query_cosine
+    lex_sym = tfidf_query_cosine(spark, sf_dir, QUERY_STRIDE)
     wl = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand"))
     lexr = lex_sym.select(

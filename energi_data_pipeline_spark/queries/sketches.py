@@ -1,0 +1,341 @@
+"""Probabilistic-sketch operators: HyperLogLog-style distinct
+counting, count-min heavy hitters, Bloom-filter semi-join
+pre-filtering.
+
+Sketches are THE 100 TB tool: constant-size summaries that replace
+corpus-sized state (exact distinct sets, full frequency maps, join
+build sides) with a few KB that merge associatively — a sketch
+partial from every partition combines on one reducer regardless of
+data volume.  Every operator here is *deterministic* given its hash
+function (registers are MAX/SUM/MIN aggregates of md5-derived
+integers — order-independent), so unlike typical randomized-sketch
+implementations they are exactly oracle-pairable: the DuckDB SQL
+computes the identical sketch bit-for-bit, and the driver
+hash-verifies estimate AND error columns.
+
+Engine-portable hashing: slices of ``md5`` (see
+functions/hashing.py) — never Spark-private hashes.  All pure
+Catalyst expressions; nothing drops to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from .core import t
+from .text import TOKENS_SQL, tokens_col
+
+# --------------------------------------------------------------- HLL
+#: 2^6 = 64 registers; the standard bias constant alpha_64 = 0.709.
+HLL_BUCKETS = 64
+HLL_ALPHA = 0.709
+#: value slice is 12 hex digits = 48 bits; rho caps at 49 when v = 0.
+HLL_VBITS = 48
+
+HLL_SQL = f"""
+WITH h AS (
+  SELECT o_orderpriority AS grp,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4))
+              ::BIGINT % {HLL_BUCKETS} AS INTEGER) AS bucket,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 5, 12))
+              ::BIGINT AS v
+  FROM orders),
+regs AS (
+  SELECT grp, bucket,
+         MAX(CASE WHEN v = 0 THEN {HLL_VBITS + 1}
+                  ELSE CAST(FLOOR(log2(v & (-v)) + 0.5) AS INTEGER) + 1
+             END) AS m
+  FROM h GROUP BY grp, bucket),
+spine AS (
+  SELECT g.grp, r.range AS bucket
+  FROM (SELECT DISTINCT o_orderpriority AS grp FROM orders) g
+  CROSS JOIN range({HLL_BUCKETS}) r),
+full_regs AS (
+  SELECT s.grp, s.bucket, COALESCE(regs.m, 0) AS m
+  FROM spine s LEFT JOIN regs ON regs.grp = s.grp
+                             AND regs.bucket = s.bucket),
+est AS (
+  SELECT grp,
+         CAST(SUM(CAST(POW(2.0, {HLL_VBITS + 1} - m) AS BIGINT))
+              AS DOUBLE) / POW(2.0, {HLL_VBITS + 1}) AS s
+  FROM full_regs GROUP BY grp),
+ex AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+  FROM orders GROUP BY grp)
+SELECT ex.grp AS o_orderpriority, ex.n_exact,
+       ROUND({HLL_ALPHA} * {HLL_BUCKETS} * {HLL_BUCKETS} / est.s, 4)
+         AS hll_estimate,
+       ROUND(({HLL_ALPHA} * {HLL_BUCKETS} * {HLL_BUCKETS} / est.s
+              - ex.n_exact) / ex.n_exact, 4) AS rel_error
+FROM ex JOIN est ON est.grp = ex.grp
+"""
+
+
+@query("sketch_hll_distinct", HLL_SQL)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog-style distinct-customer estimate per order
+    priority, verified against the exact COUNT(DISTINCT).
+
+    Register design (Flajolet-Martin rho over iid hash bits — the
+    trailing-zero run has the same geometric distribution as the
+    leading-zero run HLL papers use, so alpha_64 applies): bucket =
+    16 hash bits mod {HLL_BUCKETS}, rho = 1 + trailing zeros of an
+    independent 48-bit slice, register = MAX(rho) per bucket.  MAX
+    is order-independent and duplicate-insensitive — the reason
+    sketch merges are free — so no DISTINCT pass is needed and the
+    plan is one shuffle of (group, bucket) registers, {HLL_BUCKETS}
+    rows per group, regardless of fact-table volume.  At 100 TB the
+    map side emits register partials and the reduce side merges
+    {HLL_BUCKETS} ints per group: the state that replaces a
+    billion-row distinct set.
+
+    Float discipline: 2^-M terms are summed as EXACT scaled BIGINTs
+    (2^(49-M), all integers), so the harmonic sum is
+    order-independent; lowbit = v & -v is a power of two whose
+    log2 is float-exact, rounded half-up to int on both engines.
+    The estimator is the raw harmonic-mean formula (no small/large
+    range corrections) on both sides, so estimates match bit-for-bit
+    and the rel_error column is itself verified."""
+    o = t(spark, sf_dir, "orders")
+    md = F.md5(F.col("o_custkey").cast("string"))
+    h = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.conv(F.substring(md, 1, 4), 16, 10).cast("bigint")
+         % HLL_BUCKETS).cast("int").alias("bucket"),
+        F.conv(F.substring(md, 5, 12), 16, 10).cast("bigint").alias("v"))
+    rho = (F.when(F.col("v") == 0, F.lit(HLL_VBITS + 1))
+           .otherwise(F.floor(F.log2(F.expr("v & (-v)")) + F.lit(0.5))
+                      .cast("int") + 1))
+    regs = h.groupBy("grp", "bucket").agg(F.max(rho).alias("m"))
+    spine = (o.select(F.col("o_orderpriority").alias("grp")).distinct()
+             .select("grp", F.explode(
+                 F.sequence(F.lit(0), F.lit(HLL_BUCKETS - 1)))
+                 .alias("bucket")))
+    full = (spine.join(regs, ["grp", "bucket"], "left")
+            .select("grp", F.coalesce(F.col("m"), F.lit(0)).alias("m")))
+    est = full.groupBy("grp").agg(
+        (F.sum(F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1) - F.col("m"))
+               .cast("bigint")).cast("double")
+         / F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1))).alias("s"))
+    ex = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact"))
+    e = F.lit(HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS) / F.col("s")
+    return (ex.join(est, "grp")
+            .select(F.col("grp").alias("o_orderpriority"), "n_exact",
+                    F.round(e, 4).alias("hll_estimate"),
+                    F.round((e - F.col("n_exact"))
+                            / F.col("n_exact"), 4).alias("rel_error")))
+
+
+# --------------------------------------------------------- count-min
+#: depth (independent hash rows) and width (counters per row).
+CM_DEPTH = 3
+CM_WIDTH = 512
+#: heavy hitters reported (exact top-k is the verification target).
+CM_TOPK = 20
+
+_CM_CELLS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT {r} AS r,
+       CAST(('0x' || substr(md5('cm{r}:' || big), 1, 14))::BIGINT
+            % {CM_WIDTH} AS INTEGER) AS c,
+       cnt FROM bc"""
+    for r in range(CM_DEPTH))
+
+CM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform({TOKENS_SQL}, x -> lower(x)) AS ts
+  FROM documents),
+bg AS (
+  SELECT ts[i] || ' ' || ts[i + 1] AS big
+  FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)),
+bc AS (SELECT big, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM bg GROUP BY big),
+cells AS (
+  SELECT r, c, SUM(cnt) AS cell FROM ({_CM_CELLS_SQL}) GROUP BY r, c),
+topk AS (
+  SELECT big, cnt FROM bc
+  ORDER BY cnt DESC, big LIMIT {CM_TOPK}),
+probe AS (
+  SELECT t.big, t.cnt, cells.cell
+  FROM topk t, range({CM_DEPTH}) r
+  JOIN cells
+    ON cells.r = r.range
+   AND cells.c = CAST(('0x' || substr(
+          md5('cm' || CAST(r.range AS VARCHAR) || ':' || t.big),
+          1, 14))::BIGINT % {CM_WIDTH} AS INTEGER))
+SELECT big AS bigram, CAST(cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(cell) AS BIGINT) AS cm_estimate,
+       CAST(MIN(cell) - cnt AS BIGINT) AS overshoot
+FROM probe GROUP BY big, cnt
+"""
+
+
+@query("sketch_countmin_heavy_hitters", CM_SQL)
+def sketch_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan '05) over document
+    bigram frequencies: a {CM_DEPTH} x {CM_WIDTH} counter grid
+    (counter = SUM of counts hashing to the cell — pure additive, so
+    partials merge associatively at any parallelism), probed for the
+    exact top-{CM_TOPK} bigrams.  The verified ``overshoot`` column
+    is the sketch's signature guarantee: estimate >= exact always
+    (hash collisions only ADD), with the excess bounded by
+    sum(counts)/width per row and the MIN over rows tightening it.
+
+    Scale shape: the corpus-sized work is the bigram count (one
+    (bigram) shuffle with map-side combine — same shape as every
+    n-gram operator here); the sketch itself is {CM_DEPTH} x
+    {CM_WIDTH} cells built from vocabulary-cardinality input, and
+    the probe joins {CM_TOPK} rows against it.  At 100 TB the grid
+    replaces a billion-entry frequency map as the shippable
+    summary."""
+    d = t(spark, sf_dir, "documents")
+    ts = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
+    toks = d.select(ts.alias("ts"))
+    bg = (toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .alias("big")))
+    bc = bg.groupBy("big").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("cnt"))
+
+    def cell_of(r, col):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"cm{r}:"), col)), 1, 14), 16, 10)
+            .cast("bigint") % CM_WIDTH).cast("int")
+
+    cells = (bc.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 cell_of(r, F.col("big")).alias("c"))
+        for r in range(CM_DEPTH)])).alias("rc"), "cnt")
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.sum("cnt").alias("cell")))
+    topk = bc.orderBy(F.col("cnt").desc(), "big").limit(CM_TOPK)
+    probes = (topk.select("big", "cnt", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 cell_of(r, F.col("big")).alias("c"))
+        for r in range(CM_DEPTH)])).alias("rc")))
+    est = (probes.join(F.broadcast(cells),
+                       (F.col("rc.r") == F.col("r"))
+                       & (F.col("rc.c") == F.col("c")))
+           .groupBy("big", "cnt").agg(F.min("cell").alias("cm")))
+    return est.select(
+        F.col("big").alias("bigram"),
+        F.col("cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cm").cast("bigint").alias("cm_estimate"),
+        (F.col("cm") - F.col("cnt")).cast("bigint").alias("overshoot"))
+
+
+# ------------------------------------------------------------- Bloom
+#: filter size in bits and number of hash probes per key.
+BLOOM_BITS = 8192
+BLOOM_K = 3
+#: dim-side predicate: the customer segment whose orders we want.
+BLOOM_SEGMENT = "BUILDING"
+
+_BLOOM_POS_SQL = "\nUNION\n".join(
+    f"""SELECT ('0x' || substr(md5('bl{i}:' || CAST(c_custkey AS VARCHAR)),
+                1, 14))::BIGINT % {BLOOM_BITS} AS pos FROM keys"""
+    for i in range(BLOOM_K))
+
+_BLOOM_PROBE_POS = ", ".join(
+    f"""('0x' || substr(md5('bl{i}:' || CAST(o_custkey AS VARCHAR)),
+         1, 14))::BIGINT % {BLOOM_BITS} AS p{i}"""
+    for i in range(BLOOM_K))
+
+BLOOM_SQL = f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = '{BLOOM_SEGMENT}'),
+bpos AS ({_BLOOM_POS_SQL}),
+probe AS (
+  SELECT o_orderkey, o_custkey, {_BLOOM_PROBE_POS}
+  FROM orders),
+flags AS (
+  SELECT o_orderkey,
+         CASE WHEN p0 IN (SELECT pos FROM bpos)
+               AND p1 IN (SELECT pos FROM bpos)
+               AND p2 IN (SELECT pos FROM bpos)
+              THEN 1 ELSE 0 END AS bloom_pass,
+         CASE WHEN o_custkey IN (SELECT c_custkey FROM keys)
+              THEN 1 ELSE 0 END AS is_member
+  FROM probe)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(bloom_pass) AS BIGINT) AS n_candidates,
+       CAST(SUM(is_member) AS BIGINT) AS n_true,
+       CAST(SUM(bloom_pass) - SUM(is_member) AS BIGINT) AS n_false_pos,
+       ROUND(CAST(SUM(bloom_pass) - SUM(is_member) AS DOUBLE)
+             / (COUNT(*) - SUM(is_member)), 6) AS fp_rate
+FROM flags
+"""
+
+
+@query("sketch_bloom_semijoin", BLOOM_SQL)
+def sketch_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join pre-filter: a {BLOOM_BITS}-bit /
+    {BLOOM_K}-hash filter built from the '{BLOOM_SEGMENT}'-segment
+    customer keys, probed by every order.  Reports candidate count,
+    exact member count, and the measured false-positive rate — a
+    Bloom filter never misses (every true member passes, verified:
+    n_candidates >= n_true), it only over-admits at the fp rate.
+
+    This is runtime filter pushdown built explicitly: at 100 TB the
+    fact side streams map-only against a broadcast SET of <=
+    {BLOOM_BITS} bit positions (KBs — bounded by the filter size
+    BY CONSTRUCTION, unlike broadcasting the dim keys themselves,
+    which grows with the dim table), dropping ~all non-matching rows
+    before the real join's shuffle.  The exact membership column
+    uses the small dim side directly (broadcast semi-join) so the
+    sketch's error is itself hash-verified.
+
+    Determinism: bit positions are md5 slices; the filter is a SET
+    of positions (dedup via DISTINCT/UNION — idempotent, order-free);
+    pass/fail is 3 set-membership tests."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    keys = (cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+            .select("c_custkey"))
+
+    def pos_of(i, col):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bl{i}:"), col.cast("string"))),
+            1, 14), 16, 10).cast("bigint") % BLOOM_BITS)
+
+    bpos = (keys.select(F.explode(F.array(*[
+        pos_of(i, F.col("c_custkey")) for i in range(BLOOM_K)]))
+        .alias("pos")).distinct())
+    probe = orders.select(
+        "o_orderkey", "o_custkey",
+        *[pos_of(i, F.col("o_custkey")).alias(f"p{i}")
+          for i in range(BLOOM_K)])
+    # one broadcast of the bounded position set, probed K times
+    # (left-semi per probe column keeps it map-only on the fact side)
+    passed = probe
+    for i in range(BLOOM_K):
+        hit = bpos.select(F.col("pos").alias(f"hit{i}"))
+        passed = (passed.join(
+            F.broadcast(hit),
+            F.col(f"p{i}") == F.col(f"hit{i}"), "left")
+            .withColumn(f"ok{i}",
+                        F.col(f"hit{i}").isNotNull().cast("int"))
+            .drop(f"hit{i}"))
+    member = keys.select(F.col("c_custkey").alias("o_custkey"),
+                         F.lit(1).alias("is_member"))
+    flags = (passed.join(F.broadcast(member), "o_custkey", "left")
+             .select(
+                 (F.col("ok0") * F.col("ok1") * F.col("ok2"))
+                 .alias("bloom_pass"),
+                 F.coalesce(F.col("is_member"), F.lit(0))
+                 .alias("is_member")))
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("bloom_pass").cast("bigint").alias("n_candidates"),
+        F.sum("is_member").cast("bigint").alias("n_true"),
+        (F.sum("bloom_pass") - F.sum("is_member")).cast("bigint")
+        .alias("n_false_pos"),
+        F.round((F.sum("bloom_pass") - F.sum("is_member"))
+                .cast("double")
+                / (F.count(F.lit(1)) - F.sum("is_member")), 6)
+        .alias("fp_rate"))

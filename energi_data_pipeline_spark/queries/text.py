@@ -1192,28 +1192,7 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
     join sides shrink by the hapax mass of the vocabulary (Zipf:
     roughly half of distinct terms).  Norms still use the full
     weight table."""
-    from pyspark import StorageLevel
-
-    d = spread(t(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", "source",
-        F.explode(F.transform(tokens_col(F.col("text")),
-                              lambda x: F.lower(x))).alias("term"))
-    tf = toks.groupBy("doc_id", "source", "term").agg(
-        F.count(F.lit(1)).alias("tfq"))
-    df = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("dfq"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = (tf.join(df, "term").crossJoin(F.broadcast(n))
-         .select("doc_id", "source", "term", "dfq",
-                 F.round(F.col("tfq")
-                         * F.log(F.col("n_docs").cast("double")
-                                 / F.col("dfq")), 8).alias("w"))
-         .persist(StorageLevel.DISK_ONLY))
-    nrm = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.floor(F.col("w") * F.col("w") * 1e8 + 0.5)
-                     .cast("long")).cast("double") / 1e8)
-        .alias("nrm"))
+    w, nrm = _tfidf_w_nrm(spark, sf_dir)
     wp = w.filter(F.col("dfq") > 1)
     wb = wp.select(F.col("doc_id").alias("doc_b"),
                    F.col("source").alias("b_source"),
@@ -1237,6 +1216,84 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
                     F.col("shared_terms").cast("int")
                     .alias("shared_terms"),
                     cos.alias("cosine"))
+            .filter(F.col("cosine") >= TFIDF_COS_T))
+
+
+def _tfidf_w_nrm(spark, sf_dir):
+    """TF-IDF weight table (persisted DISK_ONLY — see
+    text_tfidf_cosine_pairs' materialization scale story) and the
+    per-doc L2 norms, shared by the full-pairs operator and the
+    query-sided ranking below.  Both callers build the SAME
+    canonicalized plan, so Spark's CacheManager resolves their
+    persists to one storage entry."""
+    from pyspark import StorageLevel
+
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "source",
+        F.explode(F.transform(tokens_col(F.col("text")),
+                              lambda x: F.lower(x))).alias("term"))
+    tf = toks.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).alias("tfq"))
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dfq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (tf.join(df, "term").crossJoin(F.broadcast(n))
+         .select("doc_id", "source", "term", "dfq",
+                 F.round(F.col("tfq")
+                         * F.log(F.col("n_docs").cast("double")
+                                 / F.col("dfq")), 8).alias("w"))
+         .persist(StorageLevel.DISK_ONLY))
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.floor(F.col("w") * F.col("w") * 1e8 + 0.5)
+                     .cast("long")).cast("double") / 1e8)
+        .alias("nrm"))
+    return w, nrm
+
+
+def tfidf_query_cosine(spark, sf_dir, stride):
+    """Query-sided TF-IDF cosine ranking: for each query doc
+    (doc_id % stride == 0), every same-source candidate sharing a
+    term, at cosine >= TFIDF_COS_T.  Bit-equal to symmetrizing
+    text_tfidf_cosine_pairs and filtering to strided queries — but
+    the inverted-index join probes only the QUERY docs' posting mass
+    (~1/stride of the corpus) against the full posting list, so pair
+    enumeration shrinks ~stride/2-fold vs computing all pairs and
+    discarding the non-query ones.  This is the retrieval shape (few
+    queries vs the corpus) as opposed to the dedup shape (all
+    pairs); sims_hybrid_rrf's lexical leg uses it.
+
+    Scale shape: same posting-list join bound as the full-pairs
+    operator with one side down-sampled by the stride; the weight
+    table and norms are the shared corpus-scan stages."""
+    w, nrm = _tfidf_w_nrm(spark, sf_dir)
+    wp = w.filter(F.col("dfq") > 1)
+    wq = (wp.filter(F.col("doc_id") % stride == 0)
+          .select(F.col("doc_id").alias("query_id"),
+                  F.col("source").alias("q_source"),
+                  F.col("term").alias("q_term"),
+                  F.col("w").alias("w_q"))
+          # shuffle-hash, hash side = the stride-reduced query
+          # postings: co-shuffle on (source, term) and build the
+          # per-partition hash from the SMALL side.  Left to stats
+          # the planner broadcast the FULL posting list (the % filter
+          # has unknown selectivity, so the query side looks bigger)
+          # — a corpus-sized driver broadcast, wrong at any scale.
+          .hint("shuffle_hash"))
+    dots = (wq.join(wp, (F.col("term") == F.col("q_term"))
+                    & (F.col("source") == F.col("q_source"))
+                    & (F.col("doc_id") != F.col("query_id")))
+            .groupBy("query_id", F.col("doc_id").alias("cand"))
+            .agg((F.sum(F.floor(F.col("w_q") * F.col("w") * 1e8 + 0.5)
+                        .cast("long")).cast("double") / 1e8)
+                 .alias("dot")))
+    nq = nrm.select(F.col("doc_id").alias("query_id"),
+                    F.col("nrm").alias("nrm_q"))
+    nc = nrm.select(F.col("doc_id").alias("cand"),
+                    F.col("nrm").alias("nrm_c"))
+    cos = F.round(F.col("dot") / (F.col("nrm_q") * F.col("nrm_c")), 6)
+    return (dots.join(nq, "query_id").join(nc, "cand")
+            .select("query_id", "cand", cos.alias("cosine"))
             .filter(F.col("cosine") >= TFIDF_COS_T))
 
 

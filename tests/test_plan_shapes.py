@@ -409,6 +409,34 @@ def test_tfidf_pairs_weight_table_is_cached(spark):
     spark.catalog.clearCache()
 
 
+def test_tfidf_query_cosine_bit_equals_symmetrized_pairs(spark):
+    # sims_hybrid_rrf's lexical leg uses the query-sided ranking
+    # (probes only strided query postings against the inverted
+    # index); it must be BIT-equal to symmetrizing the full-pairs
+    # operator and keeping strided queries — same fixed-point dots
+    # (double multiply is commutative, so floor terms match in both
+    # directions), same norms, same threshold.
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.text import (
+        text_tfidf_cosine_pairs, tfidf_query_cosine)
+
+    sf = "/root/testdata/sf0.001"
+    stride = 10
+    lex = text_tfidf_cosine_pairs(spark, sf)
+    sym = (lex.select(F.col("doc_a").alias("query_id"),
+                      F.col("doc_b").alias("cand"), "cosine")
+           .unionByName(
+               lex.select(F.col("doc_b").alias("query_id"),
+                          F.col("doc_a").alias("cand"), "cosine"))
+           .filter(F.col("query_id") % stride == 0))
+    got = sorted(map(tuple, tfidf_query_cosine(spark, sf, stride)
+                     .collect()))
+    want = sorted(map(tuple, sym.collect()))
+    assert got == want and len(got) > 0
+    spark.catalog.clearCache()
+
+
 def test_oracle_scale_guard_fires_past_the_knee(tmp_path):
     # the guard exists so a parity run against a rehearsal-scale
     # corpus fails LOUDLY; prove it actually fires (every test SF is
