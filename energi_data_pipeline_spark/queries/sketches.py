@@ -129,6 +129,98 @@ def sketch_hll_distinct(spark, sf_dir):
                             / F.col("n_exact"), 4).alias("rel_error")))
 
 
+# ----------------------------------------------------- KMV (theta)
+#: sketch size: the k smallest distinct hash fractions are kept.
+KMV_K = 32
+#: hash domain: 14 hex digits = 56 bits.
+KMV_DOMAIN_BITS = 56
+
+KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+           ::BIGINT AS hv
+  FROM events),
+rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv)
+           AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_seen
+  FROM h),
+kth AS (
+  SELECT event_type, n_seen,
+         CAST(hv AS DOUBLE) / POW(2.0, {KMV_DOMAIN_BITS}) AS fk
+  FROM rk WHERE r = {KMV_K} OR (n_seen < {KMV_K} AND r = n_seen)),
+ex AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type)
+SELECT ex.event_type, ex.n_exact,
+       ROUND(CASE WHEN kth.n_seen < {KMV_K}
+                  THEN CAST(kth.n_seen AS DOUBLE)
+                  ELSE ({KMV_K} - 1) / kth.fk END, 4) AS kmv_estimate,
+       ROUND((CASE WHEN kth.n_seen < {KMV_K}
+                   THEN CAST(kth.n_seen AS DOUBLE)
+                   ELSE ({KMV_K} - 1) / kth.fk END
+              - ex.n_exact) / ex.n_exact, 4) AS rel_error
+FROM ex JOIN kth ON kth.event_type = ex.event_type
+"""
+
+
+@query("sketch_kmv_distinct", KMV_SQL)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV / bottom-k (theta-sketch family) distinct-user estimate
+    per event type: keep the {KMV_K} smallest distinct hash values;
+    n-hat = (k-1) / f_(k) where f_(k) is the k-th smallest hash
+    fraction (Bar-Yossef et al. '02).  Groups with fewer than k
+    distinct values are exact by construction (the sketch holds the
+    whole set) — that degenerate branch is part of the contract and
+    is verified too.
+
+    Complements the HLL entry with the OTHER classic distinct
+    sketch: KMV's k values support set algebra (union = merge-keep-k,
+    intersection via the Jaccard of kept values) that HLL registers
+    don't, at k words of state instead of m registers.  The k
+    smallest values of a set are order- and duplicate-independent,
+    so the sketch is deterministic given the hash and exactly
+    oracle-pairable.
+
+    Scale shape: DISTINCT (group, hash) with map-side combine, then
+    a bounded per-group top-k — at scale the top-k is a partial
+    bottom-k per partition merged on one reducer per group (k words
+    each), never a corpus-sized sort.  Int->double conversion of the
+    56-bit hash is correctly rounded IEEE on both engines, so f_(k)
+    matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    h = (e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                           1, 14), 16, 10).cast("bigint").alias("hv"))
+        .distinct())
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wn = Window.partitionBy("event_type")
+    rk = (h.withColumn("r", F.row_number().over(w))
+          .withColumn("n_seen", F.count(F.lit(1)).over(wn)))
+    kth = (rk.filter((F.col("r") == KMV_K)
+                     | ((F.col("n_seen") < KMV_K)
+                        & (F.col("r") == F.col("n_seen"))))
+           .select("event_type", "n_seen",
+                   (F.col("hv").cast("double")
+                    / F.pow(F.lit(2.0), KMV_DOMAIN_BITS)).alias("fk")))
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    est = (F.when(F.col("n_seen") < KMV_K,
+                  F.col("n_seen").cast("double"))
+           .otherwise(F.lit(KMV_K - 1) / F.col("fk")))
+    return (ex.join(kth, "event_type")
+            .select("event_type", "n_exact",
+                    F.round(est, 4).alias("kmv_estimate"),
+                    F.round((est - F.col("n_exact"))
+                            / F.col("n_exact"), 4).alias("rel_error")))
+
+
 # --------------------------------------------------------- count-min
 #: depth (independent hash rows) and width (counters per row).
 CM_DEPTH = 3
