@@ -412,6 +412,38 @@ NGRAM = 3
 #: Jaccard acceptance threshold (shared by Spark plan and oracle).
 JACCARD_T = 0.5
 
+#: corpus-size knee for the gram-stream self-join strategy: up to
+#: this many documents the exploded gram stream (~140 distinct grams
+#: x ~24 B/row per doc => ~0.5-1 GB hashed at the knee) is
+#: BROADCAST — measured 2-3x faster than any shuffle join at every
+#: rehearsal point (sf0.1 1.75s vs 2.9s SMJ; x10 19.3s vs 41s; x30
+#: 62s vs 120s) because the probe+partial-agg pipeline then runs in
+#: the scan stage with zero gram-stream exchange.  Past the knee the
+#: hashed relation no longer fits an executor budget (an x100 corpus
+#: OOM'd an 8 GB heap — found the hard way) and the join is pinned
+#: to sort-merge, which spills to disk instead of dying (x100:
+#: 755s, 60 GB peak spill, zero failures).  The choice must be
+#: EXPLICIT: a parquet scan's size estimate does not model explode
+#: fan-out, so left to stats the planner broadcasts whenever the
+#: compressed FILE is under the threshold — exactly wrong at x100
+#: (58 MB file -> 71M-row broadcast).  Same pattern as
+#: minhash_params/planes_for: the knob scales with the corpus and
+#: the knee maps to executor memory, not to file bytes.
+GRAM_BCAST_MAX_DOCS = 150_000
+
+
+def gram_join_side(b, sf_dir):
+    """Apply the corpus-adaptive join strategy to the build side of
+    a gram-stream self-join (see GRAM_BCAST_MAX_DOCS)."""
+    import os
+
+    from ..io import parquet_row_count
+
+    n = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
+    if n <= GRAM_BCAST_MAX_DOCS:
+        return F.broadcast(b)
+    return b.hint("merge")
+
 
 @query(
     "dedup_ngram_jaccard",
@@ -487,21 +519,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
           .withColumn("n", F.size("ga"))
           .select("doc_id", "source", "n", F.explode(gh).alias("h"))
           .persist(StorageLevel.DISK_ONLY))
-    # materialize BEFORE planning the self-join: a parquet scan's
-    # size estimate does not model explode fan-out, so the planner
-    # would happily broadcast a corpus-sized gram stream whenever the
-    # compressed FILE is under the broadcast threshold (measured: an
-    # x100 corpus is a 58 MB file -> a ~71M-row broadcast -> driver
-    # OOM).  With the cache materialized the join side is an
-    # InMemoryRelation with its REAL byte size, and broadcast-vs-
-    # shuffle is decided on that — small corpora still broadcast,
-    # big ones shuffle on (source, hash).
-    gl.count()
     a = gl.select(F.col("doc_id").alias("doc_a"), "source",
                   F.col("n").alias("n_a"), "h")
-    b = gl.select(F.col("doc_id").alias("doc_b"),
+    b = gram_join_side(
+        gl.select(F.col("doc_id").alias("doc_b"),
                   F.col("source").alias("src_b"),
-                  F.col("n").alias("n_b"), F.col("h").alias("h_b"))
+                  F.col("n").alias("n_b"), F.col("h").alias("h_b")),
+        sf_dir)
     # length filter (lossless): J >= t forces t*|A| <= |B| <= |A|/t,
     # applied inside the join so out-of-band pairs never aggregate
     inter = (a.join(b, (F.col("source") == F.col("src_b"))
@@ -722,15 +746,14 @@ def dedup_containment(spark, sf_dir):
           .withColumn("n", F.size("ga"))
           .select("doc_id", "source", "n", F.explode(gh).alias("h"))
           .persist(StorageLevel.DISK_ONLY))
-    # eager materialization: accurate join-side stats (see the
-    # Jaccard twin — un-materialized, the planner sizes this side by
-    # the parquet FILE and broadcasts a corpus-sized gram stream)
-    gl.count()
     a = gl.select(F.col("doc_id").alias("doc_a"), "source",
                   F.col("n").alias("n_a"), "h")
-    b = gl.select(F.col("doc_id").alias("doc_b"),
+    # corpus-adaptive join strategy — see GRAM_BCAST_MAX_DOCS
+    b = gram_join_side(
+        gl.select(F.col("doc_id").alias("doc_b"),
                   F.col("source").alias("src_b"),
-                  F.col("n").alias("n_b"), F.col("h").alias("h_b"))
+                  F.col("n").alias("n_b"), F.col("h").alias("h_b")),
+        sf_dir)
     inter = (a.join(b, (F.col("source") == F.col("src_b"))
                     & (F.col("h") == F.col("h_b"))
                     & (F.col("doc_a") != F.col("doc_b")))
