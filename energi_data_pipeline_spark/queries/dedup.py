@@ -432,17 +432,19 @@ JACCARD_T = 0.5
 GRAM_BCAST_MAX_DOCS = 150_000
 
 
-def gram_join_side(b, sf_dir):
+def gram_join_side(gram_build_below_knee, sf_dir):
     """Apply the corpus-adaptive join strategy to the build side of
-    a gram-stream self-join (see GRAM_BCAST_MAX_DOCS)."""
+    a gram-stream self-join (see GRAM_BCAST_MAX_DOCS): the side is
+    only ever broadcast BELOW the documented doc-count knee, i.e.
+    when its hashed size is bounded by the knob, never open-ended."""
     import os
 
     from ..io import parquet_row_count
 
     n = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
     if n <= GRAM_BCAST_MAX_DOCS:
-        return F.broadcast(b)
-    return b.hint("merge")
+        return F.broadcast(gram_build_below_knee)
+    return gram_build_below_knee.hint("merge")
 
 
 @query(

@@ -413,9 +413,13 @@ def sketch_bloom_semijoin(spark, sf_dir):
             .withColumn(f"ok{i}",
                         F.col(f"hit{i}").isNotNull().cast("int"))
             .drop(f"hit{i}"))
+    # the exact-membership side scales with the dim table, so it is
+    # deliberately UNHINTED (the planner broadcasts it at test scale
+    # from size stats; at 100 TB it becomes a shuffle join — the
+    # bloom filter above is the part that stays broadcastable)
     member = keys.select(F.col("c_custkey").alias("o_custkey"),
                          F.lit(1).alias("is_member"))
-    flags = (passed.join(F.broadcast(member), "o_custkey", "left")
+    flags = (passed.join(member, "o_custkey", "left")
              .select(
                  (F.col("ok0") * F.col("ok1") * F.col("ok2"))
                  .alias("bloom_pass"),

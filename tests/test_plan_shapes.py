@@ -83,6 +83,15 @@ BOUNDED_BROADCAST_SIDES = {
     "scalar",                        # dataset-card one-row aggregates
     "nn", "dang",                    # PageRank one-row scalars
                                      # (node count; dangling mass)
+    "gram_build_below_knee",         # gram-stream self-join build,
+                                     # broadcast ONLY under the
+                                     # GRAM_BCAST_MAX_DOCS knob
+                                     # (dedup.gram_join_side)
+    "cells",                         # count-min grid: CM_DEPTH x
+                                     # CM_WIDTH cells by construction
+    "hit",                           # Bloom bit-position set:
+                                     # <= BLOOM_BITS rows by
+                                     # construction
 }
 
 
