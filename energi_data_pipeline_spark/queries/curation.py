@@ -1186,3 +1186,68 @@ from .dedup import SIG_KNEE as _SIGKNEE  # noqa: E402
 for _name in ("curation_pipeline", "curation_funnel_report",
               "curation_split_leakage", "curation_dataset_card"):
     _rok(_name, _SIGKNEE, table="documents")
+
+
+# ------------------------- deterministic weighted priority sampling
+#: docs kept per source.
+WSAMPLE_K = 5
+
+WSAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(len({_text.TOKENS_SQL}) AS DOUBLE) + 1 AS wt,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+              ::BIGINT + 1) / POW(2.0, 56) AS u
+  FROM documents),
+k AS (
+  SELECT doc_id, source, wt, -ln(u) / wt AS pri FROM w),
+r AS (
+  SELECT doc_id, source, wt, pri,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY pri, doc_id) AS rk
+  FROM k)
+SELECT source, doc_id, wt AS weight,
+       ROUND(pri, 6) AS priority,
+       CAST(rk AS INTEGER) AS sample_rank
+FROM r WHERE rk <= {WSAMPLE_K}
+"""
+
+
+@query("curation_weighted_sample", WSAMPLE_SQL)
+def curation_weighted_sample(spark, sf_dir):
+    """Deterministic weighted priority sampling (Efraimidis &
+    Spirakis '06 via the exponential-race form): each doc gets
+    priority -ln(u)/w where u is an md5-derived uniform in (0,1)
+    and w its weight (token count + 1 here — swap in any quality
+    score); the k smallest priorities per source are EXACTLY a
+    weighted sample without replacement.  This is how a production
+    pipeline takes a reproducible quality-weighted subsample of a
+    shard: no RNG state, no driver coordination — the sample is a
+    pure function of the data, so re-running (or resuming after
+    failure) selects the identical set.
+
+    Scale shape: one map pass computes priorities; selection is a
+    per-source top-k (bounded k rows per group survive each
+    partial), the same merge shape as the KMV sketch — never a
+    global sort.  Engine parity: u is an exact 56-bit hash fraction
+    on both engines; ln() is the same libm-class call already relied
+    on for idf (values land well apart — ordering is stable — and
+    the surfaced priority is rounded to 6dp)."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    u = ((stable_hash64(F.col("doc_id").cast("string")) + 1)
+         / F.pow(F.lit(2.0), 56))
+    base = d.select(
+        "doc_id", "source",
+        (F.size(_text.tokens_col(F.col("text"))).cast("double") + 1)
+        .alias("wt"),
+        u.alias("u"))
+    k = base.select("doc_id", "source", "wt",
+                    (-F.log(F.col("u")) / F.col("wt")).alias("pri"))
+    win = Window.partitionBy("source").orderBy("pri", "doc_id")
+    return (k.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= WSAMPLE_K)
+            .select("source", "doc_id", F.col("wt").alias("weight"),
+                    F.round("pri", 6).alias("priority"),
+                    F.col("rk").cast("int").alias("sample_rank")))

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..functions.hashing import (MERSENNE_P, base_hashes,
-                                 minhash_from_hashes, minhash_seed)
+                                 minhash_from_hashes, minhash_seed,
+                                 stable_hash64)
 from ..io import spread
 from . import query
 from .core import t
@@ -541,6 +542,86 @@ def dedup_ngram_jaccard(spark, sf_dir):
            / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
     return (inter.select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= JACCARD_T))
+
+
+# ------------------------------------ exact-substring anchor dedup
+#: anchor window width (chars of normalized text) and sample stride.
+SUBSTR_W = 40
+SUBSTR_STRIDE = 10
+
+SUBSTR_SPANS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {NORM_SQL} AS s FROM documents),
+anch AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(unnest(list_transform(
+              range(1, CAST(FLOOR((length(s) - {SUBSTR_W})
+                            / {SUBSTR_STRIDE}.0) AS INTEGER) + 2),
+              i -> substr(s, (i - 1) * {SUBSTR_STRIDE} + 1,
+                          {SUBSTR_W})))), 1, 14))::BIGINT AS h
+  FROM norm WHERE length(s) >= {SUBSTR_W}),
+hs AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM anch GROUP BY h)
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(CASE WHEN hs.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN hs.nd > 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS shared_ratio
+FROM anch a JOIN hs ON hs.h = a.h
+GROUP BY a.doc_id
+"""
+
+
+@query("dedup_exact_substring_spans", SUBSTR_SPANS_SQL)
+def dedup_exact_substring_spans(spark, sf_dir):
+    """Exact-substring duplication profile via sampled anchor
+    windows — the scalable stand-in for suffix-array ExactSubstr
+    dedup (Lee et al. '22, "Deduplicating Training Data Makes
+    Language Models Better"): every {STRIDE}-th position of the
+    normalized text contributes a {W}-char window; a window whose
+    hash appears in >= 2 DISTINCT documents marks verbatim overlap
+    (cross- OR same-source — exact copying is the one dup class
+    where source blocking is wrong).  Per doc: distinct anchor
+    count, how many are shared, and the shared ratio — the
+    removal-decision input (ExactSubstr cuts spans; the anchor
+    ratio is the doc-level triage that decides which docs enter the
+    expensive span-cut pass).
+
+    Complements the family: n-gram Jaccard measures SET overlap
+    (reordering-robust, position-blind), MinHash approximates it,
+    SimHash compresses it — anchor windows are the only member that
+    detects LONG VERBATIM RUNS specifically, at 1/{STRIDE} of the
+    positions a full suffix scan would touch.
+
+    Scale shape: one corpus scan -> ~len/{STRIDE} anchor rows per
+    doc -> DISTINCT + one (hash) shuffle with map-side combine for
+    the document-frequency table -> hash-keyed join back.  No pair
+    space at all (unlike the similarity joins): the shared/not
+    verdict needs only each window's distinct-doc count, so the
+    heavy self-join never happens.  Window hashes are md5 slices
+    (stable_hash64) — engine-portable, oracle-exact."""
+    d = spread(t(spark, sf_dir, "documents"))
+    s = norm_col()
+    wins = F.expr(
+        f"transform(sequence(1, CAST(FLOOR((length(s) - {SUBSTR_W})"
+        f" / {SUBSTR_STRIDE}.0) AS INT) + 1), "
+        f"i -> substring(s, (i - 1) * {SUBSTR_STRIDE} + 1,"
+        f" {SUBSTR_W}))")
+    anch = (d.select("doc_id", s.alias("s"))
+            .filter(F.length("s") >= SUBSTR_W)
+            .select("doc_id", F.explode(wins).alias("w"))
+            .select("doc_id", stable_hash64(F.col("w")).alias("h"))
+            .distinct())
+    hs = anch.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (anch.join(hs, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+                 shared.cast("bigint").alias("n_shared"),
+                 F.round(shared.cast("double")
+                         / F.count(F.lit(1)), 6).alias("shared_ratio")))
 
 
 # ---------------------------------------- near-dup cluster closure
