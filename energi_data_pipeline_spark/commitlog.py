@@ -88,16 +88,30 @@ class LocalObjectStore:
     """
 
     def put_if_absent(self, path: str, data: bytes) -> bool:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
+        # Real stores' conditional PUT is atomic: the object appears
+        # fully written or not at all.  O_CREAT|O_EXCL-then-write has
+        # a window where a reader lists the new commit but reads 0 or
+        # partial bytes.  Write the content to a temp file first and
+        # os.link() it into place — link(2) fails with EEXIST if the
+        # target exists (put-if-absent) and never exposes a partial
+        # object.  NOT a rename: the temp inode stays put; link only
+        # adds a second name.
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             os.write(fd, data)
+            os.fsync(fd)
         finally:
             os.close(fd)
-        return True
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     def read(self, path: str) -> bytes:
         with open(path, "rb") as fh:
@@ -236,13 +250,20 @@ class CommitLogTable:
             op="overwrite")
 
     # ----------------------------------------------------- maintenance
-    def vacuum(self, grace_s: float = 0.0) -> list[str]:
+    #: Default vacuum grace window: 24 h (Delta Lake's default is
+    #: 7 days).  A segment ALWAYS exists before its commit object
+    #: does, so grace_s=0 run concurrently with a writer can sweep a
+    #: segment whose commit then wins — silent data loss.  Callers
+    #: must opt into shorter windows explicitly (tests do).
+    VACUUM_GRACE_S = 24 * 3600.0
+
+    def vacuum(self, grace_s: float = VACUUM_GRACE_S) -> list[str]:
         """Delete data segments referenced by NO retained commit
         (losing writers' orphans + segments only older-than-``keep``
         commits reference).  ``grace_s`` protects segments younger
         than the grace window — an in-flight writer's segment exists
         before its commit does, and must not be swept between the
-        two.  Returns the deleted segment names."""
+        two; the default is deliberately conservative (24 h)."""
         head = self.current_version()
         live: set[str] = set()
         if head is not None:

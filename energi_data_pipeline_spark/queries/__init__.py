@@ -195,6 +195,13 @@ _DRIVER_VERIFIED = frozenset({
     "text_bpe_learn_merges", "sims_hybrid_rrf",
     "mm_png_header_parse", "mm_wav_header_parse",
     "ext_pagerank_power",
+    # --- CORRECTNESS_r06 green rows (the 8 round-6 additions; the
+    # other 42 rows of the r06 window were re-verifications of
+    # already-listed names) ---
+    "dedup_exact_substring_spans", "sketch_hll_distinct",
+    "sketch_kmv_distinct", "sketch_countmin_heavy_hitters",
+    "sketch_bloom_semijoin", "curation_quality_classifier",
+    "curation_classifier_gate", "curation_weighted_sample",
 })
 
 
@@ -206,8 +213,8 @@ _DRIVER_VERIFIED = frozenset({
 #: backlog, behind this window), and therefore lands inside the
 #: driver's first-50 verify slice the round it is added.
 #:
-#: ROUND-7 ACTION: once CORRECTNESS_r06.json lands, move every name
-#: with a green r06 row into _DRIVER_VERIFIED (keep this window
+#: ROUND-8 ACTION: once CORRECTNESS_r07.json lands, move every name
+#: with a green r07 row into _DRIVER_VERIFIED (keep this window
 #: empty unless additions outrun the 50-slot budget).
 _VERIFY_FRONT_WINDOW: tuple[str, ...] = ()
 

@@ -286,9 +286,14 @@ def sketch_countmin_heavy_hitters(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     ts = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
     toks = d.select(ts.alias("ts"))
+    # Guard size(ts) < 2: sequence(1, 0) counts DOWN in Spark
+    # (yielding index 0 -> INVALID_INDEX_OF_ZERO), while DuckDB's
+    # range(1, len) is empty — same trap as dedup.py:113.
     bg = (toks.select(F.explode(F.expr(
+        "CASE WHEN size(ts) >= 2 THEN "
         "transform(sequence(1, size(ts) - 1), "
-        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))) "
+        "ELSE array() END"))
         .alias("big")))
     bc = bg.groupBy("big").agg(F.count(F.lit(1)).cast("bigint")
                                .alias("cnt"))

@@ -97,3 +97,28 @@ def test_kmv_degenerate_small_group_is_exact(spark):
         assert r["n_exact"] == n
         assert r["kmv_estimate"] == float(n)
         assert r["rel_error"] == 0.0
+
+
+def test_countmin_tolerates_short_docs(spark):
+    # regression (round-7 advice): a 0- or 1-token document must
+    # yield NO bigrams, not INVALID_INDEX_OF_ZERO — Spark's
+    # sequence(1, 0) counts DOWN to [1, 0] while DuckDB's
+    # range(1, len) is empty.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from energi_data_pipeline_spark.queries.sketches import (
+        sketch_countmin_heavy_hitters)
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": pa.array(["", "solo",
+                              "alpha beta alpha beta",
+                              "alpha beta gamma"]),
+        }), os.path.join(d, "documents.parquet"))
+        rows = sketch_countmin_heavy_hitters(spark, d).collect()
+        got = {r["bigram"]: r["exact_cnt"] for r in rows}
+        assert got["alpha beta"] == 3
+        assert all(r["overshoot"] >= 0 for r in rows)
