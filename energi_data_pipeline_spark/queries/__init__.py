@@ -213,10 +213,25 @@ _DRIVER_VERIFIED = frozenset({
 #: backlog, behind this window), and therefore lands inside the
 #: driver's first-50 verify slice the round it is added.
 #:
-#: ROUND-8 ACTION: once CORRECTNESS_r07.json lands, move every name
-#: with a green r07 row into _DRIVER_VERIFIED (keep this window
-#: empty unless additions outrun the 50-slot budget).
-_VERIFY_FRONT_WINDOW: tuple[str, ...] = ()
+#: ROUND-8 ROTATION (r07 greens were all re-verifications of names
+#: already in _DRIVER_VERIFIED, so nothing moved): this window now
+#: tracks CHANGED CODE, per the r07 verdict — every entry whose
+#: implementation OR transitively-shared helper was modified this
+#: round is pinned here so the driver re-verifies it ahead of the
+#: green backlog.  Convention from round 8 on: touching a query or
+#: helper => add every consuming registry entry to this tuple; clear
+#: the tuple at the start of the next round once its CORRECTNESS
+#: rows land green.
+_VERIFY_FRONT_WINDOW: tuple[str, ...] = (
+    # round-8 changes: _dense_features one-scan rewrite (translate
+    # label counts, label/source carried through the Generate) +
+    # array-literal GD weights — consumed by both classifier entries
+    "curation_quality_classifier", "curation_classifier_gate",
+    # round-7 changes the r07 window missed (shared-helper consumers
+    # flagged by the verdict): _tfidf_w rewrite consumers and the
+    # gram_join_side re-key consumer
+    "sims_hybrid_rrf", "dedup_containment",
+)
 
 
 def load_all() -> dict[str, QueryDef]:

@@ -912,6 +912,83 @@ GD_LR = 0.5
 #: logistic it stands in for.
 _LINK_SQL = "0.5 + 0.5 * {m} / (1 + abs({m}))"
 
+
+def _dense_features(spark, sf_dir):
+    """ONE corpus scan -> persisted (doc_id, source, y, xs) dense
+    training vectors shared by the trainer and the gate.
+
+    The label y and the source are computed in the SAME projection
+    that tokenizes (they are constant per doc, so carrying them as
+    extra grouping keys through the two count shuffles is legal —
+    the same norm-carry trick text.py's _tfidf_w uses) — v2 scanned
+    and re-tokenized `documents` a second time just to build a
+    labels table and joined it back (measured ~0.8s of the 2.1s
+    feature build at sf0.1).  The per-doc columns sit on the
+    Generate's requiredChildOutput, so they are evaluated once per
+    DOC, not once per exploded token; the token->md5->bucket path
+    itself stays a flat explode+filter+hash pipeline (whole-stage
+    codegen — a nested transform(filter(transform(...))) variant
+    was measured 2x SLOWER because higher-order functions evaluate
+    their lambda interpreted per element, taking the md5 with
+    them).  ``explode_outer`` keeps zero-token docs (they must
+    still get a bias-only vector, like the oracle's UNION ALL bias
+    row); their null feat entry is filtered out of the per-doc map
+    before densifying."""
+    from pyspark import StorageLevel
+
+    d = spread(t(spark, sf_dir, "documents"))
+    # label ingredients as cheap per-doc char counts: COUNT(chars in
+    # class) == length(text) - length(translate(text, class, ''))
+    # value-for-value (verified corpus-wide), and translate is a
+    # linear byte scan where the oracle-shaped regexp_replace was
+    # ~1s of java-regex time per feature build; the token count is
+    # NOT computed here at all — it equals SUM(x) over the per-doc
+    # rows below (explode_outer emits one row per split() element
+    # INCLUDING empties and the zero-token null, exactly
+    # len(regexp_split_to_array) — so the tokenizer runs once)
+    toks = d.select(
+        "doc_id", "source",
+        F.length("text").alias("nchar"),
+        (F.length("text")
+         - F.length(F.translate(F.col("text"), ".,;:!?", "")))
+        .alias("npunct"),
+        (F.length("text")
+         - F.length(F.translate(F.col("text"), "0123456789", "")))
+        .alias("ndigit"),
+        F.explode_outer(
+            F.transform(tokens_col(F.col("text")),
+                        lambda x: F.lower(x))).alias("tok"))
+    # empty tokens and the explode_outer null of a zero-token doc
+    # both map to a null feat (dropped from the per-doc map below)
+    # instead of a row filter, so every doc keeps >= 1 row, gets its
+    # bias-only dense vector, and SUM(x) keeps counting every token
+    fm = (toks.select("doc_id", "source", "nchar", "npunct",
+                      "ndigit",
+                      F.when(F.length("tok") > 0,
+                             (stable_hash64(F.col("tok")) % D_FEATS)
+                             .cast("int")).alias("feat"))
+          .groupBy("doc_id", "source", "nchar", "npunct", "ndigit",
+                   "feat")
+          .agg(F.count(F.lit(1)).cast("double").alias("x"))
+          .groupBy("doc_id", "source", "nchar", "npunct", "ndigit")
+          .agg(F.map_from_entries(
+              F.filter(F.collect_list(F.struct("feat", "x")),
+                       lambda s: s["feat"].isNotNull())).alias("fm"),
+               F.sum("x").alias("ntok")))
+    ratio = lambda c: (  # noqa: E731
+        F.col(c).cast("double") / F.col("nchar"))
+    y = F.when((F.col("ntok") >= 10) & (F.col("ntok") <= 1000)
+               & (ratio("npunct") < 0.2)
+               & (ratio("ndigit") < 0.3),
+               F.lit(1.0)).otherwise(F.lit(0.0))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(D_FEATS)),
+        lambda i: F.when(i == D_FEATS, F.lit(1.0)).otherwise(
+            F.coalesce(F.element_at(F.col("fm"), i), F.lit(0.0))))
+    return (fm.select("doc_id", "source", y.alias("y"),
+                      dense.alias("xs"))
+            .persist(StorageLevel.DISK_ONLY))
+
 _CLS_GATE_SQL = f"""
   CASE WHEN len({TOKENS_SQL}) >= 10 AND len({TOKENS_SQL}) <= 1000
             AND CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
@@ -991,9 +1068,17 @@ def curation_quality_classifier(spark, sf_dir):
     shuffle moves ~(D+1) x n_tasks rows, never the corpus — and a
     D+1-row collect of the rounded weight update.  Plans cannot
     grow with iterations because each round starts from literals.
-    (The round-6 sweep caught the first version of this operator at
-    10.9s: long-format weights as a DataFrame meant 4 corpus
-    shuffles + 2 localCheckpoints per round.)
+    (Lineage: the round-6 sweep caught v1 at 10.9s — long-format
+    weights meant 4 corpus shuffles/round.  v2 built the features
+    with TWO corpus scans — a tokenize pass plus a separate
+    labels scan joined back — costing ~0.8s of the 2.1s feature
+    build; v3 folds label + source into the tokenizing projection,
+    see _dense_features.  A D+1-accumulator no-key aggregate was
+    ALSO measured as the gradient shape and REJECTED: 65 separate
+    sum slots ran ~3x slower per iteration than posexplode's
+    single-expression partial agg — wide agg buffers beat narrow
+    exploded rows only when the explode fan-out exceeds the
+    accumulator width, and here both are D+1.)
 
     Float discipline: margins and gradients accumulate in exact
     fixed point (floor(v*1e8+0.5) as BIGINT; absent buckets
@@ -1003,45 +1088,24 @@ def curation_quality_classifier(spark, sf_dir):
     weights round to 8dp per update IN SPARK (F.round half-up ==
     DuckDB ROUND; python round() is half-to-even and must not
     touch them); lr=0.5 and the integer counts are binary-exact."""
-    from pyspark import StorageLevel
+    import os
 
-    d = spread(t(spark, sf_dir, "documents"))
-    toks = (d.select(
-        "doc_id",
-        F.explode(F.transform(tokens_col(F.col("text")),
-                              lambda x: F.lower(x))).alias("tok"))
-        .filter(F.length("tok") > 0))
-    fmap = (toks.select(
-        "doc_id",
-        (stable_hash64(F.col("tok")) % D_FEATS).cast("int")
-        .alias("feat"))
-        .groupBy("doc_id", "feat")
-        .agg(F.count(F.lit(1)).cast("double").alias("x"))
-        .groupBy("doc_id")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("feat", "x"))).alias("fm")))
-    ntok = F.size(tokens_col(F.col("text")))
-    ratio = lambda pat: (  # noqa: E731
-        F.length(F.regexp_replace(F.col("text"), pat, ""))
-        .cast("double") / F.length("text"))
-    labels = d.select(
-        "doc_id",
-        F.when((ntok >= 10) & (ntok <= 1000)
-               & (ratio("[^.,;:!?]") < 0.2)
-               & (ratio("[^0-9]") < 0.3),
-               F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"))
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(D_FEATS)),
-        lambda i: F.when(i == D_FEATS, F.lit(1.0)).otherwise(
-            F.coalesce(F.element_at(F.col("fm"), i), F.lit(0.0))))
-    fxv = (labels.join(fmap, "doc_id", "left")
-           .select("doc_id", "y", dense.alias("xs"))
-           .persist(StorageLevel.DISK_ONLY))
-    n_docs = float(fxv.count())  # scalar; also materializes the persist
+    from ..io import parquet_row_count
+
+    fxv = _dense_features(spark, sf_dir)
+    # n = COUNT(*) of documents, straight from the parquet footer —
+    # no count job; the persist materializes inside iteration 0
+    n_docs = float(parquet_row_count(
+        os.path.join(sf_dir, "documents.parquet")))
 
     w = [0.0] * (D_FEATS + 1)
     for _ in range(GD_ITERS):
-        w_arr = F.array(*[F.lit(v) for v in w])
+        # ARRAY-typed literal, not per-element double literals:
+        # complex literals ride the codegen `references` array so
+        # the generated source is identical across iterations (a
+        # codegen-cache hit); inlined doubles would recompile the
+        # whole stage every round
+        w_arr = F.lit([float(v) for v in w])
         m = (F.aggregate(
             F.zip_with(F.col("xs"), w_arr,
                        lambda x, wv: F.floor(wv * x * 1e8 + 0.5)
@@ -1114,55 +1178,26 @@ def curation_classifier_gate(spark, sf_dir):
     go/no-go report before a model replaces the rules.
 
     Scale shape: training as documented on the trainer; scoring is
-    ONE map pass over the persisted dense feature vectors (fixed-
-    point dot with a literal weight array, no join, no shuffle)
-    followed by a source-keyed partial aggregation."""
+    ONE map pass over the SAME persisted dense feature vectors the
+    trainer built (_dense_features — shared helper, so the plan is
+    identical and CacheManager resolves it to the trainer's storage
+    entry): a fixed-point dot with a literal weight array, no join,
+    no shuffle, then a source-keyed partial aggregation."""
     trained = {r["feat"]: r["weight"]
                for r in curation_quality_classifier(spark, sf_dir)
                .collect()}  # D+1 model parameters, bounded
     w_arr = F.lit([float(trained[j]) for j in range(D_FEATS + 1)])
-    # rebuild the same dense feature vectors + labels the trainer
-    # used (the trainer's persisted fxv is session-cached by plan
-    # identity, so this resolves to the same storage entry)
-    d = spread(t(spark, sf_dir, "documents"))
-    toks = (d.select(
-        "doc_id",
-        F.explode(F.transform(tokens_col(F.col("text")),
-                              lambda x: F.lower(x))).alias("tok"))
-        .filter(F.length("tok") > 0))
-    fmap = (toks.select(
-        "doc_id",
-        (stable_hash64(F.col("tok")) % D_FEATS).cast("int")
-        .alias("feat"))
-        .groupBy("doc_id", "feat")
-        .agg(F.count(F.lit(1)).cast("double").alias("x"))
-        .groupBy("doc_id")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("feat", "x"))).alias("fm")))
-    ntok = F.size(tokens_col(F.col("text")))
-    ratio = lambda pat: (  # noqa: E731
-        F.length(F.regexp_replace(F.col("text"), pat, ""))
-        .cast("double") / F.length("text"))
-    rule = F.when((ntok >= 10) & (ntok <= 1000)
-                  & (ratio("[^.,;:!?]") < 0.2)
-                  & (ratio("[^0-9]") < 0.3),
-                  F.lit(1.0)).otherwise(F.lit(0.0))
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(D_FEATS)),
-        lambda i: F.when(i == D_FEATS, F.lit(1.0)).otherwise(
-            F.coalesce(F.element_at(F.col("fm"), i), F.lit(0.0))))
+    fxv = _dense_features(spark, sf_dir)
     m = (F.aggregate(
         F.zip_with(F.col("xs"), w_arr,
                    lambda x, wv: F.floor(wv * x * 1e8 + 0.5)
                    .cast("long")),
         F.lit(0).cast("long"), lambda a, b: a + b)
         .cast("double") / 1e8)
-    scored = (d.select("doc_id", "source", rule.alias("rule_pass"))
-              .join(fmap, "doc_id", "left")
-              .select("source", "rule_pass", dense.alias("xs"))
-              .select("source", "rule_pass",
-                      F.when(m >= 0, F.lit(1.0)).otherwise(F.lit(0.0))
-                      .alias("model_pass")))
+    scored = fxv.select(
+        "source", F.col("y").alias("rule_pass"),
+        F.when(m >= 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        .alias("model_pass"))
     agree = F.when(F.col("rule_pass") == F.col("model_pass"), 1) \
         .otherwise(0)
     return (scored.groupBy("source")
