@@ -90,14 +90,18 @@ def _parquet_col_bytes_at(path: str, column: str, _mtime_ns: int,
     # group (a single ranged read — the stat a catalog would keep):
     # avg logical value bytes x total rows, and take the MAX of the
     # two estimates (footer also bounds from below when the sample
-    # row group is unrepresentative).
+    # row group is unrepresentative).  The sample comes from the
+    # LARGEST file — sampling the first file under-estimated a
+    # corpus whose heavy docs live in later part files (ADVICE r07),
+    # weakening exactly the broadcast-OOM guard this feeds.
     sampled = 0
-    for f in files:
+    for f in sorted(files, key=os.path.getsize, reverse=True):
         pf = pq.ParquetFile(f)
-        if pf.metadata.num_row_groups == 0:
+        if (pf.metadata.num_row_groups == 0
+                or column not in pf.schema_arrow.names):
             continue
         tbl = pf.read_row_group(0, columns=[column])
-        if tbl.num_rows == 0 or column not in tbl.column_names:
+        if tbl.num_rows == 0:
             continue
         col = tbl[column]
         val_bytes = pc.sum(pc.binary_length(
@@ -105,6 +109,64 @@ def _parquet_col_bytes_at(path: str, column: str, _mtime_ns: int,
         sampled = int(val_bytes / tbl.num_rows * total_rows)
         break
     return max(footer, sampled)
+
+
+#: hard ceiling for any single broadcast build side, regardless of
+#: heap (the 1.5 GB the 8 GiB reference heap was calibrated to —
+#: broadcasts also cost driver collect + per-executor copies, so the
+#: budget must not scale unboundedly with heap).
+BCAST_BUDGET_CAP = 1_500_000_000
+#: fraction of the JVM heap a broadcast build side may claim:
+#: 1.5 GB / 8 GiB — the measured-safe point from the x100 gram-join
+#: rehearsal, now expressed relative to the deployment's actual heap
+#: instead of baked to 8 GiB (VERDICT r07 #9).
+BCAST_HEAP_FRACTION = 1_500_000_000 / (8 << 30)
+
+
+def jvm_heap_bytes(spark) -> int:
+    """The heap that holds broadcast hash relations: the EXECUTOR
+    heap on a cluster; in local mode executors live inside the
+    driver JVM, so the driver heap is the executor heap.  Falls back
+    to Spark's 1g default when neither conf is set."""
+    is_local = False
+    try:
+        is_local = spark.conf.get("spark.master", "").startswith("local")
+    except Exception:
+        pass
+    keys = (["spark.driver.memory", "spark.executor.memory"]
+            if is_local else
+            ["spark.executor.memory", "spark.driver.memory"])
+    for key in keys:
+        try:
+            v = spark.conf.get(key, None)
+        except Exception:
+            v = None
+        if v:
+            return _parse_mem_bytes(v)
+    return 1 << 30
+
+
+def _parse_mem_bytes(v: str) -> int:
+    v = v.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if v and v[-1] in "bkmgt":
+        if v.endswith("b") and len(v) > 1 and v[-2] in "kmgt":
+            return int(float(v[:-2]) * mult[v[-2]])
+        if v[-1] in mult:
+            return int(float(v[:-1]) * mult[v[-1]])
+        v = v[:-1]
+    return int(float(v))
+
+
+def broadcast_budget_bytes(spark, heap_bytes: int | None = None) -> int:
+    """Byte budget for one broadcast build side, derived from the
+    session's ACTUAL heap (``heap_bytes`` overrides for tests):
+    min(cap, fraction x heap).  Every corpus-adaptive
+    broadcast-vs-shuffle knee (gram joins, query-sided posting
+    joins) keys on this so a smaller-heap deployment refuses the
+    broadcast instead of inheriting an 8 GiB calibration."""
+    heap = heap_bytes if heap_bytes is not None else jvm_heap_bytes(spark)
+    return min(BCAST_BUDGET_CAP, int(heap * BCAST_HEAP_FRACTION))
 
 
 def parquet_column_bytes(path: str, column: str) -> int:

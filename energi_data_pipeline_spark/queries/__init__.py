@@ -231,6 +231,9 @@ _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
     # flagged by the verdict): _tfidf_w rewrite consumers and the
     # gram_join_side re-key consumer
     "sims_hybrid_rrf", "dedup_containment",
+    # round-8: heap-derived broadcast budget (gram_join_side + the
+    # new query-posting knee) also touches the jaccard gram join
+    "dedup_ngram_jaccard", "text_tfidf_cosine_pairs",
 )
 
 

@@ -447,17 +447,23 @@ GRAM_BCAST_MAX_BYTES = 1_500_000_000
 
 def gram_join_side(gram_build_below_knee, sf_dir):
     """Apply the corpus-adaptive join strategy to the build side of
-    a gram-stream self-join (see GRAM_BCAST_MAX_BYTES): the side is
-    only ever broadcast while its ESTIMATED hashed size — exploded
-    gram mass derived from footer text bytes — fits the byte budget,
-    never open-ended and never keyed on document count alone."""
+    a gram-stream self-join: the side is only ever broadcast while
+    its ESTIMATED hashed size — exploded gram mass derived from
+    footer text bytes — fits the byte budget, never open-ended and
+    never keyed on document count alone.  The budget is derived
+    from the session's actual heap (io.broadcast_budget_bytes,
+    capped at GRAM_BCAST_MAX_BYTES == io.BCAST_BUDGET_CAP) so a
+    smaller-heap deployment refuses the broadcast instead of
+    inheriting the 8 GiB calibration (VERDICT r07 #9)."""
     import os
 
-    from ..io import parquet_column_bytes
+    from ..io import broadcast_budget_bytes, parquet_column_bytes
 
     text_bytes = parquet_column_bytes(
         os.path.join(sf_dir, "documents.parquet"), "text")
-    if text_bytes * GRAM_ROW_BCAST_BYTES <= GRAM_BCAST_MAX_BYTES:
+    budget = broadcast_budget_bytes(
+        gram_build_below_knee.sparkSession)
+    if text_bytes * GRAM_ROW_BCAST_BYTES <= budget:
         return F.broadcast(gram_build_below_knee)
     return gram_build_below_knee.hint("merge")
 

