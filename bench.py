@@ -147,6 +147,62 @@ def measure_stream_startup(spark) -> float:
     return time.perf_counter() - t0
 
 
+def measure_session_floor(spark) -> float:
+    """Measured per-query session floor (r07 verdict #3): the wall
+    of a trivial 32-row one-shuffle aggregate through the noop sink
+    — plan analysis + codegen-cache hit + AQE stage scheduling +
+    task dispatch, no data work.  Every benched query pays roughly
+    this much per EXECUTION regardless of data size; a resident
+    engine with a prepared plan would not.  Published per-query as
+    ``floor_adjusted_ratio`` so sub-second >2x rows can be checked
+    against the floor from the artifact alone instead of adjudicated
+    in prose."""
+    from pyspark.sql import functions as F
+
+    rs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (spark.range(0, 32, 1, 32)
+         .groupBy((F.col("id") % 4).alias("k"))
+         .agg(F.count(F.lit(1)).alias("c"))
+         .write.format("noop").mode("overwrite").save())
+        rs.append(time.perf_counter() - t0)
+    return round(min(rs), 3)
+
+
+def measure_hybrid_decomposition(spark, sf_dir: str) -> dict:
+    """Stage decomposition for sims_hybrid_rrf (r07 verdict #2): the
+    fused query composes two already-benched legs over DIFFERENT
+    tables (documents -> tf-idf posting join; embeddings -> LSH
+    ANN), so there is no shared scan to fuse away — this measures
+    each leg alone (min of 2, caches dropped) so the artifact shows
+    headline(hybrid) ~= lex_leg + vec_leg + fusion residual."""
+    from energi_data_pipeline_spark.queries.simsearch import (
+        QUERY_STRIDE, sims_ann_lsh_bucketed)
+    from energi_data_pipeline_spark.queries.text import (
+        tfidf_query_cosine)
+
+    def best_of(mk, n=2):
+        best = None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    return {
+        "lex_leg_s": best_of(
+            lambda: tfidf_query_cosine(spark, sf_dir, QUERY_STRIDE)),
+        "vec_leg_s": best_of(
+            lambda: sims_ann_lsh_bucketed(spark, sf_dir)),
+        "note": ("legs measured standalone, min of 2 runs, caches "
+                 "dropped; fusion residual = headline "
+                 "sims_hybrid_rrf - (lex_leg_s + vec_leg_s)"),
+    }
+
+
 def run_spark(sf_dir: str) -> dict[str, list[float]]:
     from energi_data_pipeline_spark.queries import load_all
     from energi_data_pipeline_spark.session import get_spark
@@ -193,8 +249,17 @@ def run_spark(sf_dir: str) -> dict[str, list[float]]:
                 break
         runs[name] = rs
     startup = round(measure_stream_startup(spark), 3)
+    floor = measure_session_floor(spark)
+    decomp = measure_hybrid_decomposition(spark, sf_dir)
+    # silence the JVM for the rest of the process: the StateStore
+    # maintenance thread logs a shutdown stack trace into stderr
+    # AFTER the session stops, and the driver's bounded output-tail
+    # capture must end with the JSON line, not a stack trace
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     runs["__stream_engine_startup__"] = [startup]
+    runs["__session_floor__"] = [floor]
+    runs["__hybrid_decomposition__"] = [decomp]  # type: ignore
     return runs
 
 
@@ -263,6 +328,29 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
         spark.catalog.clearCache()
         print(f"# sweep spark {i + 1}/{len(registry)} {name} "
               f"{spark_s.get(name, 'ERR')}", file=sys.stderr, flush=True)
+    # self-adjudication pass (r07 verdict #7): any entry whose COLD
+    # wall could flag (> STEADY_RERUN_S — below that neither the
+    # abs_s nor the gap rule can fire) is re-run twice more, caches
+    # dropped, and flags are computed from the STEADY (min) wall —
+    # first-touch codegen can no longer produce a sleeper row that
+    # a later min-of-3 bench run would dissolve.
+    steady_s: dict[str, float] = {}
+    rerun = [n for n, v in spark_s.items() if v > STEADY_RERUN_S]
+    for i, name in enumerate(rerun):
+        rs = [spark_s[name]]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                registry[name].fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                rs.append(round(time.perf_counter() - t0, 3))
+            except Exception:
+                break
+            spark.catalog.clearCache()
+        steady_s[name] = min(rs)
+        print(f"# sweep steady {i + 1}/{len(rerun)} {name} "
+              f"{steady_s[name]}", file=sys.stderr, flush=True)
+    spark.sparkContext.setLogLevel("OFF")  # see run_spark
     spark.stop()
 
     sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
@@ -311,7 +399,8 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
     rows = {}
     sleepers = []
     for name in registry:
-        s = spark_s.get(name)
+        cold = spark_s.get(name)
+        s = steady_s.get(name, cold)  # flags computed from STEADY
         d = duck_s.get(name)
         ratio = (round(s / d, 2) if s is not None and d else None)
         losing = ratio is None or ratio > 1.0
@@ -326,7 +415,9 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
                  or (ratio is not None and ratio > SLEEPER_RATIO
                      and s - d > SLEEPER_MIN_GAP_S
                      and name not in PATHOLOGICAL_ORACLES)))
-        rows[name] = {"spark_s": s, "duckdb_s": d, "ratio": ratio,
+        rows[name] = {"spark_s": s, "cold_s": cold,
+                      "steady_s": steady_s.get(name),
+                      "duckdb_s": d, "ratio": ratio,
                       "sleeper": flag,
                       **({"spark_err": spark_err[name]}
                          if name in spark_err else {}),
@@ -338,7 +429,8 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
         "metric": "full_registry_sweep",
         "sf_dir": sf_dir,
         "n_queries": len(registry),
-        "runs_per_query": 1,
+        "runs_per_query": "1 cold (+2 steady re-runs above rerun_s)",
+        "steady_rerun_threshold_s": STEADY_RERUN_S,
         "sleeper_thresholds": {"abs_s": SLEEPER_ABS_S,
                                "ratio": SLEEPER_RATIO,
                                "ratio_min_gap_s": SLEEPER_MIN_GAP_S},
@@ -350,7 +442,9 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
         "queries": rows,
         "notes": ("single-execution wall per query (shared warm "
                   "session, noop sink; first-touch codegen included "
-                  "- see run_sweep docstring); sleeper = non-"
+                  "- see run_sweep docstring; entries over "
+                  "steady_rerun_threshold_s cold get 2 steady "
+                  "re-runs and flag on min); sleeper = non-"
                   "headline query with spark_s>abs_s OR "
                   "(spark/oracle>ratio AND absolute gap>"
                   "ratio_min_gap_s; pathological-oracle pairs "
@@ -374,17 +468,23 @@ SLEEPER_RATIO = 5.0
 SLEEPER_MIN_GAP_S = 2.0
 #: per-oracle DuckDB wall cap in the sweep (see run_sweep)
 DUCK_ORACLE_CAP_S = 120.0
+#: cold wall above which a sweep entry earns 2 steady re-runs (below
+#: it neither the abs_s nor the min-gap rule can fire, so a steady
+#: number would change nothing)
+STEADY_RERUN_S = 1.5
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--sweep" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
-        run_sweep(sf_dir, args[0] if args else "SWEEP_r06.json")
+        run_sweep(sf_dir, args[0] if args else "SWEEP_r08.json")
         return
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     spark_runs = run_spark(sf_dir)
     stream_startup = spark_runs.pop("__stream_engine_startup__")[0]
+    session_floor = spark_runs.pop("__session_floor__")[0]
+    hybrid_decomp = spark_runs.pop("__hybrid_decomposition__")[0]
     duck_runs = run_duckdb(sf_dir)
 
     spark_times = {n: min(rs) for n, rs in spark_runs.items()}
@@ -400,6 +500,20 @@ def main() -> None:
         total - sum(spark_times.get(n, 0.0) for n in outliers), 3)
     duck_total_ex = round(
         duck_total - sum(duck_times[n] for n in outliers), 3)
+    # floor-adjusted per-query ratios (r07 verdict #3): subtract the
+    # measured per-execution session floor from the Spark wall —
+    # the number a resident engine with prepared plans would show —
+    # and the matching ex-outlier aggregate
+    floor_ratio = {
+        n: round(max(spark_times[n] - session_floor, 0.001)
+                 / duck_times[n], 2)
+        for n in spark_times if duck_times.get(n)}
+    ex_names = [n for n in spark_times
+                if n in duck_times and n not in outliers]
+    total_ex_floor = round(
+        sum(max(spark_times[n] - session_floor, 0.0)
+            for n in ex_names), 3)
+    ratio_ex_floor = round(total_ex_floor / duck_total_ex, 3)
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -417,6 +531,11 @@ def main() -> None:
         "queries_median": spark_median,
         "spark_runs": spark_runs,
         "duckdb_runs": duck_runs,
+        "session_floor_s": session_floor,
+        "floor_adjusted_ratio": floor_ratio,
+        "value_ex_outlier_floor_adjusted": total_ex_floor,
+        "ratio_ex_outlier_floor_adjusted": ratio_ex_floor,
+        "stage_decomposition": {"sims_hybrid_rrf": hybrid_decomp},
         "stream_engine_startup_s": stream_startup,
         "streaming_queries": sorted(STREAMING),
         "oracle_exact_anchors": {
@@ -461,6 +580,11 @@ def main() -> None:
         "value_ex_outlier": total_ex,
         "duckdb_total_ex_outlier": duck_total_ex,
         "ratio_ex_outlier": result["ratio_ex_outlier"],
+        "session_floor_s": session_floor,
+        "ratio_ex_outlier_floor_adjusted": ratio_ex_floor,
+        "hybrid_decomp_s": {
+            "lex": hybrid_decomp["lex_leg_s"],
+            "vec": hybrid_decomp["vec_leg_s"]},
         "outliers_dropped": outliers,
         "oracle_exact_anchors": sorted(ORACLE_EXACT_ANCHORS),
         "full_artifact": "BENCH_LAST.json",
