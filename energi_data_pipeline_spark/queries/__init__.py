@@ -57,12 +57,18 @@ def query(name: str, oracle: str | None):
 #: instead.  Production correctness is unaffected: the Spark plan is
 #: the right one at every scale, only the differential-test oracle
 #: has a validity range.
-ORACLE_SCALE_KNEES: dict[str, tuple[str, int]] = {}
+ORACLE_SCALE_KNEES: dict[str, tuple[str, int, str | None]] = {}
 
 
 def register_oracle_knee(name: str, max_corpus: int,
-                         table: str = "embeddings") -> None:
-    ORACLE_SCALE_KNEES[name] = (table, max_corpus)
+                         table: str = "embeddings",
+                         column: str | None = None) -> None:
+    """``column=None``: knee on the table's ROW count.  With a
+    column name the knee is on that column's LOGICAL BYTES (footer
+    estimate) — for knobs that scale with data MASS, not
+    cardinality (the r06 gram-broadcast lesson: a corpus of few
+    huge docs must trip a mass-keyed knee)."""
+    ORACLE_SCALE_KNEES[name] = (table, max_corpus, column)
 
 
 def oracle_scale_guard(name: str, sf_dir: str) -> str | None:
@@ -73,14 +79,19 @@ def oracle_scale_guard(name: str, sf_dir: str) -> str | None:
 
     if name not in ORACLE_SCALE_KNEES:
         return None
-    table, knee = ORACLE_SCALE_KNEES[name]
-    from ..io import parquet_row_count
+    table, knee, column = ORACLE_SCALE_KNEES[name]
+    from ..io import parquet_column_bytes, parquet_row_count
 
-    n = parquet_row_count(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if column is None:
+        n, unit = parquet_row_count(path), "rows"
+    else:
+        n, unit = parquet_column_bytes(path, column), \
+            f"bytes of {column}"
     if n <= knee:
         return None
     return (f"oracle for {name!r} is only valid up to {knee} "
-            f"{table} rows (corpus at {sf_dir} has {n}): the "
+            f"{table} {unit} (corpus at {sf_dir} has {n}): the "
             f"Spark plan scales its index fan-out past this knee "
             f"while the static oracle SQL does not — parity must be "
             f"checked at a test SF below the knee")
@@ -234,6 +245,9 @@ _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
     # round-8: heap-derived broadcast budget (gram_join_side + the
     # new query-posting knee) also touches the jaccard gram join
     "dedup_ngram_jaccard", "text_tfidf_cosine_pairs",
+    # round-8: corpus-adaptive sketch sizing (hll/cm/bloom params)
+    "sketch_hll_distinct", "sketch_countmin_heavy_hitters",
+    "sketch_bloom_semijoin",
 )
 
 

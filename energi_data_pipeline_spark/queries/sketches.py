@@ -20,11 +20,31 @@ Catalyst expressions; nothing drops to Python.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import functions as F
 
-from . import query
+from . import query, register_oracle_knee
 from .core import t
 from .text import TOKENS_SQL, tokens_col
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, math.ceil(math.log2(max(1, n))))
+
+
+# ------------------------------------------------- corpus-adaptive
+# sketch sizing (r07 verdict #4, on the minhash_params pattern):
+# every sizing knob keys on a FOOTER statistic of its build input
+# (row count or column byte mass — a driver-side peek, no job).
+# Below an explicit knee the TEST-SCALE constant is returned, so the
+# static SQL oracles stay bit-valid at every parity SF; above it the
+# sketch grows with its input so the 100 TB instance keeps its
+# design error instead of silently saturating (the r06/r07 finding:
+# a fixed 8192-bit Bloom filter is fp~1 — a no-op pre-filter — at a
+# few hundred thousand build keys).  Each knee is registered in
+# ORACLE_SCALE_KNEES so a parity run past it fails LOUDLY.
 
 # --------------------------------------------------------------- HLL
 #: 2^6 = 64 registers; the standard bias constant alpha_64 = 0.709.
@@ -32,6 +52,25 @@ HLL_BUCKETS = 64
 HLL_ALPHA = 0.709
 #: value slice is 12 hex digits = 48 bits; rho caps at 49 when v = 0.
 HLL_VBITS = 48
+#: orders rows up to which the 64-register test-scale sketch holds
+#: its ~13% (1.04/sqrt(64)) design error comfortably; above it the
+#: register count scales with the corpus (cheap: m ints of state).
+HLL_KNEE_ROWS = 32_768
+#: standard max precision p=14 (16384 registers).
+HLL_MAX_BUCKETS = 1 << 14
+
+
+def hll_params(n_rows: int) -> tuple[int, float]:
+    """(register count, alpha bias constant) for a corpus of
+    ``n_rows`` build rows: the test-scale (64, 0.709) below the
+    knee — oracle-exact — else registers grow ~linearly with the
+    corpus (power of two, capped at p=14) with the matching
+    alpha_m = 0.7213/(1 + 1.079/m) from the HLL paper."""
+    if n_rows <= HLL_KNEE_ROWS:
+        return HLL_BUCKETS, HLL_ALPHA
+    m = min(HLL_BUCKETS * _next_pow2(-(-n_rows // HLL_KNEE_ROWS)),
+            HLL_MAX_BUCKETS)
+    return m, 0.7213 / (1 + 1.079 / m)
 
 HLL_SQL = f"""
 WITH h AS (
@@ -97,13 +136,22 @@ def sketch_hll_distinct(spark, sf_dir):
     log2 is float-exact, rounded half-up to int on both engines.
     The estimator is the raw harmonic-mean formula (no small/large
     range corrections) on both sides, so estimates match bit-for-bit
-    and the rel_error column is itself verified."""
+    and the rel_error column is itself verified.
+
+    Register count is corpus-adaptive (hll_params, knee registered
+    in ORACLE_SCALE_KNEES): the footer row count of the build table
+    sizes m so estimate precision survives scale-up while the
+    test-scale sketch stays oracle-exact."""
+    from ..io import parquet_row_count
+
+    n_rows = parquet_row_count(os.path.join(sf_dir, "orders.parquet"))
+    m_regs, alpha = hll_params(n_rows)
     o = t(spark, sf_dir, "orders")
     md = F.md5(F.col("o_custkey").cast("string"))
     h = o.select(
         F.col("o_orderpriority").alias("grp"),
         (F.conv(F.substring(md, 1, 4), 16, 10).cast("bigint")
-         % HLL_BUCKETS).cast("int").alias("bucket"),
+         % m_regs).cast("int").alias("bucket"),
         F.conv(F.substring(md, 5, 12), 16, 10).cast("bigint").alias("v"))
     rho = (F.when(F.col("v") == 0, F.lit(HLL_VBITS + 1))
            .otherwise(F.floor(F.log2(F.expr("v & (-v)")) + F.lit(0.5))
@@ -111,7 +159,7 @@ def sketch_hll_distinct(spark, sf_dir):
     regs = h.groupBy("grp", "bucket").agg(F.max(rho).alias("m"))
     spine = (o.select(F.col("o_orderpriority").alias("grp")).distinct()
              .select("grp", F.explode(
-                 F.sequence(F.lit(0), F.lit(HLL_BUCKETS - 1)))
+                 F.sequence(F.lit(0), F.lit(m_regs - 1)))
                  .alias("bucket")))
     full = (spine.join(regs, ["grp", "bucket"], "left")
             .select("grp", F.coalesce(F.col("m"), F.lit(0)).alias("m")))
@@ -121,7 +169,7 @@ def sketch_hll_distinct(spark, sf_dir):
          / F.pow(F.lit(2.0), F.lit(HLL_VBITS + 1))).alias("s"))
     ex = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.countDistinct("o_custkey").cast("bigint").alias("n_exact"))
-    e = F.lit(HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS) / F.col("s")
+    e = F.lit(alpha * m_regs * m_regs) / F.col("s")
     return (ex.join(est, "grp")
             .select(F.col("grp").alias("o_orderpriority"), "n_exact",
                     F.round(e, 4).alias("hll_estimate"),
@@ -227,6 +275,29 @@ CM_DEPTH = 3
 CM_WIDTH = 512
 #: heavy hitters reported (exact top-k is the verification target).
 CM_TOPK = 20
+#: per-cell load target (expected total count / width) the adaptive
+#: width preserves, and the text-byte mass up to which the 512-wide
+#: test-scale grid already meets it: 512 cells x 64 load x ~6 bytes
+#: per bigram-producing text byte (knee on MASS, not doc count —
+#: bigram volume scales with text bytes, the r06 gram lesson).
+CM_TARGET_LOAD = 64
+CM_KNEE_TEXT_BYTES = CM_WIDTH * CM_TARGET_LOAD * 6  # = 196_608
+CM_MAX_WIDTH = 1 << 24
+
+
+def cm_params(text_bytes: int) -> int:
+    """Count-min width for a corpus of ``text_bytes`` logical text:
+    the test-scale {CM_WIDTH} below the knee (oracle-exact), else a
+    power of two keeping the expected per-cell load (~total bigrams
+    / width, the additive-overshoot driver) at its test-scale value
+    — a fixed 512-wide grid at 1000x the corpus would carry 1000x
+    the collision mass in every counter, turning MIN-over-rows
+    estimates into pure noise."""
+    if text_bytes <= CM_KNEE_TEXT_BYTES:
+        return CM_WIDTH
+    est_bigrams = text_bytes // 6
+    return min(max(CM_WIDTH, _next_pow2(est_bigrams // CM_TARGET_LOAD)),
+               CM_MAX_WIDTH)
 
 _CM_CELLS_SQL = "\nUNION ALL\n".join(
     f"""SELECT {r} AS r,
@@ -279,10 +350,16 @@ def sketch_countmin_heavy_hitters(spark, sf_dir):
     Scale shape: the corpus-sized work is the bigram count (one
     (bigram) shuffle with map-side combine — same shape as every
     n-gram operator here); the sketch itself is {CM_DEPTH} x
-    {CM_WIDTH} cells built from vocabulary-cardinality input, and
+    width cells built from vocabulary-cardinality input, and
     the probe joins {CM_TOPK} rows against it.  At 100 TB the grid
     replaces a billion-entry frequency map as the shippable
-    summary."""
+    summary.  Width is corpus-adaptive (cm_params — keyed on footer
+    text MASS so the per-cell collision load stays at its design
+    value; knee in ORACLE_SCALE_KNEES)."""
+    from ..io import parquet_column_bytes
+
+    width = cm_params(parquet_column_bytes(
+        os.path.join(sf_dir, "documents.parquet"), "text"))
     d = t(spark, sf_dir, "documents")
     ts = F.transform(tokens_col(F.col("text")), lambda x: F.lower(x))
     toks = d.select(ts.alias("ts"))
@@ -301,7 +378,7 @@ def sketch_countmin_heavy_hitters(spark, sf_dir):
     def cell_of(r, col):
         return (F.conv(F.substring(
             F.md5(F.concat(F.lit(f"cm{r}:"), col)), 1, 14), 16, 10)
-            .cast("bigint") % CM_WIDTH).cast("int")
+            .cast("bigint") % width).cast("int")
 
     cells = (bc.select(F.explode(F.array(*[
         F.struct(F.lit(r).alias("r"),
@@ -331,6 +408,27 @@ BLOOM_BITS = 8192
 BLOOM_K = 3
 #: dim-side predicate: the customer segment whose orders we want.
 BLOOM_SEGMENT = "BUILDING"
+#: dim rows up to which the 8192-bit test-scale filter keeps a sane
+#: fp rate, and the bits-per-key the adaptive size provisions above
+#: it (k=3, m/n=12 -> fp = (1-e^(-1/4))^3 ~ 1.1%); n is the FULL dim
+#: row count from the footer — an upper bound on the filtered build
+#: keys, so the filter is only ever over-provisioned.
+BLOOM_KNEE_ROWS = 2048
+BLOOM_BITS_PER_KEY = 12
+BLOOM_MAX_BITS = 1 << 30
+
+
+def bloom_params(n_dim_rows: int) -> int:
+    """Filter size in bits for ``n_dim_rows`` build-side rows: the
+    test-scale {BLOOM_BITS} below the knee (oracle-exact), else the
+    next power of two of {BLOOM_BITS_PER_KEY} bits/key — the r06/r07
+    finding this closes: a FIXED 8192-bit filter saturates (fp -> 1)
+    at a few hundred thousand keys, silently turning the 100 TB
+    semi-join pre-filter into a no-op that admits everything."""
+    if n_dim_rows <= BLOOM_KNEE_ROWS:
+        return BLOOM_BITS
+    return min(_next_pow2(n_dim_rows * BLOOM_BITS_PER_KEY),
+               BLOOM_MAX_BITS)
 
 _BLOOM_POS_SQL = "\nUNION\n".join(
     f"""SELECT ('0x' || substr(md5('bl{i}:' || CAST(c_custkey AS VARCHAR)),
@@ -389,7 +487,15 @@ def sketch_bloom_semijoin(spark, sf_dir):
 
     Determinism: bit positions are md5 slices; the filter is a SET
     of positions (dedup via DISTINCT/UNION — idempotent, order-free);
-    pass/fail is 3 set-membership tests."""
+    pass/fail is 3 set-membership tests.
+
+    Bits are corpus-adaptive (bloom_params over the footer dim row
+    count; knee in ORACLE_SCALE_KNEES) so the fp rate holds at any
+    scale instead of saturating."""
+    from ..io import parquet_row_count
+
+    bits = bloom_params(parquet_row_count(
+        os.path.join(sf_dir, "customer.parquet")))
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     keys = (cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
@@ -398,7 +504,7 @@ def sketch_bloom_semijoin(spark, sf_dir):
     def pos_of(i, col):
         return (F.conv(F.substring(
             F.md5(F.concat(F.lit(f"bl{i}:"), col.cast("string"))),
-            1, 14), 16, 10).cast("bigint") % BLOOM_BITS)
+            1, 14), 16, 10).cast("bigint") % bits)
 
     bpos = (keys.select(F.explode(F.array(*[
         pos_of(i, F.col("c_custkey")) for i in range(BLOOM_K)]))
@@ -440,3 +546,20 @@ def sketch_bloom_semijoin(spark, sf_dir):
                 .cast("double")
                 / (F.count(F.lit(1)) - F.sum("is_member")), 6)
         .alias("fp_rate"))
+
+
+# ----------------------------- oracle validity knees (see queries/
+# __init__.py ORACLE_SCALE_KNEES): the corpus statistic past which
+# each adaptive sizing knob leaves its test-scale value, i.e. the
+# last corpus at which the static SQL oracle still matches the Spark
+# plan bit-for-bit.  sketch_kmv_distinct has NO knee on purpose: the
+# KMV estimator's error 1/sqrt(k-2) is independent of corpus size
+# and the k kept values cannot saturate, so the fixed k is the right
+# size at every scale.
+register_oracle_knee("sketch_hll_distinct", HLL_KNEE_ROWS,
+                     table="orders")
+register_oracle_knee("sketch_countmin_heavy_hitters",
+                     CM_KNEE_TEXT_BYTES, table="documents",
+                     column="text")
+register_oracle_knee("sketch_bloom_semijoin", BLOOM_KNEE_ROWS,
+                     table="customer")

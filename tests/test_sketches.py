@@ -122,3 +122,76 @@ def test_countmin_tolerates_short_docs(spark):
         got = {r["bigram"]: r["exact_cnt"] for r in rows}
         assert got["alpha beta"] == 3
         assert all(r["overshoot"] >= 0 for r in rows)
+
+
+def test_sketch_params_pin_test_scale_and_scale_up():
+    # r07 verdict #4: below each knee the param functions return the
+    # EXACT test-scale constants (the static oracles depend on it);
+    # above it they scale with the input and respect their caps.
+    from energi_data_pipeline_spark.queries.sketches import (
+        BLOOM_BITS, BLOOM_KNEE_ROWS, BLOOM_MAX_BITS, CM_KNEE_TEXT_BYTES,
+        CM_MAX_WIDTH, CM_WIDTH, HLL_ALPHA, HLL_BUCKETS, HLL_KNEE_ROWS,
+        HLL_MAX_BUCKETS, bloom_params, cm_params, hll_params)
+
+    # below-knee: bit-identical to the oracle constants
+    for n in (1, 100, HLL_KNEE_ROWS):
+        assert hll_params(n) == (HLL_BUCKETS, HLL_ALPHA)
+    for n in (1, 500, BLOOM_KNEE_ROWS):
+        assert bloom_params(n) == BLOOM_BITS
+    for b in (1, 150_000, CM_KNEE_TEXT_BYTES):
+        assert cm_params(b) == CM_WIDTH
+
+    # the x10 corpus (sf0.1 footprints) crosses all three knees
+    m, alpha = hll_params(150_000)
+    assert m == 512 and abs(alpha - 0.7213 / (1 + 1.079 / 512)) < 1e-12
+    assert bloom_params(15_000) == 262_144  # next_pow2(12 * 15000)
+    assert cm_params(1_512_270) == 4096     # next_pow2(252k bigrams / 64)
+
+    # monotone growth + hard caps
+    assert hll_params(10**12)[0] == HLL_MAX_BUCKETS
+    assert bloom_params(10**12) == BLOOM_MAX_BITS
+    assert cm_params(10**15) == CM_MAX_WIDTH
+
+
+def test_sketch_knees_registered():
+    from energi_data_pipeline_spark.queries import (ORACLE_SCALE_KNEES,
+                                                    load_all)
+
+    load_all()
+    assert ORACLE_SCALE_KNEES["sketch_hll_distinct"][0] == "orders"
+    assert ORACLE_SCALE_KNEES["sketch_bloom_semijoin"][0] == "customer"
+    tbl, _knee, col = ORACLE_SCALE_KNEES["sketch_countmin_heavy_hitters"]
+    assert (tbl, col) == ("documents", "text")  # MASS knee, not rows
+
+
+def test_sketch_invariants_hold_at_x10(spark):
+    # r07 verdict #4 done-bar: at the x10 corpus (sf0.1 — above all
+    # three knees, so every sketch runs at its SCALED size) the
+    # mathematical guarantees still hold AND the scaled sizes
+    # deliver their design error where the fixed test-scale sizes
+    # provably could not (an 8192-bit Bloom filter at 2943 build
+    # keys admits ~30% of non-members; the scaled 262144-bit one
+    # must stay ~1%).
+    SF01 = "/root/testdata/sf0.1"
+    from energi_data_pipeline_spark.queries.sketches import (
+        sketch_bloom_semijoin, sketch_countmin_heavy_hitters,
+        sketch_hll_distinct)
+
+    b = sketch_bloom_semijoin(spark, SF01).collect()[0]
+    assert b["n_candidates"] >= b["n_true"]  # no false negatives
+    assert b["fp_rate"] < 0.05, b  # scaled filter: design fp holds
+
+    for r in sketch_hll_distinct(spark, SF01).collect():
+        # 512 registers -> 1.04/sqrt(512) ~ 4.6% std error; 25% is
+        # a >5-sigma envelope that the 64-register sketch at ~25k
+        # distinct per group would not reliably meet
+        assert abs(r["rel_error"]) < 0.25, r
+
+    rows = sketch_countmin_heavy_hitters(spark, SF01).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overshoot"] >= 0, r
+        # scaled width 4096 at ~265k bigram mass: per-row expected
+        # collision load ~65; MIN over 3 rows keeps the top-20
+        # overshoot far under one expected load of the 512-wide grid
+        assert r["overshoot"] <= 3000, r
