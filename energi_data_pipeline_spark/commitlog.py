@@ -99,19 +99,31 @@ class LocalObjectStore:
         d = os.path.dirname(path)
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
-            os.write(fd, data)
-            os.fsync(fd)
+            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                # os.write is a raw syscall and may write SHORT: a
+                # partial buffer fsync'd and linked into place would
+                # be exactly the truncated-commit exposure this
+                # rewrite eliminates — loop until drained
+                view = memoryview(data)
+                while view:
+                    view = view[os.write(fd, view):]
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
         finally:
-            os.close(fd)
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+            # outer finally so a failed write/fsync cannot leak the
+            # temp object into _log/ forever (ADVICE r07)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def read(self, path: str) -> bytes:
         with open(path, "rb") as fh:
@@ -294,3 +306,38 @@ class CommitLogTable:
                 if os.path.exists(p):
                     os.unlink(p)
         return removed
+
+
+# ------------------------------------------- medallion integration
+# (r07 verdict #5): drop-in layer-table IO with the same signatures
+# as io.read_layer_table / io.insert_if_absent, so the medallion
+# pipeline runs unchanged on either format.  Opt in via
+# ``table_format="commitlog"`` on pipelines.medallion.run_all (or
+# per stage) — the default stays the rename-based parquet layout,
+# which is correct on any single POSIX filesystem; this format is
+# for object-store deployments where rename does not exist.
+
+def read_layer_table(spark: SparkSession, warehouse: str, layer: str,
+                     name: str) -> DataFrame | None:
+    """Latest snapshot of a commit-log layer table; None while the
+    log is empty (mirrors io.read_layer_table's contract)."""
+    return CommitLogTable(
+        os.path.join(warehouse, layer, name)).read(spark)
+
+
+def insert_if_absent(spark: SparkSession, new_df: DataFrame,
+                     warehouse: str, layer: str, name: str,
+                     keys: list[str],
+                     partition_by: list[str] | None = None) -> None:
+    """Idempotent append through the commit log: the anti-join runs
+    inside the optimistic transaction, so first-writer-wins holds
+    across CONCURRENT pipeline runs — the property the rename-based
+    layout needs io.table_lock (kernel flock) for.
+
+    ``partition_by`` is accepted for signature parity and ignored:
+    segments are immutable whole units addressed by the manifest;
+    at scale, partition pruning for this format is manifest-level
+    (per-segment min/max stats), not directory-level."""
+    CommitLogTable(
+        os.path.join(warehouse, layer, name)
+    ).insert_if_absent(spark, new_df, keys)

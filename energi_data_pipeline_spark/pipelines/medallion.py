@@ -31,7 +31,26 @@ from ..sources.rest import INITIAL_CURSOR, format_cursor
 EPOCH = datetime(1970, 1, 1)
 
 
-def run_bronze(spark: SparkSession, warehouse: str, source) -> int:
+def _layer_io(table_format: str):
+    """(read_layer_table, insert_if_absent) for the chosen storage
+    format.  ``"parquet"`` (default): the rename-based layout —
+    correct on any single POSIX filesystem, which is the reference's
+    own scope.  ``"commitlog"``: the put-if-absent commit-log format
+    (commitlog.CommitLogTable) for object-store deployments where
+    atomic rename does not exist; same layer/table addressing, same
+    idempotent-append semantics, plus lock-free multi-writer safety
+    (r07 verdict #5)."""
+    if table_format == "parquet":
+        return read_layer_table, insert_if_absent
+    if table_format == "commitlog":
+        from .. import commitlog
+
+        return commitlog.read_layer_table, commitlog.insert_if_absent
+    raise ValueError(f"unknown table_format {table_format!r}")
+
+
+def run_bronze(spark: SparkSession, warehouse: str, source,
+               table_format: str = "parquet") -> int:
     """bronze_ingest.py equivalent: fetch records after the cursor,
     normalize, dedup the cursor-boundary rows, append.
 
@@ -40,37 +59,39 @@ def run_bronze(spark: SparkSession, warehouse: str, source) -> int:
     reference's external dlt state directory entirely.
     """
     t0 = time.time()
-    bronze = read_layer_table(spark, warehouse, "bronze", "power_system_raw")
+    read_t, insert_t = _layer_io(table_format)
+    bronze = read_t(spark, warehouse, "bronze", "power_system_raw")
     cursor = max_watermark(bronze, "minutes1_utc", None)
     cursor_str = format_cursor(cursor) if cursor else INITIAL_CURSOR
     records = source.fetch(cursor_str)
     df = records_to_bronze(spark, records)
-    insert_if_absent(spark, df, warehouse, "bronze", "power_system_raw",
-                     keys=["minutes1_utc"])
+    insert_t(spark, df, warehouse, "bronze", "power_system_raw",
+             keys=["minutes1_utc"])
     print(f"bronze: {len(records)} records in {time.time() - t0:.2f}s")
     return len(records)
 
 
-def run_silver(spark: SparkSession, warehouse: str) -> None:
+def run_silver(spark: SparkSession, warehouse: str,
+               table_format: str = "parquet") -> None:
     """silver_transform.py equivalent: watermark from the fact table,
     dim upsert + fact insert, stats report."""
-    bronze = read_layer_table(spark, warehouse, "bronze", "power_system_raw")
+    read_t, insert_t = _layer_io(table_format)
+    bronze = read_t(spark, warehouse, "bronze", "power_system_raw")
     if bronze is None:
         print("silver: no bronze data")
         return
-    fact_dst = read_layer_table(spark, warehouse, "silver",
-                                "fact_power_system")
+    fact_dst = read_t(spark, warehouse, "silver", "fact_power_system")
     wm = max_watermark(fact_dst, "time_id", EPOCH)
 
     dim = build_dim_time(bronze, watermark=wm)
-    insert_if_absent(spark, dim, warehouse, "silver", "dim_time",
-                     keys=["time_id"])
+    insert_t(spark, dim, warehouse, "silver", "dim_time",
+             keys=["time_id"])
     fact = build_fact(bronze, watermark=wm)
-    insert_if_absent(spark, fact, warehouse, "silver", "fact_power_system",
-                     keys=["time_id"])
+    insert_t(spark, fact, warehouse, "silver", "fact_power_system",
+             keys=["time_id"])
 
-    stats = read_layer_table(spark, warehouse, "silver",
-                             "fact_power_system").agg(
+    stats = read_t(spark, warehouse, "silver",
+                   "fact_power_system").agg(
         F.count(F.lit(1)).alias("total"),
         F.min("time_id").alias("earliest"),
         F.max("time_id").alias("latest")).first()
@@ -79,37 +100,44 @@ def run_silver(spark: SparkSession, warehouse: str) -> None:
 
 
 def run_gold(spark: SparkSession, warehouse: str,
-             scaled: bool = False) -> None:
+             scaled: bool = False,
+             table_format: str = "parquet") -> None:
     """gold_aggr.py equivalent: watermark from the gold table,
     lookback-extended window build, trim, idempotent insert."""
-    fact = read_layer_table(spark, warehouse, "silver", "fact_power_system")
-    dim = read_layer_table(spark, warehouse, "silver", "dim_time")
+    read_t, insert_t = _layer_io(table_format)
+    fact = read_t(spark, warehouse, "silver", "fact_power_system")
+    dim = read_t(spark, warehouse, "silver", "dim_time")
     if fact is None or dim is None:
         print("gold: no silver data")
         return
-    gold_dst = read_layer_table(spark, warehouse, "gold",
-                                "power_system_5min_avg")
+    gold_dst = read_t(spark, warehouse, "gold", "power_system_5min_avg")
     wm = max_watermark(gold_dst, "time_id", EPOCH)
     gold = build_gold(fact, dim, watermark=wm, scaled=scaled)
-    insert_if_absent(spark, gold, warehouse, "gold",
-                     "power_system_5min_avg", keys=["time_id"])
+    insert_t(spark, gold, warehouse, "gold",
+             "power_system_5min_avg", keys=["time_id"])
     print("gold: 5-minute moving averages updated")
 
 
 def export_ml_features(spark: SparkSession, warehouse: str,
-                       out_path: str, single_file: bool = True) -> None:
+                       out_path: str, single_file: bool = True,
+                       table_format: str = "parquet") -> None:
     """gold_aggr.py:226-255: ordered 13-column CSV export."""
-    gold = read_layer_table(spark, warehouse, "gold",
-                            "power_system_5min_avg")
+    read_t, _ = _layer_io(table_format)
+    gold = read_t(spark, warehouse, "gold", "power_system_5min_avg")
     export_csv(gold.select(*EXPORT_COLUMNS), out_path,
                order_by=["time_id"], single_file=single_file)
 
 
 def run_all(spark: SparkSession, warehouse: str, source,
-            csv_path: str | None = None) -> None:
-    """Sequential orchestration (the reference's __main__ blocks)."""
-    run_bronze(spark, warehouse, source)
-    run_silver(spark, warehouse)
-    run_gold(spark, warehouse)
+            csv_path: str | None = None,
+            table_format: str = "parquet") -> None:
+    """Sequential orchestration (the reference's __main__ blocks).
+
+    ``table_format="commitlog"`` runs the whole pipeline on the
+    put-if-absent commit-log format (see _layer_io)."""
+    run_bronze(spark, warehouse, source, table_format=table_format)
+    run_silver(spark, warehouse, table_format=table_format)
+    run_gold(spark, warehouse, table_format=table_format)
     if csv_path:
-        export_ml_features(spark, warehouse, csv_path)
+        export_ml_features(spark, warehouse, csv_path,
+                           table_format=table_format)

@@ -184,3 +184,76 @@ def test_csv_export(spark, tmp_path, records):
     assert len(rows) > 300
     ts = [r[0] for r in rows[1:]]
     assert ts == sorted(ts)  # ORDER BY time_id (gold_aggr.py:252)
+
+
+def gold_rows_commitlog(warehouse):
+    import duckdb
+
+    from energi_data_pipeline_spark.commitlog import CommitLogTable
+
+    # resolve the manifest and read exactly the live segments back
+    # through DuckDB — the same client surface as gold_rows_spark,
+    # so float comparison is client-identical
+    tbl = CommitLogTable(f"{warehouse}/gold/power_system_5min_avg")
+    segs = tbl.manifest()["segments"]
+    globs = ", ".join(
+        f"'{tbl.path}/data/{seg}/*.parquet'" for seg in segs)
+    con = duckdb.connect()
+    return con.execute(GOLD_SORT.format(
+        f"read_parquet([{globs}])")).fetchall()
+
+
+def test_commitlog_pipeline_equals_parquet_no_renames(
+        spark, tmp_path, records, monkeypatch):
+    """r07 verdict #5: the medallion runs END-TO-END on the
+    commit-log table format — with os.rename/os.replace/shutil.move
+    patched to raise (simulated object store; Spark's JVM-side
+    segment writer is out of scope per the commitlog module's scope
+    note) — and its gold layer, built INCREMENTALLY across two runs,
+    is row-identical to the rename-based parquet pipeline's."""
+    import os
+    import shutil
+
+    early = [r for r in records
+             if r["Minutes1UTC"] and
+             datetime.fromisoformat(r["Minutes1UTC"]) <= T1]
+
+    wh_pq = str(tmp_path / "wh_pq")
+    run_all(spark, wh_pq, FixtureSource(early))
+    run_all(spark, wh_pq, FixtureSource(records))
+
+    def _deny(*_a, **_k):
+        raise AssertionError(
+            "rename attempted during a commit-log pipeline run")
+
+    monkeypatch.setattr(os, "rename", _deny)
+    monkeypatch.setattr(os, "replace", _deny)
+    monkeypatch.setattr(shutil, "move", _deny)
+
+    wh_cl = str(tmp_path / "wh_cl")
+    run_all(spark, wh_cl, FixtureSource(early),
+            table_format="commitlog")
+    run_all(spark, wh_cl, FixtureSource(records),
+            table_format="commitlog")  # incremental second run
+
+    monkeypatch.undo()
+    cl, pq = gold_rows_commitlog(wh_cl), gold_rows_spark(spark, wh_pq)
+    assert len(cl) > 300
+    assert rows_close(cl, pq)
+
+    # every layer is versioned: two pipeline runs -> two commits on
+    # bronze, and the second gold commit appends a segment rather
+    # than rewriting history
+    from energi_data_pipeline_spark.commitlog import CommitLogTable
+
+    bronze = CommitLogTable(f"{wh_cl}/bronze/power_system_raw")
+    assert bronze.current_version() == 1
+    gold = CommitLogTable(f"{wh_cl}/gold/power_system_5min_avg")
+    assert len(gold.manifest()["segments"]) == 2
+
+    # the CSV export reads through the same format switch
+    out = str(tmp_path / "ml.csv")
+    export_ml_features(spark, wh_cl, out, table_format="commitlog")
+    import glob as _glob
+
+    assert _glob.glob(out + "*"), "export produced no csv"
