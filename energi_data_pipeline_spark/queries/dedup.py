@@ -444,8 +444,22 @@ JACCARD_T = 0.5
 GRAM_ROW_BCAST_BYTES = 32
 GRAM_BCAST_MAX_BYTES = 1_500_000_000
 
+#: Target per-partition gram mass for the post-knee sort-merge
+#: branch.  Left at spark.sql.shuffle.partitions (32), the x100
+#: rehearsal's containment join put ~1/32 of a ~70 GB gram-pair
+#: stream through each task's sorter + pair-count hash aggregate
+#: and OOM'd the 8 GiB heap (round-8 rehearsal, shipped plan);
+#: re-keying the exchange to 256 partitions ran the identical plan
+#: to completion with bounded task memory.  512 MB of ESTIMATED
+#: hashed mass per partition reproduces that measured-safe point
+#: (x100: 4.8 GB text x 32 B -> 287 partitions) and keeps every
+#: smaller corpus at the session's default parallelism.
+GRAM_MERGE_TARGET_BYTES = 512 * 1024 * 1024
+GRAM_MERGE_MAX_PARTITIONS = 4096
 
-def gram_join_side(gram_build_below_knee, sf_dir):
+
+def gram_join_side(gram_build_below_knee, sf_dir,
+                   keys=("src_b", "h_b")):
     """Apply the corpus-adaptive join strategy to the build side of
     a gram-stream self-join: the side is only ever broadcast while
     its ESTIMATED hashed size — exploded gram mass derived from
@@ -463,9 +477,23 @@ def gram_join_side(gram_build_below_knee, sf_dir):
         os.path.join(sf_dir, "documents.parquet"), "text")
     budget = broadcast_budget_bytes(
         gram_build_below_knee.sparkSession)
-    if text_bytes * GRAM_ROW_BCAST_BYTES <= budget:
+    est_bytes = text_bytes * GRAM_ROW_BCAST_BYTES
+    if est_bytes <= budget:
         return F.broadcast(gram_build_below_knee)
-    return gram_build_below_knee.hint("merge")
+    # Past the knee the exchange width must scale with gram mass,
+    # not inherit spark.sql.shuffle.partitions — see
+    # GRAM_MERGE_TARGET_BYTES.  Repartitioning the build side on
+    # its join keys pins the width; ENSURE_REQUIREMENTS then
+    # shuffles the probe side to the same width, so both sort runs
+    # shrink together.  Skipped when the caller's key columns are
+    # absent (plan-shape tests probe the knee with a stub side).
+    side = gram_build_below_knee
+    if all(k in side.columns for k in keys):
+        width = min(GRAM_MERGE_MAX_PARTITIONS, max(
+            side.sparkSession.sparkContext.defaultParallelism,
+            -(-est_bytes // GRAM_MERGE_TARGET_BYTES)))
+        side = side.repartition(int(width), *keys)
+    return side.hint("merge")
 
 
 @query(

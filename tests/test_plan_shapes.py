@@ -565,6 +565,45 @@ def test_gram_knee_parameterized_over_heap(spark, tmp_path,
     assert "broadcast" not in small_heap, small_heap
 
 
+def test_gram_merge_width_scales_with_mass(spark, monkeypatch):
+    # Round-8 rehearsal: at x100 the post-knee SMJ inherited the
+    # session's 32 shuffle partitions and OOM'd the 8 GiB heap on
+    # the containment pair stream; pinning the exchange to 256
+    # ran to completion.  The shipped plan must therefore size the
+    # merge exchange from estimated gram mass (512 MB of hashed
+    # mass per partition -> 287 at the x100 point), and must leave
+    # small post-knee corpora at the session's default parallelism.
+    import energi_data_pipeline_spark.io as io
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.dedup import gram_join_side
+    from tests.conftest import SF001
+
+    side = spark.range(4).select(
+        F.col("id").alias("doc_b"),
+        F.lit("s").alias("src_b"),
+        F.col("id").alias("h_b"))
+
+    # the x100 rehearsal point: 4.8 GB of text -> 153.6 GB hashed
+    monkeypatch.setattr(io, "parquet_column_bytes",
+                        lambda p, c: 4_800_000_000)
+    plan = (gram_join_side(side, SF001)
+            ._jdf.queryExecution().logical().toString())
+    assert "merge" in plan, plan
+    assert "RepartitionByExpression" in plan, plan
+    assert ", 287" in plan, plan  # ceil(4.8e9*32 / 512 MiB)
+
+    # just past the broadcast knee: width clamps to parallelism,
+    # never below it
+    monkeypatch.setattr(io, "parquet_column_bytes",
+                        lambda p, c: 50_000_000)
+    near = (gram_join_side(side, SF001)
+            ._jdf.queryExecution().logical().toString())
+    par = spark.sparkContext.defaultParallelism
+    assert f"RepartitionByExpression [src_b" in near, near
+    assert f", {par}" in near, near
+
+
 def test_tfidf_query_join_strategy_knee(spark, monkeypatch):
     # The query-sided posting join broadcasts its stride-reduced
     # query side below the heap-derived budget (measured 3x faster
