@@ -856,6 +856,26 @@ def dedup_containment(spark, sf_dir):
     of the ORIGINAL strings, so a hash collision cannot change it.
     The ratio filter runs on the UNROUNDED quotient of exact small
     ints, exactly like the oracle's WHERE."""
+    return containment_finish(containment_inter(spark, sf_dir))
+
+
+def containment_inter(spark, sf_dir, slice_of=None):
+    """Per-pair common-gram counts BEFORE the containment-threshold
+    filter — the shared interior of :func:`dedup_containment`.
+
+    ``slice_of=(i, k)`` restricts the hashed gram stream to
+    ``pmod(h, k) == i`` on BOTH sides of the self-join.  Because the
+    join key includes ``h``, slices are disjoint and exhaustive, so
+    summing ``n_common`` per ``(doc_a, doc_b, n_a, n_b)`` across all
+    ``k`` slices reproduces the unsliced counts EXACTLY (``n_a`` /
+    ``n_b`` come from the full gram arrays, computed before the
+    slice filter).  This is the bounded-scratch execution path for a
+    corpus whose gram-pair shuffle exceeds scratch-disk capacity:
+    each slice pays one extra corpus scan but shuffles/sorts ~1/k of
+    the join, so peak scratch is ~1/k — the same seam that bounds
+    per-wave shuffle volume against executor-local disk on a
+    cluster.  Slice-exactness is pinned in
+    tests/test_plan_shapes.py::test_containment_slices_exact."""
     from pyspark import StorageLevel
 
     d = spread(t(spark, sf_dir, "documents"))
@@ -875,8 +895,11 @@ def dedup_containment(spark, sf_dir):
           .filter(F.length("s") >= NGRAM)
           .select("doc_id", "source", ga.alias("ga"))
           .withColumn("n", F.size("ga"))
-          .select("doc_id", "source", "n", F.explode(gh).alias("h"))
-          .persist(StorageLevel.DISK_ONLY))
+          .select("doc_id", "source", "n", F.explode(gh).alias("h")))
+    if slice_of is not None:
+        i, k = slice_of
+        gl = gl.filter(F.pmod(F.col("h"), F.lit(k)) == F.lit(i))
+    gl = gl.persist(StorageLevel.DISK_ONLY)
     a = gl.select(F.col("doc_id").alias("doc_a"), "source",
                   F.col("n").alias("n_a"), "h")
     # corpus-adaptive join strategy — see GRAM_BCAST_MAX_BYTES
@@ -885,11 +908,18 @@ def dedup_containment(spark, sf_dir):
                   F.col("source").alias("src_b"),
                   F.col("n").alias("n_b"), F.col("h").alias("h_b")),
         sf_dir)
-    inter = (a.join(b, (F.col("source") == F.col("src_b"))
-                    & (F.col("h") == F.col("h_b"))
-                    & (F.col("doc_a") != F.col("doc_b")))
-             .groupBy("doc_a", "doc_b", "n_a", "n_b")
-             .agg(F.count(F.lit(1)).alias("n_common")))
+    return (a.join(b, (F.col("source") == F.col("src_b"))
+                   & (F.col("h") == F.col("h_b"))
+                   & (F.col("doc_a") != F.col("doc_b")))
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_common")))
+
+
+def containment_finish(inter):
+    """Containment threshold + output projection over the per-pair
+    counts from :func:`containment_inter` — or over hash-slice
+    partials re-summed per pair (``groupBy(doc_a, doc_b, n_a,
+    n_b).agg(sum(n_common))``), which are count-identical."""
     contain = F.col("n_common").cast("double") / F.col("n_a")
     return (inter.filter(contain >= CONTAIN_T)
             .select("doc_a", "doc_b",

@@ -604,6 +604,35 @@ def test_gram_merge_width_scales_with_mass(spark, monkeypatch):
     assert f", {par}" in near, near
 
 
+def test_containment_slices_exact(spark):
+    # Bounded-scratch execution: the gram self-join sliced into k
+    # disjoint hash slices (pmod(h, k) == i on BOTH sides), partial
+    # per-pair counts re-summed, must reproduce the unsliced result
+    # EXACTLY — the join key includes h, so no cross-slice pair is
+    # ever lost and no within-slice pair double-counts.  This is the
+    # seam the x100 rehearsal uses to fit a >scratch-disk shuffle.
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.dedup import (
+        containment_finish, containment_inter, dedup_containment)
+    from tests.conftest import SF001
+
+    whole = sorted(map(tuple, dedup_containment(spark, SF001)
+                       .collect()))
+    k = 3
+    parts = [containment_inter(spark, SF001, slice_of=(i, k))
+             for i in range(k)]
+    merged = containment_finish(
+        reduce(lambda x, y: x.unionByName(y), parts)
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.sum("n_common").alias("n_common")))
+    sliced = sorted(map(tuple, merged.collect()))
+    assert sliced == whole
+    assert len(whole) > 0
+
+
 def test_tfidf_query_join_strategy_knee(spark, monkeypatch):
     # The query-sided posting join broadcasts its stride-reduced
     # query side below the heap-derived budget (measured 3x faster
