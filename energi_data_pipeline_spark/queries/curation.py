@@ -1065,20 +1065,28 @@ def curation_quality_classifier(spark, sf_dir):
     per doc (zip_with + aggregate over the array — pure codegen),
     then posexplode to (bucket, err*x) rows whose groupBy(bucket)
     partially aggregates map-side to D+1 rows per task — the
-    shuffle moves ~(D+1) x n_tasks rows, never the corpus — and a
-    D+1-row collect of the rounded weight update.  Plans cannot
-    grow with iterations because each round starts from literals.
+    shuffle moves ~(D+1) x n_tasks rows, never the corpus.  The
+    GD_ITERS rounds CHAIN inside one plan: round i's D+1-row weight
+    table is collapsed to a single-row array column
+    (array_sort(collect_list) — model parameters, bounded by
+    construction) and broadcast-cross-joined back onto the persisted
+    feature vectors for round i+1, so the whole train is ONE action
+    with no per-iteration driver round-trip or collect.
     (Lineage: the round-6 sweep caught v1 at 10.9s — long-format
     weights meant 4 corpus shuffles/round.  v2 built the features
     with TWO corpus scans — a tokenize pass plus a separate
     labels scan joined back — costing ~0.8s of the 2.1s feature
     build; v3 folds label + source into the tokenizing projection,
-    see _dense_features.  A D+1-accumulator no-key aggregate was
-    ALSO measured as the gradient shape and REJECTED: 65 separate
-    sum slots ran ~3x slower per iteration than posexplode's
-    single-expression partial agg — wide agg buffers beat narrow
-    exploded rows only when the explode fan-out exceeds the
-    accumulator width, and here both are D+1.)
+    see _dense_features; v4 replaces v3's per-round
+    literal-weights + 65-row collect loop with the chained
+    broadcast re-entry above — the arithmetic is untouched, only
+    the driver round-trips between rounds are gone.  A
+    D+1-accumulator no-key aggregate was ALSO measured as the
+    gradient shape and REJECTED: 65 separate sum slots ran ~3x
+    slower per iteration than posexplode's single-expression
+    partial agg — wide agg buffers beat narrow exploded rows only
+    when the explode fan-out exceeds the accumulator width, and
+    here both are D+1.)
 
     Float discipline: margins and gradients accumulate in exact
     fixed point (floor(v*1e8+0.5) as BIGINT; absent buckets
@@ -1098,37 +1106,56 @@ def curation_quality_classifier(spark, sf_dir):
     n_docs = float(parquet_row_count(
         os.path.join(sf_dir, "documents.parquet")))
 
-    w = [0.0] * (D_FEATS + 1)
-    for _ in range(GD_ITERS):
-        # ARRAY-typed literal, not per-element double literals:
-        # complex literals ride the codegen `references` array so
-        # the generated source is identical across iterations (a
-        # codegen-cache hit); inlined doubles would recompile the
-        # whole stage every round
-        w_arr = F.lit([float(v) for v in w])
+    # round 0 starts from the zero-vector LITERAL; every later
+    # round's weights re-enter as a broadcast single-row array
+    # column, so the whole unroll is one lazy plan
+    w_expr = F.lit([0.0] * (D_FEATS + 1))
+    upd = None
+    for i in range(GD_ITERS):
+        if i == 0:
+            cur = fxv
+        else:
+            # collapse the previous round's D+1 weight rows into
+            # ONE array row (sorted by pos — struct sort orders on
+            # the leading field) and broadcast it back onto the
+            # persisted feature vectors
+            wrow = (upd.agg(F.array_sort(
+                F.collect_list(F.struct("pos", "w"))).alias("pw"))
+                .select(F.transform(F.col("pw"),
+                                    lambda s: s["w"])
+                        .alias("w_arr")))
+            cur = fxv.crossJoin(F.broadcast(wrow))
+            w_expr = F.col("w_arr")
         m = (F.aggregate(
-            F.zip_with(F.col("xs"), w_arr,
+            F.zip_with(F.col("xs"), w_expr,
                        lambda x, wv: F.floor(wv * x * 1e8 + 0.5)
                        .cast("long")),
             F.lit(0).cast("long"), lambda a, b: a + b)
             .cast("double") / 1e8)
         p = F.lit(0.5) + F.lit(0.5) * m / (F.lit(1) + F.abs(m))
-        ex = fxv.select((p - F.col("y")).alias("err"),
-                        F.posexplode("xs").alias("pos", "x"))
-        grad = (ex.groupBy("pos")
-                .agg((F.sum(F.floor(F.col("err") * F.col("x")
-                                    * 1e8 + 0.5).cast("long"))
-                      .cast("double") / 1e8).alias("g")))
+        cols = [(p - F.col("y")).alias("err"),
+                F.posexplode("xs").alias("pos", "x")]
+        if i > 0:
+            cols.append(F.col("w_arr"))
+        ex = cur.select(*cols)
+        # xs is DENSE (length D+1 always), so every pos appears for
+        # every doc — grad has exactly D+1 rows, matching the
+        # oracle's LEFT JOIN + COALESCE(g, 0) without a fill step.
+        # w_arr is constant across rows; first() re-surfaces it
+        # past the aggregation for the update expression
+        aggs = [(F.sum(F.floor(F.col("err") * F.col("x")
+                               * 1e8 + 0.5).cast("long"))
+                 .cast("double") / 1e8).alias("g")]
+        if i > 0:
+            aggs.append(F.first("w_arr").alias("w_arr"))
+        grad = ex.groupBy("pos").agg(*aggs)
         upd = grad.select(
             "pos",
-            F.round(F.element_at(w_arr, F.col("pos") + 1)
+            F.round(F.element_at(w_expr, F.col("pos") + 1)
                     - F.lit(GD_LR) * F.col("g") / F.lit(n_docs),
                     8).alias("w"))
-        got = {r["pos"]: r["w"] for r in upd.collect()}
-        w = [got[j] for j in range(D_FEATS + 1)]
-    return spark.createDataFrame(
-        [(j, w[j]) for j in range(D_FEATS + 1)],
-        "feat int, weight double")
+    return upd.select(F.col("pos").alias("feat"),
+                      F.col("w").alias("weight"))
 
 
 def _gate_oracle() -> str:
