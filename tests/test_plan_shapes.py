@@ -96,6 +96,11 @@ BOUNDED_BROADCAST_SIDES = {
     "hit",                           # Bloom bit-position set:
                                      # <= BLOOM_BITS rows by
                                      # construction
+    "wrow",                          # classifier GD weights: ONE row
+                                     # holding a D+1 array (model
+                                     # parameters, bounded by
+                                     # construction — curation.py
+                                     # chained-GD re-entry)
 }
 
 
