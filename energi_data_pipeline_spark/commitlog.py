@@ -244,10 +244,19 @@ class CommitLogTable:
                          keys: list[str]) -> int:
         """``ON CONFLICT DO NOTHING`` with multi-writer safety: the
         anti-join re-runs against the fresh snapshot on every retry,
-        so first-writer-wins holds across concurrent committers."""
-        return self.transact(
-            spark, lambda base: anti_join_new(df, base, keys),
-            op="append")
+        so first-writer-wins holds across concurrent committers.
+        A re-run that finds NOTHING new returns None from the
+        builder, so transact publishes no commit — idempotent
+        replays must not bump the version or accumulate empty
+        segments (the 'idempotent append' contract)."""
+
+        def _build(base):
+            out = anti_join_new(df, base, keys)
+            if base is not None and not out.head(1):
+                return None  # all rows already present: no commit
+            return out
+
+        return self.transact(spark, _build, op="append")
 
     def merge(self, spark: SparkSession, source: DataFrame,
               keys: list[str]) -> int:

@@ -124,26 +124,33 @@ BCAST_HEAP_FRACTION = 1_500_000_000 / (8 << 30)
 
 
 def jvm_heap_bytes(spark) -> int:
-    """The heap that holds broadcast hash relations: the EXECUTOR
-    heap on a cluster; in local mode executors live inside the
-    driver JVM, so the driver heap is the executor heap.  Falls back
-    to Spark's 1g default when neither conf is set."""
+    """The heap that must hold a broadcast hash relation.  In local
+    mode executors live inside the driver JVM, so the driver heap IS
+    the executor heap.  On a cluster the build side is materialized
+    in BOTH places — collected on the driver, then copied to every
+    executor — so the binding constraint is the SMALLER of the two
+    heaps (a 64g-executor / 2g-driver deployment must budget against
+    the 2g driver, not the executors).  Falls back to Spark's 1g
+    default when neither conf is set."""
     is_local = False
     try:
         is_local = spark.conf.get("spark.master", "").startswith("local")
     except Exception:
         pass
-    keys = (["spark.driver.memory", "spark.executor.memory"]
-            if is_local else
-            ["spark.executor.memory", "spark.driver.memory"])
-    for key in keys:
+
+    def _get(key):
         try:
             v = spark.conf.get(key, None)
         except Exception:
             v = None
-        if v:
-            return _parse_mem_bytes(v)
-    return 1 << 30
+        return _parse_mem_bytes(v) if v else None
+
+    driver = _get("spark.driver.memory")
+    executor = _get("spark.executor.memory")
+    if is_local:
+        return driver or executor or (1 << 30)
+    both = [b for b in (driver, executor) if b is not None]
+    return min(both) if both else (1 << 30)
 
 
 def _parse_mem_bytes(v: str) -> int:

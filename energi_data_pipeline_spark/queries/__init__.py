@@ -224,30 +224,28 @@ _DRIVER_VERIFIED = frozenset({
 #: backlog, behind this window), and therefore lands inside the
 #: driver's first-50 verify slice the round it is added.
 #:
-#: ROUND-8 ROTATION (r07 greens were all re-verifications of names
-#: already in _DRIVER_VERIFIED, so nothing moved): this window now
-#: tracks CHANGED CODE, per the r07 verdict — every entry whose
+#: Since round 8 this window tracks CHANGED CODE — every entry whose
 #: implementation OR transitively-shared helper was modified this
 #: round is pinned here so the driver re-verifies it ahead of the
-#: green backlog.  Convention from round 8 on: touching a query or
-#: helper => add every consuming registry entry to this tuple; clear
-#: the tuple at the start of the next round once its CORRECTNESS
-#: rows land green.
+#: green backlog.  Convention: touching a query or helper => add
+#: every consuming registry entry to this tuple; clear/rebuild the
+#: tuple at the start of the next round once its CORRECTNESS rows
+#: land green.  ROUND-9 ROTATION: all nine r08 pins landed green in
+#: CORRECTNESS_r08 (50/50) and were already in _DRIVER_VERIFIED;
+#: the window now pins the round-9 perf-target entries.
 _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
-    # round-8 changes: _dense_features one-scan rewrite (translate
-    # label counts, label/source carried through the Generate) +
-    # array-literal GD weights — consumed by both classifier entries
+    # round-9 perf targets (VERDICT r08 #2-#4): shared _tfidf_w scan
+    # fusion touches both hybrid legs and the tfidf pair query
+    "sims_hybrid_rrf", "text_tfidf_cosine_pairs",
+    # round-9: classifier steady-state cut (shared _dense_features /
+    # GD chain) — both consumers pinned
     "curation_quality_classifier", "curation_classifier_gate",
-    # round-7 changes the r07 window missed (shared-helper consumers
-    # flagged by the verdict): _tfidf_w rewrite consumers and the
-    # gram_join_side re-key consumer
-    "sims_hybrid_rrf", "dedup_containment",
-    # round-8: heap-derived broadcast budget (gram_join_side + the
-    # new query-posting knee) also touches the jaccard gram join
-    "dedup_ngram_jaccard", "text_tfidf_cosine_pairs",
-    # round-8: corpus-adaptive sketch sizing (hll/cm/bloom params)
-    "sketch_hll_distinct", "sketch_countmin_heavy_hitters",
-    "sketch_bloom_semijoin",
+    # round-9: ann-lsh bucketed re-plan + cte fastsum re-plan
+    "sims_ann_lsh_bucketed", "core_cte_chain_fastsum",
+    # round-9: io.jvm_heap_bytes now keys on min(driver, executor)
+    # and gram_join_side warns on missing keys — pin the gram-join
+    # and posting-knee consumers that ride those helpers
+    "dedup_ngram_jaccard", "dedup_containment",
 )
 
 

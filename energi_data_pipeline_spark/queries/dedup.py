@@ -485,14 +485,27 @@ def gram_join_side(gram_build_below_knee, sf_dir,
     # GRAM_MERGE_TARGET_BYTES.  Repartitioning the build side on
     # its join keys pins the width; ENSURE_REQUIREMENTS then
     # shuffles the probe side to the same width, so both sort runs
-    # shrink together.  Skipped when the caller's key columns are
-    # absent (plan-shape tests probe the knee with a stub side).
+    # shrink together.  Missing key columns mean the caller would
+    # silently lose this OOM guard (the exact x100 failure the
+    # width exists to prevent), so that is a loud warning, not a
+    # quiet fallback — only plan-shape tests probing the knee with
+    # a stub side should ever hit it.
     side = gram_build_below_knee
     if all(k in side.columns for k in keys):
         width = min(GRAM_MERGE_MAX_PARTITIONS, max(
             side.sparkSession.sparkContext.defaultParallelism,
             -(-est_bytes // GRAM_MERGE_TARGET_BYTES)))
         side = side.repartition(int(width), *keys)
+    else:
+        import warnings
+
+        warnings.warn(
+            "gram_join_side: join keys %r absent from build side %r "
+            "— post-knee exchange width NOT applied; past the "
+            "broadcast knee this plan inherits the session shuffle "
+            "width and can OOM at scale (pass keys= matching the "
+            "join columns)" % (keys, side.columns),
+            stacklevel=2)
     return side.hint("merge")
 
 

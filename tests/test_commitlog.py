@@ -81,6 +81,25 @@ def test_insert_if_absent_first_writer_wins(spark, tmp_path, deny_rename):
     assert rows(t.read(spark)) == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_insert_if_absent_replay_commits_nothing(spark, tmp_path,
+                                                 deny_rename):
+    """Idempotent re-runs must not bump the version or accumulate
+    empty segments (ADVICE r08: transact only short-circuited on
+    None, so an all-duplicate batch committed an empty segment)."""
+    t = CommitLogTable(str(tmp_path / "t"))
+    t.insert_if_absent(spark, make(spark, [(1, "a"), (2, "b")]), ["k"])
+    v0 = t.current_version()
+    segs0 = t.manifest(v0)["segments"]
+    # exact replay: nothing new -> no new commit, no new segment
+    t.insert_if_absent(spark, make(spark, [(1, "a"), (2, "b")]), ["k"])
+    assert t.current_version() == v0
+    assert t.manifest(t.current_version())["segments"] == segs0
+    # a genuinely-new row still commits
+    t.insert_if_absent(spark, make(spark, [(2, "dup"), (3, "c")]), ["k"])
+    assert t.current_version() == v0 + 1
+    assert rows(t.read(spark)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
 def test_merge_upserts(spark, tmp_path, deny_rename):
     t = CommitLogTable(str(tmp_path / "t"))
     t.merge(spark, make(spark, [(1, "a"), (2, "b")]), ["k"])

@@ -609,6 +609,57 @@ def test_gram_merge_width_scales_with_mass(spark, monkeypatch):
     assert f", {par}" in near, near
 
 
+def test_gram_merge_missing_keys_warns(spark, monkeypatch):
+    # ADVICE r08: a post-knee build side WITHOUT the expected join
+    # keys silently lost the width guard (the exact x100 OOM class);
+    # it must now warn loudly so a real caller can't regress quietly.
+    import warnings
+
+    import energi_data_pipeline_spark.io as io
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.dedup import gram_join_side
+    from tests.conftest import SF001
+
+    stub = spark.range(1).select(F.col("id").alias("doc_b"))
+    monkeypatch.setattr(io, "parquet_column_bytes",
+                        lambda p, c: 4_800_000_000)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gram_join_side(stub, SF001)
+    assert any("post-knee exchange width NOT applied" in str(x.message)
+               for x in w), [str(x.message) for x in w]
+
+
+def test_jvm_heap_is_min_of_driver_and_executor():
+    # ADVICE r08 (medium): on a cluster the broadcast build side is
+    # materialized on BOTH the driver (collect) and every executor,
+    # so the budget must key on the SMALLER heap — 64g executors
+    # with a 2g driver must budget against 2g.
+    from energi_data_pipeline_spark.io import jvm_heap_bytes
+
+    class FakeConf:
+        def __init__(self, vals):
+            self.vals = vals
+
+        def get(self, k, d=None):
+            return self.vals.get(k, d)
+
+    class FakeSpark:
+        def __init__(self, vals):
+            self.conf = FakeConf(vals)
+
+    cluster = FakeSpark({"spark.master": "yarn",
+                         "spark.executor.memory": "64g",
+                         "spark.driver.memory": "2g"})
+    assert jvm_heap_bytes(cluster) == 2 << 30
+    local = FakeSpark({"spark.master": "local[8]",
+                       "spark.driver.memory": "8g"})
+    assert jvm_heap_bytes(local) == 8 << 30
+    bare = FakeSpark({"spark.master": "yarn"})
+    assert jvm_heap_bytes(bare) == 1 << 30
+
+
 def test_containment_slices_exact(spark):
     # Bounded-scratch execution: the gram self-join sliced into k
     # disjoint hash slices (pmod(h, k) == i on BOTH sides), partial
