@@ -218,6 +218,18 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     return _nanos_columns_at(path, st.st_mtime_ns, st.st_size)
 
 
+#: memoized table DataFrames: (applicationId, path, mtime_ns, size)
+#: -> DataFrame.  A DataFrame is an immutable logical plan, so
+#: handing the same object to every caller is safe; building it anew
+#: costs a spark.read.parquet footer/schema round trip (~50-100ms)
+#: per TABLE per QUERY build, which the round-9 profile found adding
+#: up to a third of the bench numerator across a 4-table star query.
+#: Keyed on file identity like the pyarrow footer caches so a
+#: regenerated table invalidates; keyed on applicationId so a
+#: stopped session's JVM plan is never served to a new session.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table: ``{sf_dir}/{name}.parquet``.
 
@@ -228,9 +240,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     tune(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    key = (spark.sparkContext.applicationId, path,
+           st.st_mtime_ns, st.st_size)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(path)
     for c in _nanos_columns(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    if len(_TABLE_CACHE) > 256:  # old sessions' plans: drop, rebuild
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[key] = df
     return df
 
 

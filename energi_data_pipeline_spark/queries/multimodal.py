@@ -514,7 +514,7 @@ def pipeline_text_to_ann(spark, sf_dir):
         bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     v = vec.select("doc_id", "emb",
-                   _snorm(F.col("emb")).alias("nrm"),
+                   _snorm("emb").alias("nrm"),
                    bucket.cast("bigint").alias("bucket")).cache()
     other = v.select(F.col("doc_id").alias("neighbor_id"),
                      F.col("emb").alias("n_emb"),
@@ -524,7 +524,7 @@ def pipeline_text_to_ann(spark, sf_dir):
         v.join(other, (F.col("bucket") == F.col("n_bucket"))
                & (F.col("neighbor_id") != F.col("doc_id")))
         .select("doc_id", "neighbor_id",
-                F.round(_sdot(F.col("emb"), F.col("n_emb"))
+                F.round(_sdot("emb", "n_emb")
                         / (F.col("nrm") * F.col("n_nrm")), 6)
                 .alias("cosine")))
     from pyspark.sql import Window

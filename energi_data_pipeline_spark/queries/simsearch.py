@@ -100,13 +100,30 @@ DOT_SQL_FRAGMENT = """
 
 
 def _dot(a, b):
-    """JVM-side dot product: zip_with multiply + aggregate fold."""
+    """JVM-side dot product: zip_with multiply + aggregate fold.
+
+    When BOTH inputs are column names (strings), the expression is
+    built as ONE ``F.expr`` SQL string instead of composing pyspark
+    lambda Columns: the resolved plan is identical (verified
+    value-for-value), but the construction is a single py4j round
+    trip where the lambda-composition path costs ~0.05s of
+    driver-side build per call — the round-9 profile found the
+    embedding family's bench walls dominated by plan BUILD time,
+    not execution (sims_ann_lsh_bucketed: ~1.1s build vs ~0.2s
+    exec at sf0.1)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, x) -> acc + x)")
     prods = F.zip_with(a, b, lambda x, y: x.cast("double")
                        * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _norm(a):
+    """L2 norm; accepts a column name (fast expr-string build, see
+    :func:`_dot`) or a Column."""
     return F.sqrt(_dot(a, a))
 
 
@@ -150,7 +167,7 @@ def sims_cosine_topk_bruteforce(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm"))
+        _norm("embedding").alias("nrm"))
     corpus = vec.withColumn(
         "blk", F.pmod(F.col("vec_id"),
                       F.lit(blocks_for(corpus_size(sf_dir)))).cast("int"))
@@ -169,7 +186,7 @@ def sims_cosine_topk_bruteforce(spark, sf_dir):
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
+                _dot("q_emb", "embedding")
                 / (F.col("q_nrm") * F.col("nrm")), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -217,17 +234,29 @@ def _bucket_col(n_planes: int = N_PLANES):
     per-row work is a pure zip_with/aggregate dot product — zero
     hashing at runtime (the expression-level md5 variant cost 256
     md5 calls per row).  The DuckDB oracle still derives the same
-    weights from md5 in SQL, so buckets match bit-for-bit."""
-    bucket = None
+    weights from md5 in SQL, so buckets match bit-for-bit.
+
+    The whole bucket is built as ONE ``F.expr`` SQL string — a
+    single py4j round trip.  The original per-plane
+    ``F.array(*[F.lit(x) ...])`` + lambda composition made ~2300
+    py4j calls for the 8-plane code, which profiled as ~1.1-1.4s of
+    driver-side plan BUILD per query invocation — more than the
+    query's entire cluster-side execution at sf0.1 (~0.2s; the r08
+    verdict's 7.9x flag on sims_ann_lsh_bucketed was mostly this).
+    The resolved expressions are identical (verified
+    value-for-value against the composed form), so oracle parity is
+    untouched."""
+    parts = []
     for p in range(n_planes):
-        w = F.array(*[F.lit(float(x)) for x in _plane_weights(p)])
-        proj = F.aggregate(
-            F.zip_with(w, F.col("embedding"),
-                       lambda a, b: a * b.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("bigint")
+        arr = ("array(" + ",".join(
+            f"{float(x)}D" for x in _plane_weights(p)) + ")")
+        proj = (f"aggregate(zip_with({arr}, embedding, "
+                f"(a, b) -> a * CAST(b AS DOUBLE)), 0.0D, "
+                f"(acc, x) -> acc + x)")
+        parts.append(f"(CASE WHEN {proj} > 0 "
+                     f"THEN {1 << p} ELSE 0 END)")
+    return F.expr(
+        "CAST((" + " + ".join(parts) + ") AS BIGINT)")
 
 
 ANN_LSH_SQL = f"""
@@ -273,7 +302,7 @@ def sims_ann_lsh_bucketed(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
+        _norm("embedding").alias("nrm"),
         _bucket_col(planes_for(corpus_size(sf_dir))).alias("bucket"),
     )
     # deliberately NOT cached: vec is corpus-cardinality (a cache
@@ -295,7 +324,7 @@ def sims_ann_lsh_bucketed(spark, sf_dir):
             F.col("vec_id").alias("neighbor_id"),
             "bucket",
             F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
+                _dot("q_emb", "embedding")
                 / (F.col("q_nrm") * F.col("nrm")), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -370,7 +399,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     # norm + bucket feed both sides of the self-join — compute once
     vec = emb.select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
+        _norm("embedding").alias("nrm"),
         _bucket_col(neardup_planes(corpus_size(sf_dir))).alias("bucket"),
     ).cache()
     other = vec.select(
@@ -385,7 +414,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         .select(
             "vec_id", "neighbor_id",
             F.round(
-                _dot(F.col("embedding"), F.col("n_emb"))
+                _dot("embedding", "n_emb")
                 / (F.col("nrm") * F.col("n_nrm")), 6).alias("cosine"))
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -486,7 +515,7 @@ def sims_ivf_ann(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm")).cache()
+        _norm("embedding").alias("nrm")).cache()
     cent = vec.filter(
         F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0
     ).select(
@@ -498,7 +527,7 @@ def sims_ivf_ann(spark, sf_dir):
     cell = (
         vec.crossJoin(F.broadcast(cent))
         .select("vec_id", "cent_id",
-                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                F.round(_dot("embedding", "c_emb")
                         / (F.col("nrm") * F.col("c_nrm")), 6)
                 .alias("c_cos"))
         .withColumn("rk", F.row_number().over(aw))
@@ -517,7 +546,7 @@ def sims_ivf_ann(spark, sf_dir):
         .select("query_id",
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("cell_id"),
-                F.round(_dot(F.col("q_emb"), F.col("embedding"))
+                F.round(_dot("q_emb", "embedding")
                         / (F.col("q_nrm") * F.col("nrm")), 6)
                 .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
@@ -634,7 +663,7 @@ def sims_knn_label_consistency(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding", "label",
-        _norm(F.col("embedding")).alias("nrm"))
+        _norm("embedding").alias("nrm"))
     corpus = vec.withColumn(
         "blk", F.pmod(F.col("vec_id"),
                       F.lit(blocks_for(corpus_size(sf_dir)))).cast("int"))
@@ -655,7 +684,7 @@ def sims_knn_label_consistency(spark, sf_dir):
             F.col("label").alias("n_label"),
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
+                _dot("q_emb", "embedding")
                 / (F.col("q_nrm") * F.col("nrm")), 6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
@@ -885,13 +914,13 @@ def sims_label_centroid_margin(spark, sf_dir):
                 F.array_sort(F.collect_list(F.struct("i", "c"))),
                 lambda x: x["c"]).alias("c_emb"))
             .select(F.col("label").alias("c_label"), "c_emb",
-                    _norm(F.col("c_emb")).alias("c_nrm")))
+                    _norm("c_emb").alias("c_nrm")))
     vec = emb.select("vec_id", "label", "embedding",
-                     _norm(F.col("embedding")).alias("nrm"))
+                     _norm("embedding").alias("nrm"))
     scored = (
         vec.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "c_label",
-                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                F.round(_dot("embedding", "c_emb")
                         / (F.col("nrm") * F.col("c_nrm")), 6)
                 .alias("cosine")))
     own = (scored.filter(F.col("label") == F.col("c_label"))
@@ -1045,7 +1074,7 @@ def dedup_incremental_embedding(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
+        _norm("embedding").alias("nrm"),
         _bucket_col(neardup_planes(corpus_size(sf_dir))).alias("bucket")).cache()
     corpus = vec.filter(F.col("vec_id") < EMB_INCR_SPLIT).select(
         F.col("vec_id").alias("corpus_id"),
@@ -1057,7 +1086,7 @@ def dedup_incremental_embedding(spark, sf_dir):
         batch.join(corpus, F.col("c_bucket") == F.col("bucket"))
         .select("vec_id",
                 "corpus_id",
-                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                F.round(_dot("embedding", "c_emb")
                         / (F.col("nrm") * F.col("c_nrm")), 6)
                 .alias("cosine")))
     w = Window.partitionBy("vec_id").orderBy(
@@ -1139,7 +1168,7 @@ def sims_ivf_multiprobe(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm")).cache()
+        _norm("embedding").alias("nrm")).cache()
     cent = vec.filter(
         F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0
     ).select(
@@ -1151,7 +1180,7 @@ def sims_ivf_multiprobe(spark, sf_dir):
     assign = (
         vec.crossJoin(F.broadcast(cent))
         .select("vec_id", "cent_id",
-                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                F.round(_dot("embedding", "c_emb")
                         / (F.col("nrm") * F.col("c_nrm")), 6)
                 .alias("c_cos"))
         .withColumn("rk", F.row_number().over(aw))).cache()
@@ -1172,7 +1201,7 @@ def sims_ivf_multiprobe(spark, sf_dir):
               & (F.col("vec_id") != F.col("query_id")))
         .select("query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                F.round(_dot(F.col("q_emb"), F.col("embedding"))
+                F.round(_dot("q_emb", "embedding")
                         / (F.col("q_nrm") * F.col("nrm")), 6)
                 .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
@@ -1287,7 +1316,7 @@ def sims_range_search(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
+        _norm("embedding").alias("nrm"),
         _bucket_col(neardup_planes(corpus_size(sf_dir))).alias("bucket"),
     ).cache()
     queries = vec.select(
@@ -1297,7 +1326,7 @@ def sims_range_search(spark, sf_dir):
         F.col("bucket").alias("q_bucket"),
     ).filter(F.col("query_id") % QUERY_STRIDE == 0)
     cos = F.round(
-        _dot(F.col("q_emb"), F.col("embedding"))
+        _dot("q_emb", "embedding")
         / (F.col("q_nrm") * F.col("nrm")), 6)
     return (
         queries
@@ -1384,8 +1413,8 @@ def sims_embedding_drift(spark, sf_dir):
         "label", F.col("emb").alias("u_emb"),
         F.col("n_vecs").alias("n_cur"))
     cos = F.round(
-        _dot(F.col("r_emb"), F.col("u_emb"))
-        / (_norm(F.col("r_emb")) * _norm(F.col("u_emb"))), 6)
+        _dot("r_emb", "u_emb")
+        / (_norm("r_emb") * _norm("u_emb")), 6)
     return (r.join(u, "label")
             .select("label",
                     F.col("n_ref").cast("bigint").alias("n_ref"),
@@ -1421,7 +1450,7 @@ def sims_norm_stats(spark, sf_dir):
     Map-only norm pass into a label-cardinality aggregate;
     DECIMAL-accumulated mean."""
     emb = spread(t(spark, sf_dir, "embeddings"))
-    v = emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+    v = emb.select("label", _norm("embedding").alias("nrm"))
     return (v.groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  F.round(F.min("nrm"), 6).alias("min_norm"),
@@ -1469,13 +1498,13 @@ def sims_cosine_histogram(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
+        _norm("embedding").alias("nrm"),
         _bucket_col(neardup_planes(corpus_size(sf_dir))).alias("bucket")).cache()
     other = vec.select(F.col("vec_id").alias("b_id"),
                        F.col("embedding").alias("b_emb"),
                        F.col("nrm").alias("b_nrm"),
                        F.col("bucket").alias("b_bucket"))
-    cos = F.round(_dot(F.col("embedding"), F.col("b_emb"))
+    cos = F.round(_dot("embedding", "b_emb")
                   / (F.col("nrm") * F.col("b_nrm")), 6)
     pairs = (vec.join(other, (F.col("bucket") == F.col("b_bucket"))
                       & (F.col("vec_id") < F.col("b_id")))
@@ -1548,7 +1577,7 @@ def sims_matryoshka_recall(spark, sf_dir):
     trunc = F.slice(F.col("embedding"), 1, MRL_DIM)
     vec = (emb.select(
         "vec_id", "embedding", trunc.alias("emb_t"),
-        _norm(F.col("embedding")).alias("nrm"),
+        _norm("embedding").alias("nrm"),
         _norm(trunc).alias("nrm_t"))
         # zero-norm (full or truncated) vectors have no direction;
         # their 0/0 cosine canonicalizes differently per engine —
@@ -1572,10 +1601,10 @@ def sims_matryoshka_recall(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_dot(F.col("q_emb"), F.col("embedding"))
+            F.round(_dot("q_emb", "embedding")
                     / (F.col("q_nrm") * F.col("nrm")), 6)
             .alias("cos_full"),
-            F.round(_dot(F.col("q_emb_t"), F.col("emb_t"))
+            F.round(_dot("q_emb_t", "emb_t")
                     / (F.col("q_nrm_t") * F.col("nrm_t")), 6)
             .alias("cos_trunc")))
     best = pairs.groupBy("query_id").agg(
@@ -1716,7 +1745,7 @@ def dedup_semantic_cells(spark, sf_dir):
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm")).cache()
+        _norm("embedding").alias("nrm")).cache()
     cent = vec.filter(
         F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0
     ).select(
@@ -1728,7 +1757,7 @@ def dedup_semantic_cells(spark, sf_dir):
     cell = (
         vec.crossJoin(F.broadcast(cent))
         .select("vec_id", "cent_id",
-                F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                F.round(_dot("embedding", "c_emb")
                         / (F.col("nrm") * F.col("c_nrm")), 6)
                 .alias("c_cos"))
         .withColumn("rk", F.row_number().over(aw))
@@ -1739,7 +1768,7 @@ def dedup_semantic_cells(spark, sf_dir):
                           F.col("embedding").alias("b_emb"),
                           F.col("nrm").alias("b_nrm"),
                           F.col("cell_id").alias("b_cell"))
-    pair_cos = F.round(_dot(F.col("embedding"), F.col("b_emb"))
+    pair_cos = F.round(_dot("embedding", "b_emb")
                        / (F.col("nrm") * F.col("b_nrm")), 6)
     lower_cos = (
         member.join(lower, (F.col("cell_id") == F.col("b_cell"))
@@ -1832,7 +1861,7 @@ def sims_ivfpq_ann(spark, sf_dir):
     DECIMAL — order-independent, engine-exact."""
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select("vec_id", "embedding",
-                     _norm(F.col("embedding")).alias("nrm")).cache()
+                     _norm("embedding").alias("nrm")).cache()
     stride = cent_stride_for(corpus_size(sf_dir))
     icent = vec.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
@@ -1842,7 +1871,7 @@ def sims_ivfpq_ann(spark, sf_dir):
         F.col("c_cos").desc(), F.col("cent_id"))
     cell = (vec.crossJoin(F.broadcast(icent))
             .select("vec_id", "cent_id",
-                    F.round(_dot(F.col("embedding"), F.col("c_emb"))
+                    F.round(_dot("embedding", "c_emb")
                             / (F.col("nrm") * F.col("c_nrm")), 6)
                     .alias("c_cos"))
             .withColumn("rk", F.row_number().over(aw))

@@ -1152,7 +1152,7 @@ def stream_incremental_embedding_index(spark, sf_dir):
         sess = batch_df.sparkSession
         batch_vec = (batch_df.select(
             "vec_id", "embedding",
-            _norm(F.col("embedding")).alias("nrm"),
+            _norm("embedding").alias("nrm"),
             _bucket_col(planes).cast("bigint").alias("bucket"))
             .localCheckpoint(eager=True))
         index = read_layer_table(sess, wh, "silver", "emb_index")
@@ -1168,7 +1168,7 @@ def stream_incremental_embedding_index(spark, sf_dir):
             F.col("embedding").alias("b_emb"),
             F.col("nrm").alias("b_nrm"),
             F.col("bucket").alias("b_bucket"))
-        cos = F.round(_dot(F.col("embedding"), F.col("b_emb"))
+        cos = F.round(_dot("embedding", "b_emb")
                       / (F.col("nrm") * F.col("b_nrm")), 6)
         dup_ids = (batch_vec
                    .join(partner,

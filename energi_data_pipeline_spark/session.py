@@ -15,6 +15,7 @@ Session-level choices that matter at scale:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -38,13 +39,33 @@ RUNTIME_CONF = {
 }
 
 
+#: sessions tune() has already configured — every conf.set is a py4j
+#: round trip and tune() runs on EVERY table read (t() + read_table),
+#: which profiled as ~10-50ms of pure driver chatter per query build
+#: at sf0.1 (round 9: plan-build time was a third of the bench
+#: numerator).  WeakSet so a stopped session doesn't pin its JVM
+#: gateway.
+_TUNED: weakref.WeakSet = weakref.WeakSet()
+
+
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable conf to an existing session (idempotent)."""
+    """Apply runtime-settable conf to an existing session (idempotent
+    and memoized per session object — re-invocations are a set
+    lookup, not 6 py4j conf.set round trips)."""
+    try:
+        if spark in _TUNED:
+            return spark
+    except TypeError:
+        pass  # not weakref-able on this build: fall through, re-set
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not runtime-settable on this build — keep going
+    try:
+        _TUNED.add(spark)
+    except TypeError:
+        pass
     return spark
 
 
