@@ -39,6 +39,25 @@ def _stateful_shuffle_partitions(spark, input_path: str) -> str:
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     return prev
 
+#: memoized parquet schemas for readStream sources, keyed on file
+#: identity + session (a stream source needs an explicit schema; the
+#: spark.read.parquet probe used to cost a ~50-100ms footer/schema
+#: round trip on EVERY streaming-query build — round-9 profile).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _stream_schema(spark, path: str):
+    st = os.stat(path)
+    key = (spark.sparkContext.applicationId, path,
+           st.st_mtime_ns, st.st_size)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is None:
+        if len(_SCHEMA_CACHE) > 256:
+            _SCHEMA_CACHE.clear()
+        hit = _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return hit
+
+
 def _with_event_time(df, ltz: bool = False):
     """``ts`` as a proper event-time column whether the parquet
     stored TIMESTAMP(NANOS) (surfaced by Spark as int64 nanos —
@@ -78,7 +97,7 @@ def stream_tumbling_window(spark, sf_dir):
     with ``withWatermark`` bounding the state store."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     agged = (
         # file stream sources take a directory + glob, not a file
@@ -353,7 +372,7 @@ def stream_sliding_window(spark, sf_dir):
     than the allowed lateness."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
     agged = (
         _with_event_time(
@@ -402,7 +421,7 @@ def stream_static_join(spark, sf_dir):
     restarting the stream."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     sink = f"stream_static_{uuid.uuid4().hex[:8]}"
     from ..io import read_table
     customer = read_table(spark, sf_dir, "customer") \
@@ -445,7 +464,7 @@ def stream_dedup_watermark(spark, sf_dir):
     DISTINCT and stays oracle-checkable."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     deduped = (
         _with_event_time(
@@ -488,7 +507,7 @@ def stream_stream_join(spark, sf_dir):
     it stays oracle-checkable."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     sink = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
 
     def side(event_type, ts_alias, user_alias):
@@ -556,7 +575,7 @@ def stream_topk_per_window(spark, sf_dir):
     never with the event volume."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     sink = f"stream_topk_{uuid.uuid4().hex[:8]}"
     agged = (
         _with_event_time(
@@ -637,7 +656,7 @@ def stream_latest_state(spark, sf_dir):
 
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     wh = tempfile.mkdtemp(prefix="stream_latest_wh_")
     ckpt = tempfile.mkdtemp(prefix="stream_latest_ckpt_")
     cols = ["user_id", "event_type", "ts", "event_id", "value"]
@@ -721,7 +740,7 @@ def stream_stream_left_outer(spark, sf_dir):
     holds at most one lateness window of events."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     sink = f"stream_ssleft_{uuid.uuid4().hex[:8]}"
 
     def side(event_type, ts_alias, user_alias):
@@ -795,7 +814,7 @@ def stream_session_window_builtin(spark, sf_dir):
     both half-open, same boundary)."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     sink = f"stream_sesswin_{uuid.uuid4().hex[:8]}"
     gap = f"{SESSION_GAP_MIN} minutes"
     agged = (
@@ -858,7 +877,7 @@ def stream_tumbling_append_finalized(spark, sf_dir):
     lateness horizon, not the stream length."""
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _stream_schema(spark, path)
     sink = f"stream_append_{uuid.uuid4().hex[:8]}"
     agged = (
         _with_event_time(
