@@ -234,18 +234,37 @@ _DRIVER_VERIFIED = frozenset({
 #: CORRECTNESS_r08 (50/50) and were already in _DRIVER_VERIFIED;
 #: the window now pins the round-9 perf-target entries.
 _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
-    # round-9 perf targets (VERDICT r08 #2-#4): shared _tfidf_w scan
-    # fusion touches both hybrid legs and the tfidf pair query
-    "sims_hybrid_rrf", "text_tfidf_cosine_pairs",
-    # round-9: classifier steady-state cut (shared _dense_features /
-    # GD chain) — both consumers pinned
+    # round-9: classifier feature build rewritten as an Arrow
+    # mapInPandas kernel + expr-string GD margin — both consumers
     "curation_quality_classifier", "curation_classifier_gate",
-    # round-9: ann-lsh bucketed re-plan + cte fastsum re-plan
-    "sims_ann_lsh_bucketed", "core_cte_chain_fastsum",
-    # round-9: io.jvm_heap_bytes now keys on min(driver, executor)
-    # and gram_join_side warns on missing keys — pin the gram-join
-    # and posting-knee consumers that ride those helpers
+    # round-9: _dot/_norm/_bucket_col now build via F.expr SQL
+    # strings (identical resolved plans, ~10-50x cheaper py4j
+    # construction) — pin every embedding-math consumer
+    "sims_ann_lsh_bucketed", "sims_hybrid_rrf",
+    "sims_cosine_topk_bruteforce", "dedup_embedding_cosine",
+    "dedup_semantic_cells", "dedup_incremental_embedding",
+    "sims_ivf_ann", "sims_ivf_multiprobe", "sims_ivfpq_ann",
+    "sims_pq_adc", "sims_pq_distortion", "sims_range_search",
+    "sims_cosine_histogram", "sims_norm_stats",
+    "sims_embedding_drift", "sims_kmeans_lloyd",
+    "sims_knn_label_consistency", "sims_label_centroid_margin",
+    "sims_recall_eval", "sims_bucket_balance",
+    "sims_matryoshka_recall", "sims_dim_variance",
+    "sims_quantize_int8", "mm_phash_near_dup", "mm_embed_documents",
+    "mm_frame_dedup", "pipeline_text_to_ann",
+    "stream_incremental_embedding_index",
+    # round-9 perf targets still under watch (tfidf/hybrid legs,
+    # fastsum twin) + gram-join/heap-budget consumers
+    # (io.jvm_heap_bytes min(driver,executor), gram_join_side keys
+    # warning)
+    # round-9: per-orderkey revenue pre-aggregation below the star
+    # join (both cte-chain twins re-planned)
+    "text_tfidf_cosine_pairs", "core_cte_chain_fastsum",
+    "core_cte_chain",
     "dedup_ngram_jaccard", "dedup_containment",
+    # round-9: streaming source schemas memoized (_stream_schema) —
+    # pin the two benched streaming entries as representatives
+    "stream_tumbling_window", "stream_incremental_lsh_dedup",
 )
 
 

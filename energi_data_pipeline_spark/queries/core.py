@@ -515,22 +515,33 @@ def core_groupby_agg_fastsum(spark, sf_dir):
 )
 def core_cte_chain(spark, sf_dir):
     """CTE chaining (gold_aggr.py:68-218): multi-join star query with
-    two aggregation grains.  nation (bounded) broadcasts; customer is
-    SF-proportional so its join is unhinted and AQE broadcasts it at
-    runtime while it fits; lineitem⋈orders is the big shuffle pair
-    and AQE handles its partitioning."""
+    two aggregation grains.  Revenue is PRE-AGGREGATED per orderkey
+    BELOW the star join (legal: the discounted-revenue sum
+    decomposes per order, and n_name/order_day are order-grain
+    attributes; DECIMAL accumulation is exact so sum-of-sums is
+    bit-equal — pinned by the oracle hash).  That collapses the
+    lineitem stream to order cardinality before it touches any join
+    or the two grain aggregations — measured 20-30% faster at every
+    scale point from sf0.1 to x100 (SCALE_r09), and at 100 TB it is
+    the difference between shuffling the fact table once into a
+    4x-smaller join pipeline vs dragging 4 rows/order through three
+    joins.  nation (bounded) broadcasts by hint; customer is
+    SF-proportional so its join is unhinted — the planner broadcasts
+    it while it fits the (stock 10 MB) threshold and shuffle-joins
+    beyond, which the x10 rehearsal measured as the right knee."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
         .cast("decimal(38,10)")
+    rev_po = li.groupBy("l_orderkey").agg(F.sum(disc).alias("rev_o"))
     daily = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev_po.join(orders, rev_po.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.to_date("o_orderdate").alias("order_day"))
-        .agg(F.sum(disc).alias("rev"))
+        .agg(F.sum("rev_o").alias("rev"))
     )
     return (
         daily.groupBy("n_name",
@@ -542,10 +553,11 @@ def core_cte_chain(spark, sf_dir):
 
 # fixed-point twin of core_cte_chain (same rationale as
 # core_groupby_agg_fastsum; discounted revenue is exactly 4dp so the
-# 1e4-scaled BIGINT accumulator is exact): 1.02s vs 1.38s at sf0.1 —
-# the rest of the gap is the star-join (0.35s) plus the two-phase
-# ~60k-group aggregation floor (~0.5s over 600k rows), both of which
-# amortize with data volume; breakdown in SURVEY §8.
+# 1e4-scaled BIGINT accumulator is exact).  Round-9 crossover data
+# (SCALE_r09): the residual gap vs the DuckDB oracle is the JVM
+# star-join/agg constant factor, shrinking 7.3x -> 6.5x -> 4.4x
+# across sf0.1/x10/x100 — single-node DuckDB stays ahead on this
+# shape; Spark's case is the >1-node scale the oracle cannot reach.
 @query(
     "core_cte_chain_fastsum",
     """WITH daily AS (
@@ -567,19 +579,24 @@ def core_cte_chain(spark, sf_dir):
 )
 def core_cte_chain_fastsum(spark, sf_dir):
     """core_cte_chain with fixed-point scaled-long revenue sums —
-    the production variant of the two-grain star aggregation."""
+    the production variant of the two-grain star aggregation.  Same
+    per-orderkey pre-aggregation below the join as the anchor twin
+    (BIGINT partials are order-independent and exact, so the
+    decomposition is bit-equal); measured sf0.1 1.18 -> 0.92s,
+    x10 2.33 -> 1.69s, x100 5.72 -> 4.02s (SCALE_r09)."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_po = li.groupBy("l_orderkey").agg(
+        F.sum(F.floor(disc * 10000 + 0.5).cast("long")).alias("rev_o"))
     daily = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev_po.join(orders, rev_po.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.to_date("o_orderdate").alias("order_day"))
-        .agg(F.sum(F.floor(disc * 10000 + 0.5).cast("long"))
-             .alias("rev_s"))
+        .agg(F.sum("rev_o").alias("rev_s"))
     )
     return (
         daily.groupBy("n_name",
