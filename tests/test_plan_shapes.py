@@ -730,3 +730,47 @@ def test_doc_id_unique_across_sources(spark):
                    .agg(F.count_distinct("source").alias("ns"))
                    .filter(F.col("ns") > 1).count())
         assert n_multi == 0, f"{sf}: {n_multi} doc_ids span sources"
+
+
+def test_cte_chain_preaggregates_below_star_join(spark):
+    # Round-9: both cte-chain twins collapse lineitem to per-orderkey
+    # revenue BELOW the star join (exact decomposition; 20-30% faster
+    # at every measured scale, SCALE_r09 §4).  Pin the shape: in the
+    # OPTIMIZED plan an Aggregate on l_orderkey must sit beneath the
+    # join, i.e. the join's lineitem input is aggregate output, not
+    # the raw scan.
+    from energi_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    from tests.conftest import SF001
+
+    for name in ("core_cte_chain", "core_cte_chain_fastsum"):
+        df = reg[name].fn(spark, SF001)
+        opt = (df._jdf.queryExecution().optimizedPlan().toString())
+        # walk the plan text: the first Join (bottom-up: last in the
+        # indented tree) must have an Aggregate[l_orderkey] below it
+        assert "Aggregate [l_orderkey" in opt, (name, opt[:2000])
+        agg_pos = opt.index("Aggregate [l_orderkey")
+        # some Join node appears ABOVE (earlier in the string than)
+        # the pre-aggregate — the aggregate feeds a join, not the
+        # other way round
+        assert "Join" in opt[:agg_pos], (name, opt[:2000])
+
+
+def test_ann_lsh_plan_prunes_topk_in_window(spark):
+    # Round-9 pin: the rank<=K filter must reach the window as a
+    # WindowGroupLimit (per-partition top-k pruning BEFORE the full
+    # sort materializes every bucket pair), and the bucket join must
+    # be an equi-join (hash-partitionable at scale), not a nested
+    # loop.
+    from energi_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    from tests.conftest import SF001
+
+    df = reg["sims_ann_lsh_bucketed"].fn(spark, SF001)
+    jvm = spark._jvm
+    p = jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "WindowGroupLimit" in p, p[:2000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:2000]

@@ -115,3 +115,28 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     keep = {t for i, t in enumerate(sorted(types)) if i < 1}
     expect = ev.filter(F.col("event_type").isin(*keep)).count()
     assert joined.first()["n"] == expect
+
+
+def test_read_table_memo_invalidates_on_rewrite(spark, tmp_path):
+    """Round-9: read_table memoizes the table DataFrame per
+    (applicationId, path, mtime, size) to cut per-query plan-build
+    cost.  A regenerated file (the r03 driver re-encode scenario)
+    must MISS the memo and serve the new data, never a stale plan."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from energi_data_pipeline_spark.io import read_table
+
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.table({"x": pa.array([1, 2], type=pa.int64())}),
+                   path)
+    assert read_table(spark, str(tmp_path), "events").count() == 2
+    # same identity -> memo hit (same object is fine, same data is
+    # the contract)
+    assert read_table(spark, str(tmp_path), "events").count() == 2
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse clocks
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3],
+                                           type=pa.int64())}), path)
+    assert read_table(spark, str(tmp_path), "events").count() == 3
