@@ -987,12 +987,31 @@ def _dense_features(spark, sf_dir):
     Float discipline: counts are small integers (exact in double);
     the label is a boolean of integer comparisons — both
     implementations and the DuckDB oracle agree bit-for-bit
-    (equality pinned at sf0.01 and sf0.1)."""
+    (equality pinned at sf0.01 and sf0.1).
+
+    Partitioning: an Arrow stage's width IS its python-worker count,
+    and each COLD worker pays a pandas/pyarrow import (~8s wall for
+    32 simultaneous cold spawns, measured round 9) — so the fan-out
+    is sized to the WORK (one partition per ~1000 docs, capped at
+    the session parallelism) instead of blindly spreading to every
+    core.  At 100 TB the scan has orders of magnitude more natural
+    splits than cores and this path is a no-op (repartition only
+    ever runs when the input has fewer partitions than the target)."""
+    import os
+
     from pyspark import StorageLevel
 
-    d = spread(t(spark, sf_dir, "documents"))
-    return (d.select("doc_id", "source", "text")
-            .mapInPandas(_feat_batches, _FEAT_SCHEMA)
+    from ..io import parquet_row_count
+
+    n_docs = parquet_row_count(
+        os.path.join(sf_dir, "documents.parquet"))
+    d = t(spark, sf_dir, "documents").select("doc_id", "source",
+                                             "text")
+    target = max(1, min(spark.sparkContext.defaultParallelism,
+                        -(-n_docs // 1000)))
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    return (d.mapInPandas(_feat_batches, _FEAT_SCHEMA)
             .persist(StorageLevel.DISK_ONLY))
 
 
