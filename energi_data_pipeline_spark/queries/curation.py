@@ -1238,13 +1238,23 @@ def curation_quality_classifier(spark, sf_dir):
         # resolved expressions to the lambda composition (verified
         # value-for-value), built in a single py4j round trip
         # instead of ~10 (round-9: plan BUILD time was a large
-        # share of this trainer's bench wall)
-        m = F.expr(
-            f"CAST(aggregate(zip_with(xs, {w_sql}, (x, wv) -> "
-            f"CAST(FLOOR(wv * x * 100000000.0D + 0.5D) AS BIGINT)), "
-            f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE) "
-            f"/ 100000000.0D")
-        p = F.lit(0.5) + F.lit(0.5) * m / (F.lit(1) + F.abs(m))
+        # share of this trainer's bench wall).  Round 0's margin is
+        # folded by hand: under the zero weight vector every term is
+        # floor(0*x*1e8 + 0.5) = 0, so m = 0 and p = 0.5 exactly —
+        # Catalyst cannot constant-fold through the HOF, and the
+        # manual fold skips a D+1-element interpreted fold per doc
+        # in the first (feature-materializing) pass.  The oracle
+        # keeps its unrolled m0/p0 CTEs; the VALUES are identical
+        # by the arithmetic above (hash-pinned).
+        if i == 0:
+            p = F.lit(0.5)
+        else:
+            m = F.expr(
+                f"CAST(aggregate(zip_with(xs, {w_sql}, (x, wv) -> "
+                f"CAST(FLOOR(wv * x * 100000000.0D + 0.5D) AS "
+                f"BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x) "
+                f"AS DOUBLE) / 100000000.0D")
+            p = F.lit(0.5) + F.lit(0.5) * m / (F.lit(1) + F.abs(m))
         cols = [(p - F.col("y")).alias("err"),
                 F.posexplode("xs").alias("pos", "x")]
         if i > 0:
