@@ -252,8 +252,14 @@ class CommitLogTable:
 
         def _build(base):
             out = anti_join_new(df, base, keys)
-            if base is not None and not out.head(1):
-                return None  # all rows already present: no commit
+            if base is not None:
+                # materialize ONCE (localCheckpoint): the emptiness
+                # probe and the segment write otherwise each execute
+                # the full dedup + anti-join against the snapshot —
+                # doubling the dominant cost of every real append
+                out = out.localCheckpoint(eager=True)
+                if not out.head(1):
+                    return None  # nothing new: no commit (idempotent)
             return out
 
         return self.transact(spark, _build, op="append")

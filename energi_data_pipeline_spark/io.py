@@ -218,16 +218,26 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     return _nanos_columns_at(path, st.st_mtime_ns, st.st_size)
 
 
-#: memoized table DataFrames: (applicationId, path, mtime_ns, size)
-#: -> DataFrame.  A DataFrame is an immutable logical plan, so
-#: handing the same object to every caller is safe; building it anew
-#: costs a spark.read.parquet footer/schema round trip (~50-100ms)
-#: per TABLE per QUERY build, which the round-9 profile found adding
-#: up to a third of the bench numerator across a 4-table star query.
-#: Keyed on file identity like the pyarrow footer caches so a
-#: regenerated table invalidates; keyed on applicationId so a
-#: stopped session's JVM plan is never served to a new session.
+#: memoized table DataFrames: file_memo_key -> DataFrame.  A
+#: DataFrame is an immutable logical plan, so handing the same
+#: object to every caller is safe; building it anew costs a
+#: spark.read.parquet footer/schema round trip (~50-100ms) per TABLE
+#: per QUERY build, which the round-9 profile found adding up to a
+#: third of the bench numerator across a 4-table star query.
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def file_memo_key(spark, path: str) -> tuple:
+    """Session+file identity for driver-side memo caches: keyed on
+    file identity like the pyarrow footer caches so a regenerated
+    table invalidates (the r03 driver re-encode scenario), and on
+    applicationId so a stopped session's JVM plan/schema is never
+    served to a new session.  Shared by the table-DataFrame memo
+    here and the streaming schema memo (queries/streaming.py) so
+    the invalidate-on-rewrite policy lives in one place."""
+    st = os.stat(path)
+    return (spark.sparkContext.applicationId, path,
+            st.st_mtime_ns, st.st_size)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -240,9 +250,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     tune(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    st = os.stat(path)
-    key = (spark.sparkContext.applicationId, path,
-           st.st_mtime_ns, st.st_size)
+    key = file_memo_key(spark, path)
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit

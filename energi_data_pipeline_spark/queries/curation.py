@@ -936,24 +936,37 @@ def _feat_batches(it):
     import numpy as np
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    # re.ASCII pins \s to [ \t\n\r\f\v] — the same set Java's regex
+    # \s matches — so a future non-ASCII corpus (U+00A0 etc.) splits
+    # identically on both engines instead of silently diverging
+    ws = re.compile(r"\s+", re.ASCII)
     punct = set(".,;:!?")
+    digits = set("0123456789")  # translate('0123456789') semantics,
+    # NOT str.isdigit (which also counts '²', Arabic-Indic digits...)
     for pdf in it:
         out_y, out_xs = [], []
         for text in pdf["text"]:
             text = text or ""
-            toks = ws.split(text.strip())
+            # SQL trim() — Spark AND DuckDB — strips SPACES only,
+            # not tabs/controls (unlike Java String.trim or Python
+            # str.strip): adversarial-pinned in
+            # test_dense_features_twins_identical_adversarial
+            toks = ws.split(text.strip(" "))
             ntok = len(toks)  # split elements INCLUDING empties —
             # matches len(regexp_split_to_array(...)) in the oracle
             nchar = len(text)
             npunct = sum(1 for c in text if c in punct)
-            ndigit = sum(1 for c in text if c.isdigit())
+            ndigit = sum(1 for c in text if c in digits)
             xs = np.zeros(D_FEATS + 1)
             xs[D_FEATS] = 1.0
             for tok in toks:
                 if tok:
-                    j = int(hashlib.md5(tok.encode()).hexdigest()[:14],
-                            16) % D_FEATS
+                    # tokens are LOWERCASED before hashing, exactly
+                    # like the twin's transform(tokens, lower) and
+                    # the oracle's lower(unnest(...))
+                    j = int(hashlib.md5(
+                        tok.lower().encode()).hexdigest()[:14],
+                        16) % D_FEATS
                     xs[j] += 1.0
             y = (1.0 if (10 <= ntok <= 1000 and nchar > 0
                          and npunct / nchar < 0.2
@@ -1218,9 +1231,7 @@ def curation_quality_classifier(spark, sf_dir):
     for i in range(GD_ITERS):
         if i == 0:
             cur = fxv
-            # inline literal zero vector in SQL text (see w_sql use)
-            w_sql = "array(" + ",".join(
-                ["0.0D"] * (D_FEATS + 1)) + ")"
+            # no margin SQL needed: round 0's p folds to 0.5 below
         else:
             # collapse the previous round's D+1 weight rows into
             # ONE array row (sorted by pos — struct sort orders on

@@ -47,9 +47,9 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _stream_schema(spark, path: str):
-    st = os.stat(path)
-    key = (spark.sparkContext.applicationId, path,
-           st.st_mtime_ns, st.st_size)
+    from ..io import file_memo_key
+
+    key = file_memo_key(spark, path)
     hit = _SCHEMA_CACHE.get(key)
     if hit is None:
         if len(_SCHEMA_CACHE) > 256:

@@ -1,6 +1,5 @@
 from __future__ import annotations
 
-import os
 import sys
 from pathlib import Path
 
@@ -11,7 +10,12 @@ sys.path.insert(0, str(REPO))
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"
-SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: the x10 corpus some tests exercise scale-adaptive params against.
+#: Deliberately NOT tied to SPARK_GRAFT_SF_DIR (that env var targets
+#: bench.py): redirecting the x10 sketch-invariants test to an
+#: arbitrary bench dir would test the wrong scale; tests skip when
+#: the path is absent instead.
+SF01 = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")

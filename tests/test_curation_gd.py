@@ -25,6 +25,48 @@ def test_dense_features_twins_identical(spark):
     assert arrow == exprs
 
 
+def test_dense_features_twins_identical_adversarial(spark, tmp_path):
+    """The corpus twins test passes on all-lowercase ASCII data by
+    construction; this one feeds the divergence-prone inputs the
+    round-9 review called out — uppercase tokens (lower-before-hash),
+    digits vs unicode-digit lookalikes, non-breaking space (Java \\s
+    does not match U+00A0), leading/trailing controls (Java trim is
+    'code <= U+0020', not unicode strip), empty and whitespace-only
+    docs — and requires the Arrow kernel and the expression twin to
+    still agree bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "The Grid LOADS Power the grid loads power mix CASE",
+        "numbers 123 456 789 but also ²³ superscripts count not",
+        "nbsp joined token stays one token on both engines",
+        "  \t leading and trailing controls \x1f\n ",
+        "",
+        " ",
+        "punct.,;:!? dense.,;:!? doc.,;:!?",
+        "a " * 2000,  # > 1000 tokens: label gate upper bound
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    from energi_data_pipeline_spark.queries.curation import (
+        _dense_features, _dense_features_exprs)
+
+    arrow = _by_doc(_dense_features(spark, str(tmp_path)).collect())
+    spark.catalog.clearCache()
+    exprs = _by_doc(
+        _dense_features_exprs(spark, str(tmp_path)).collect())
+    spark.catalog.clearCache()
+    assert arrow == exprs, {
+        k: (arrow[k], exprs[k]) for k in arrow if arrow[k] != exprs[k]}
+
+
 def test_feature_vectors_shape_and_labels(spark):
     from energi_data_pipeline_spark.queries.curation import (
         D_FEATS, _dense_features)

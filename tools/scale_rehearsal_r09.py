@@ -63,26 +63,35 @@ def main() -> None:
         rows = {}
         for n in names:
             srs, drs = [], []
-            err = None
+            errs: list[str] = []
+            spark_dead = duck_dead = False
             for _ in range(N):
-                t0 = time.perf_counter()
-                try:
-                    reg[n].fn(spark, sf_dir).write.format("noop") \
-                        .mode("overwrite").save()
-                    srs.append(round(time.perf_counter() - t0, 3))
-                except Exception as exc:
-                    err = f"spark: {type(exc).__name__}: {exc}"[:200]
-                    break
-                finally:
-                    spark.catalog.clearCache()
-                if drs and min(drs) > DUCK_CAP_S:
+                if not spark_dead:
+                    t0 = time.perf_counter()
+                    try:
+                        reg[n].fn(spark, sf_dir).write.format("noop") \
+                            .mode("overwrite").save()
+                        srs.append(round(time.perf_counter() - t0, 3))
+                    except Exception as exc:
+                        # record once, stop re-running the failing
+                        # side — but keep measuring the OTHER engine
+                        # so the artifact stays two-sided
+                        errs.append(f"spark: {type(exc).__name__}: "
+                                    f"{exc}"[:200])
+                        spark_dead = True
+                    finally:
+                        spark.catalog.clearCache()
+                if duck_dead or (drs and min(drs) > DUCK_CAP_S):
                     continue
                 t0 = time.perf_counter()
                 try:
                     cons.execute(reg[n].oracle).fetchall()
                     drs.append(round(time.perf_counter() - t0, 3))
                 except Exception as exc:
-                    err = f"duck: {type(exc).__name__}: {exc}"[:200]
+                    errs.append(f"duck: {type(exc).__name__}: "
+                                f"{exc}"[:200])
+                    duck_dead = True
+            err = "; ".join(errs) or None
             rows[n] = {
                 "spark_runs": srs, "duck_runs": drs,
                 "spark_s": min(srs) if srs else None,
