@@ -230,48 +230,32 @@ _DRIVER_VERIFIED = frozenset({
 #: green backlog.  Convention: touching a query or helper => add
 #: every consuming registry entry to this tuple; clear/rebuild the
 #: tuple at the start of the next round once its CORRECTNESS rows
-#: land green.  ROUND-9 ROTATION: all nine r08 pins landed green in
-#: CORRECTNESS_r08 (50/50) and were already in _DRIVER_VERIFIED;
-#: the window now pins the round-9 perf-target entries.
+#: land green.  ROUND-10 ROTATION: all 37 r09 pins landed green in
+#: CORRECTNESS_r09 (50/50) and were already in _DRIVER_VERIFIED;
+#: the window now pins the round-10 touched entries.
 _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
-    # round-9: classifier feature build rewritten as an Arrow
-    # mapInPandas kernel + expr-string GD margin — both consumers
+    # round-10: bucketed/co-partitioned star-join experiment for the
+    # fastsum twin — pin both cte-chain twins (verdict #2)
+    "core_cte_chain_fastsum", "core_cte_chain",
+    # round-10: streaming LSH per-batch decomposition / redundant-job
+    # cut (verdict #3) — pin both incremental index streams
+    "stream_incremental_lsh_dedup", "stream_incremental_embedding_index",
+    # round-10: hybrid lexical-leg profiling swing (verdict #4) — the
+    # leg is shared with the tfidf pairs entry via _tfidf_w
+    "sims_hybrid_rrf", "text_tfidf_cosine_pairs",
+    # round-10: new tokenizer train->apply entry (verdict #6) plus its
+    # trainer (shared merge-learning helpers may move)
+    "text_bpe_apply_merges", "text_bpe_learn_merges",
+    # round-10 ADVICE: curation.py classifier-gate feature-plan reuse
+    # (memoized _dense_features) — pin both classifier consumers
     "curation_quality_classifier", "curation_classifier_gate",
-    # round-9: _dot/_norm/_bucket_col now build via F.expr SQL
-    # strings (identical resolved plans, ~10-50x cheaper py4j
-    # construction) — pin every embedding-math consumer
-    "sims_ann_lsh_bucketed", "sims_hybrid_rrf",
-    "sims_cosine_topk_bruteforce", "dedup_embedding_cosine",
-    "dedup_semantic_cells", "dedup_incremental_embedding",
-    "sims_ivf_ann", "sims_ivf_multiprobe", "sims_ivfpq_ann",
-    "sims_pq_adc", "sims_pq_distortion", "sims_range_search",
-    "sims_cosine_histogram", "sims_norm_stats",
-    "sims_embedding_drift", "sims_kmeans_lloyd",
-    "sims_knn_label_consistency", "sims_label_centroid_margin",
-    "sims_recall_eval", "sims_bucket_balance",
-    "sims_matryoshka_recall", "sims_dim_variance",
-    "sims_quantize_int8", "mm_phash_near_dup", "mm_embed_documents",
-    "mm_frame_dedup", "pipeline_text_to_ann",
-    "stream_incremental_embedding_index",
-    # round-9 perf targets still under watch (tfidf/hybrid legs,
-    # fastsum twin) + gram-join/heap-budget consumers
-    # (io.jvm_heap_bytes min(driver,executor), gram_join_side keys
-    # warning)
-    # round-9: per-orderkey revenue pre-aggregation below the star
-    # join (both cte-chain twins re-planned)
-    "text_tfidf_cosine_pairs", "core_cte_chain_fastsum",
-    "core_cte_chain",
-    "dedup_ngram_jaccard", "dedup_containment",
-    # round-9: streaming source schemas memoized (_stream_schema) —
-    # pin the two benched streaming entries as representatives
-    "stream_tumbling_window", "stream_incremental_lsh_dedup",
-    # NOT pinned despite a session-wide change:
-    # autoBroadcastJoinThreshold 64MB -> Spark's stock 10MB affects
-    # only OUR builder (session.get_spark).  The driver's correctness
-    # sessions are vanilla builders that have ALWAYS run at the stock
-    # 10MB default, so no verified plan changes at sf0.01 — and every
-    # sf0.01/sf0.1 table is under 10MB regardless.  The full 206-
-    # entry driver_sim was re-run green on the final tree anyway.
+    # round-10 ADVICE: commitlog insert_if_absent unpersists its
+    # localCheckpoint — pin the commitlog-backed entries
+    "core_insert_if_absent", "core_merge_upsert",
+    # NOT pinned: io.py _TABLE_CACHE session-identity keying and
+    # session.py tune(force=) are cache-key/doc changes with no plan
+    # or value effect (driver correctness sessions are vanilla
+    # builders); bench.py floor-guard changes touch no query code.
 )
 
 
