@@ -196,6 +196,13 @@ class CommitLogTable:
             os.path.join(self.path, _DATA_DIR, seg))
         return seg
 
+    def _segment_rows(self, seg: str) -> int:
+        """Row count of a just-written segment from its parquet
+        footers — driver-side metadata, no Spark job."""
+        from .io import parquet_row_count
+        return parquet_row_count(
+            os.path.join(self.path, _DATA_DIR, seg))
+
     def transact(self, spark: SparkSession, build, op: str = "overwrite",
                  max_retries: int = 10) -> int:
         """Run one optimistic transaction; returns the committed
@@ -213,6 +220,21 @@ class CommitLogTable:
             if out is None:  # nothing to do (e.g. empty anti-join)
                 return base_v if base_v is not None else -1
             seg = self._write_segment(out)
+            if op == "append" and base_v is not None \
+                    and self._segment_rows(seg) == 0:
+                # idempotent append: the anti-join (or builder)
+                # produced nothing new — publish no commit and drop
+                # the empty segment.  The emptiness probe reads the
+                # WRITTEN segment's parquet footers (a driver-side
+                # metadata peek), so the plan executes exactly once:
+                # r09 shipped this as an eager localCheckpoint +
+                # head(1) probe + a second pass for the segment
+                # write, which doubled executor storage with blocks
+                # nothing ever unpersisted and is non-recoverable on
+                # executor loss in a real cluster.
+                self.store.delete_tree(
+                    os.path.join(self.path, _DATA_DIR, seg))
+                return base_v
             prev = (self.manifest(base_v)["segments"]
                     if (op == "append" and base_v is not None) else [])
             next_v = (base_v + 1) if base_v is not None else 0
@@ -245,24 +267,16 @@ class CommitLogTable:
         """``ON CONFLICT DO NOTHING`` with multi-writer safety: the
         anti-join re-runs against the fresh snapshot on every retry,
         so first-writer-wins holds across concurrent committers.
-        A re-run that finds NOTHING new returns None from the
-        builder, so transact publishes no commit — idempotent
-        replays must not bump the version or accumulate empty
-        segments (the 'idempotent append' contract)."""
-
-        def _build(base):
-            out = anti_join_new(df, base, keys)
-            if base is not None:
-                # materialize ONCE (localCheckpoint): the emptiness
-                # probe and the segment write otherwise each execute
-                # the full dedup + anti-join against the snapshot —
-                # doubling the dominant cost of every real append
-                out = out.localCheckpoint(eager=True)
-                if not out.head(1):
-                    return None  # nothing new: no commit (idempotent)
-            return out
-
-        return self.transact(spark, _build, op="append")
+        A re-run that finds NOTHING new writes an empty segment that
+        transact's footer probe detects and discards, so no commit is
+        published — idempotent replays must not bump the version or
+        accumulate empty segments (the 'idempotent append'
+        contract).  The anti-join plan executes exactly once (the
+        segment write IS the materialization; the probe is a
+        driver-side parquet-footer read)."""
+        return self.transact(
+            spark, lambda base: anti_join_new(df, base, keys),
+            op="append")
 
     def merge(self, spark: SparkSession, source: DataFrame,
               keys: list[str]) -> int:

@@ -231,12 +231,20 @@ def file_memo_key(spark, path: str) -> tuple:
     """Session+file identity for driver-side memo caches: keyed on
     file identity like the pyarrow footer caches so a regenerated
     table invalidates (the r03 driver re-encode scenario), and on
-    applicationId so a stopped session's JVM plan/schema is never
-    served to a new session.  Shared by the table-DataFrame memo
-    here and the streaming schema memo (queries/streaming.py) so
-    the invalidate-on-rewrite policy lives in one place."""
+    SESSION identity so a stopped session's JVM plan/schema is never
+    served to a new session.  Session identity is applicationId AND
+    ``id(spark)``: a DataFrame is bound to the exact SparkSession
+    that built it, and ``newSession()`` siblings SHARE an
+    applicationId — serving a sibling another session's DataFrame
+    would execute it under the originating session's conf/state.
+    (``id()`` alone could recycle after GC; the applicationId pair
+    makes a stale hit require both a recycled id and a same-app
+    session, and the file-identity fields still have to match.)
+    Shared by the table-DataFrame memo here and the streaming schema
+    memo (queries/streaming.py) so the invalidate-on-rewrite policy
+    lives in one place."""
     st = os.stat(path)
-    return (spark.sparkContext.applicationId, path,
+    return (spark.sparkContext.applicationId, id(spark), path,
             st.st_mtime_ns, st.st_size)
 
 

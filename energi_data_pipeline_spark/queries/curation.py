@@ -915,6 +915,11 @@ _LINK_SQL = "0.5 + 0.5 * {m} / (1 + abs({m}))"
 
 #: result schema of the dense feature build (shared by both
 #: implementations below).
+#: (session, corpus-file identity) -> persisted dense-feature
+#: DataFrame; see _dense_features for why object identity (not plan
+#: equality) is the reuse contract between trainer and gate.
+_DENSE_FEAT_MEMO: dict = {}
+
 _FEAT_SCHEMA = ("doc_id bigint, source string, y double, "
                 "xs array<double>")
 
@@ -1009,23 +1014,39 @@ def _dense_features(spark, sf_dir):
     the session parallelism) instead of blindly spreading to every
     core.  At 100 TB the scan has orders of magnitude more natural
     splits than cores and this path is a no-op (repartition only
-    ever runs when the input has fewer partitions than the target)."""
+    ever runs when the input has fewer partitions than the target).
+
+    Memoized per (session, corpus file identity): the trainer and
+    the gate both call this, and the gate's scoring pass must reuse
+    the TRAINER's persisted feature stage.  Relying on CacheManager
+    sameResult-matching two separately-built mapInPandas plans is
+    fragile (each embeds its own pickled python function — plan
+    canonicalization across pickles is not guaranteed), so the memo
+    returns the SAME DataFrame object instead of an equal plan."""
     import os
 
     from pyspark import StorageLevel
 
-    from ..io import parquet_row_count
+    from ..io import file_memo_key, parquet_row_count
 
-    n_docs = parquet_row_count(
-        os.path.join(sf_dir, "documents.parquet"))
+    corpus = os.path.join(sf_dir, "documents.parquet")
+    key = file_memo_key(spark, corpus)
+    hit = _DENSE_FEAT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    n_docs = parquet_row_count(corpus)
     d = t(spark, sf_dir, "documents").select("doc_id", "source",
                                              "text")
     target = max(1, min(spark.sparkContext.defaultParallelism,
                         -(-n_docs // 1000)))
     if d.rdd.getNumPartitions() < target:
         d = d.repartition(target)
-    return (d.mapInPandas(_feat_batches, _FEAT_SCHEMA)
-            .persist(StorageLevel.DISK_ONLY))
+    fxv = (d.mapInPandas(_feat_batches, _FEAT_SCHEMA)
+           .persist(StorageLevel.DISK_ONLY))
+    if len(_DENSE_FEAT_MEMO) > 32:  # stale sessions/corpora: rebuild
+        _DENSE_FEAT_MEMO.clear()
+    _DENSE_FEAT_MEMO[key] = fxv
+    return fxv
 
 
 def _dense_features_exprs(spark, sf_dir):

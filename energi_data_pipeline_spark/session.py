@@ -48,12 +48,20 @@ RUNTIME_CONF = {
 _TUNED: weakref.WeakSet = weakref.WeakSet()
 
 
-def tune(spark: SparkSession) -> SparkSession:
+def tune(spark: SparkSession, force: bool = False) -> SparkSession:
     """Apply runtime-settable conf to an existing session (idempotent
     and memoized per session object — re-invocations are a set
-    lookup, not 6 py4j conf.set round trips)."""
+    lookup, not 6 py4j conf.set round trips).
+
+    The memo changes a repair behavior: pre-r09, EVERY table read
+    re-asserted RUNTIME_CONF, so a code path that mutated one of
+    those confs and forgot to restore it self-healed on the next
+    read.  Now it doesn't — RUNTIME_CONF keys must only be mutated
+    via save/restore-in-finally (the repo convention; see
+    tests/test_plan_shapes.py's conf fixtures), and callers that
+    legitimately mutated them can re-assert with ``force=True``."""
     try:
-        if spark in _TUNED:
+        if not force and spark in _TUNED:
             return spark
     except TypeError:
         pass  # not weakref-able on this build: fall through, re-set

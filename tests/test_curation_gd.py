@@ -82,3 +82,22 @@ def test_feature_vectors_shape_and_labels(spark):
     # the gate, so a constant 1.0 here is the data, not a bug — the
     # twins-equality test above carries the semantic pin)
     assert all(r["y"] == 1.0 or r["y"] == 0.0 for r in rows)
+
+
+def test_dense_features_memoized_same_object(spark):
+    """The gate's scoring pass must reuse the TRAINER's persisted
+    feature stage.  CacheManager sameResult-matching two separately
+    built mapInPandas plans (each embedding its own pickled python
+    function) is not a guarantee, so _dense_features memoizes per
+    (session, corpus identity) and hands back the SAME DataFrame
+    object — object identity IS the reuse contract (round-10
+    advice)."""
+    from energi_data_pipeline_spark.queries.curation import (
+        _DENSE_FEAT_MEMO, _dense_features)
+
+    _DENSE_FEAT_MEMO.clear()
+    a = _dense_features(spark, SF001)
+    b = _dense_features(spark, SF001)
+    assert a is b
+    a.unpersist()
+    _DENSE_FEAT_MEMO.clear()
