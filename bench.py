@@ -207,6 +207,38 @@ def measure_hybrid_decomposition(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_stream_lsh_decomposition(spark, sf_dir: str) -> dict:
+    """Per-batch stage decomposition for stream_incremental_lsh_dedup
+    (r09 verdict "what's wrong" #3: the single largest absolute
+    number the bench prints had never been decomposed).  One replay
+    with the query's own stage hooks: per micro-batch wall plus the
+    five stage walls (signature build, band explode, candidate-join
+    detection + verdict publish, signature-index append, band-posting
+    append).  The r10 decomposition exposed that the signature build
+    ran on ONE core (a replay micro-batch is a single coalesced file
+    = a single partition) — 3.2s of the 4.6s per-batch wall, ~0.5s
+    after the spread fix."""
+    from energi_data_pipeline_spark.queries.streaming import (
+        stream_incremental_lsh_dedup)
+
+    bt: list = []
+    st: list = []
+    out = stream_incremental_lsh_dedup(
+        spark, sf_dir, batch_times=bt, stage_times=st)
+    out.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    stage_totals = ({k: round(sum(d[k] for d in st), 3)
+                     for k in st[0]} if st else {})
+    return {
+        "batch_walls_s": bt,
+        "stage_totals_s": stage_totals,
+        "per_batch_stages_s": st,
+        "note": ("one instrumented replay (not the headline "
+                 "measurement); stage walls are driver-observed "
+                 "action boundaries inside foreachBatch"),
+    }
+
+
 def measure_duck_floor(con) -> float:
     """Symmetric counterpart to measure_session_floor (ADVICE r08:
     the floor adjustment was one-sided): the wall of a trivial
@@ -297,6 +329,8 @@ def run_interleaved(sf_dir: str) -> tuple[
         "session_floor_s": measure_session_floor(spark),
         "duck_floor_s": measure_duck_floor(con),
         "hybrid_decomposition": measure_hybrid_decomposition(
+            spark, sf_dir),
+        "stream_lsh_decomposition": measure_stream_lsh_decomposition(
             spark, sf_dir),
     }
     con.close()
@@ -508,6 +542,7 @@ def main() -> None:
     session_floor = extras["session_floor_s"]
     duck_floor = extras["duck_floor_s"]
     hybrid_decomp = extras["hybrid_decomposition"]
+    lsh_decomp = extras["stream_lsh_decomposition"]
 
     spark_times = {n: min(rs) for n, rs in spark_runs.items()}
     duck_times = {n: min(rs) for n, rs in duck_runs.items()}
@@ -592,7 +627,10 @@ def main() -> None:
         # what's-wrong #4)
         "floor_dominated_queries": sorted(
             n for n in ex_names if duck_times[n] < 0.3),
-        "stage_decomposition": {"sims_hybrid_rrf": hybrid_decomp},
+        "stage_decomposition": {
+            "sims_hybrid_rrf": hybrid_decomp,
+            "stream_incremental_lsh_dedup": lsh_decomp,
+        },
         "stream_engine_startup_s": stream_startup,
         "streaming_queries": sorted(STREAMING),
         "provenance": {
@@ -652,6 +690,7 @@ def main() -> None:
         "hybrid_decomp_s": {
             "lex": hybrid_decomp["lex_leg_s"],
             "vec": hybrid_decomp["vec_leg_s"]},
+        "stream_lsh_decomp_s": lsh_decomp["stage_totals_s"],
         "outliers_dropped": outliers,
         "oracle_exact_anchors": sorted(ORACLE_EXACT_ANCHORS),
         "full_artifact": "BENCH_LAST.json",

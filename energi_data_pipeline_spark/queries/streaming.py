@@ -17,6 +17,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
+from ..io import spread as _io_spread
 from ..session import tune
 from . import query, register_oracle_knee
 
@@ -921,7 +922,8 @@ INCR_LSH_BATCHES = 3
 @query("stream_incremental_lsh_dedup", INCR_LSH_SQL)
 def stream_incremental_lsh_dedup(spark, sf_dir,
                                  n_batches: int = INCR_LSH_BATCHES,
-                                 batch_times: list | None = None):
+                                 batch_times: list | None = None,
+                                 stage_times: list | None = None):
     """Streaming near-dup INDEX MAINTENANCE — the production shape
     of MinHash-LSH dedup: documents arrive in micro-batches; each
     batch is signed, checked against the ACCUMULATED signature index
@@ -1005,9 +1007,27 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         ).select("doc_id", "bk.band", "bk.key")
 
     def process_batch(batch_df, _bid):
+        import time as _time
+
+        marks = [("start", _time.perf_counter())]
+
+        def mark(label):
+            if stage_times is not None:
+                marks.append((label, _time.perf_counter()))
+
         sess = batch_df.sparkSession
-        batch_sigs = sign(batch_df).localCheckpoint(eager=True)
+        # a micro-batch arrives as ONE file = ONE partition (each
+        # replay batch is a single coalesced parquet), so without a
+        # spread the shingle+md5 signing runs on a single core —
+        # measured 3.2s of the 4.6s per-batch wall at sf0.1 (round-10
+        # decomposition), ~0.35s once fanned out.  At production
+        # rates a trigger's files exceed the core count and the
+        # repartition is a no-op guard (io.spread contract).
+        batch_sigs = sign(_io_spread(batch_df)).localCheckpoint(
+            eager=True)
+        mark("sign")
         batch_bands = band_long(batch_sigs).localCheckpoint(eager=True)
+        mark("bands")
         # The index is TWO append-only tables: signatures (verify
         # side) and the band-long posting list (candidate side,
         # partitioned by band).  Per batch we APPEND the batch delta
@@ -1053,11 +1073,18 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
                             .alias("is_dup_of_earlier")))
         insert_if_absent(sess, verdicts, wh, "gold", "dup_verdicts",
                          keys=["doc_id"])
+        mark("detect_and_publish_verdicts")
         insert_if_absent(sess, batch_sigs, wh, "silver", "lsh_index",
                          keys=["doc_id"])
+        mark("append_sig_index")
         insert_if_absent(sess, batch_bands, wh, "silver", "lsh_bands",
                          keys=["doc_id", "band"],
                          partition_by=["band"])
+        mark("append_band_postings")
+        if stage_times is not None:
+            stage_times.append({
+                lbl: round(t1 - t0, 3)
+                for (_, t0), (lbl, t1) in zip(marks, marks[1:])})
 
     def timed_batch(batch_df, bid):
         import time as _time
@@ -1067,6 +1094,14 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         if batch_times is not None:
             batch_times.append(round(_time.perf_counter() - t0, 3))
 
+    # input-sized shuffle width for the per-batch jobs (the same
+    # 128 MB/partition rule the stateful streams use): a micro-batch
+    # of a few thousand docs through 32-wide exchanges pays ~5 AQE
+    # stage-scheduling floors per job across ~5 jobs per batch —
+    # measured 13.3s -> 9.4s at sf0.1 (round-10 A/B).  At 100 TB the
+    # byte-sized rule scales the width back up; restored in finally.
+    prev_parts = _stateful_shuffle_partitions(
+        spark, _os.path.join(sf_dir, "documents.parquet"))
     try:
         # maxFilesPerTrigger is a SOURCE option: it must be set on the
         # readStream (on the writer it is silently ignored and the
@@ -1083,6 +1118,7 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         out = spark.read.parquet(table_path(wh, "gold", "dup_verdicts"))
         return out.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
@@ -1169,7 +1205,10 @@ def stream_incremental_embedding_index(spark, sf_dir):
 
     def process_batch(batch_df, _bid):
         sess = batch_df.sparkSession
-        batch_vec = (batch_df.select(
+        # single-file micro-batch = single partition: fan out before
+        # the per-vector norm/plane math (same fix as the LSH twin's
+        # signature build; no-op once a trigger spans many files)
+        batch_vec = (_io_spread(batch_df).select(
             "vec_id", "embedding",
             _norm("embedding").alias("nrm"),
             _bucket_col(planes).cast("bigint").alias("bucket"))
@@ -1209,6 +1248,11 @@ def stream_incremental_embedding_index(spark, sf_dir):
         insert_if_absent(sess, batch_vec, wh, "silver", "emb_index",
                          keys=["vec_id"], partition_by=["bucket"])
 
+    # input-sized shuffle width for the per-batch jobs (see the LSH
+    # twin's A/B: micro-batch exchanges at session width are mostly
+    # AQE stage-scheduling floor); restored in finally
+    prev_parts = _stateful_shuffle_partitions(
+        spark, _os.path.join(sf_dir, "embeddings.parquet"))
     try:
         # maxFilesPerTrigger: source option (same round-6 fix as the
         # LSH stream — on the writer it is ignored and the replay
@@ -1222,6 +1266,7 @@ def stream_incremental_embedding_index(spark, sf_dir):
         out = spark.read.parquet(table_path(wh, "gold", "emb_verdicts"))
         return out.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
