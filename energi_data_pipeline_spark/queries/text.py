@@ -1424,6 +1424,17 @@ def text_bpe_learn_merges(spark, sf_dir):
     production BPE trainers operate.  Pair counting per iteration is
     a vocabulary-sized explode + aggregate; the chosen pair is a
     one-row broadcast."""
+    return _bpe_learn(spark, sf_dir)[0]
+
+
+def _bpe_learn(spark, sf_dir):
+    """Shared BPE training loop: returns ``(merges_df,
+    final_seq_df)`` — the learned merge table (merge_rank, pair,
+    pair_count) AND the vocabulary with every learned merge applied
+    (wd, cnt, seq), which IS the encoder table the apply side needs
+    (greedy rank-ordered application and training's sequential
+    rewrite are the same computation — each iteration rewrites the
+    vocab with the newly adopted merge, in rank order)."""
     d = spread(t(spark, sf_dir, "documents"))
     wc = (d.select(F.explode(F.transform(
         tokens_col(F.col("text")), lambda x: F.lower(x))).alias("wd"))
@@ -1472,4 +1483,68 @@ def text_bpe_learn_merges(spark, sf_dir):
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out
+    return out, seq
+
+
+_BPE_APPLY_SQL = (
+    "WITH " + _BPE_BASE_CTES.strip()
+    + "".join("," + _bpe_iter_sql(i) for i in range(1, BPE_MERGES + 1))
+    + f""",
+vocab AS (
+  SELECT wd, CAST(len(str_split(seq, ' ')) AS BIGINT) AS n_sym
+  FROM seq{BPE_MERGES}),
+dt AS (
+  SELECT doc_id, lower(unnest({TOKENS_SQL})) AS wd FROM documents)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+       CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM dt d JOIN vocab v USING (wd)
+WHERE len(d.wd) > 0
+GROUP BY d.doc_id""")
+
+
+@query("text_bpe_apply_merges", _BPE_APPLY_SQL)
+def text_bpe_apply_merges(spark, sf_dir):
+    """BPE tokenizer INFERENCE — the train->apply handshake that was
+    missing between `text_bpe_learn_merges` and
+    `curation_sequence_pack`: encode the corpus with the merges the
+    trainer just learned and report per-document pretoken and
+    BPE-token counts (the numbers a token-budgeted curation pipeline
+    actually consumes).
+
+    Greedy rank-ordered merge application is computed on the
+    VOCABULARY, not per occurrence: training's final rewritten
+    symbol-sequence table (each iteration rewrites the vocab with
+    the newly adopted merge, in rank order — identical semantics to
+    applying the learned rules one rank at a time) already holds
+    every distinct word's encoding, so applying to the corpus is a
+    vocabulary join + per-doc sum.  This is how production BPE
+    encoders work (encode each distinct word once, look up
+    everywhere) and it keeps the corpus-sized stages to the
+    pretokenize-explode and one aggregation — the merge loop itself
+    never touches corpus-cardinality data.
+
+    Scale shape: the vocab side is vocabulary-cardinality (Heaps'
+    law sub-linear); AQE picks broadcast vs shuffle for the word
+    join from its runtime size.  Documents whose every pretoken is
+    length-0 drop out (inner join) — same rule as the oracle.
+
+    Parity anchor: on merge-free inputs (no learned pair occurs),
+    n_bpe_tokens == total symbol count and n_pretokens reproduces
+    `text_bpe_token_count`'s pretoken boundaries — pinned by
+    tests/test_oracle_parity.py::test_bpe_apply_merge_free."""
+    _, vocab_seq = _bpe_learn(spark, sf_dir)
+    vocab = vocab_seq.select(
+        "wd",
+        F.size(F.split(F.col("seq"), " ")).cast("bigint")
+        .alias("n_sym"))
+    d = spread(t(spark, sf_dir, "documents"))
+    toks = (d.select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(F.col("text")),
+                              lambda x: F.lower(x))).alias("wd"))
+        .filter(F.length("wd") > 0))
+    return (toks.join(vocab, "wd")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pretokens"),
+                 F.sum("n_sym").cast("bigint").alias("n_bpe_tokens")))
