@@ -324,14 +324,33 @@ def run_interleaved(sf_dir: str) -> tuple[
         if oracle is not None:
             duck_runs[name] = ds
 
+    # extras run AFTER all timed measurements; a flake in one of the
+    # instrumented replays must not discard the tens of minutes of
+    # interleaved runs above (the scale-rehearsal tool learned the
+    # same lesson) — record the error string instead.
+    def _safe(mk, fallback):
+        try:
+            return mk()
+        except Exception as exc:
+            fb = dict(fallback)
+            fb["err"] = f"{type(exc).__name__}: {exc}"[:300]
+            return fb
+
+    try:
+        stream_startup_s = round(measure_stream_startup(spark), 3)
+    except Exception:
+        stream_startup_s = 0.0  # no subtraction beats no artifact
     extras = {
-        "stream_engine_startup_s": round(measure_stream_startup(spark), 3),
+        "stream_engine_startup_s": stream_startup_s,
         "session_floor_s": measure_session_floor(spark),
         "duck_floor_s": measure_duck_floor(con),
-        "hybrid_decomposition": measure_hybrid_decomposition(
-            spark, sf_dir),
-        "stream_lsh_decomposition": measure_stream_lsh_decomposition(
-            spark, sf_dir),
+        "hybrid_decomposition": _safe(
+            lambda: measure_hybrid_decomposition(spark, sf_dir),
+            {"lex_leg_s": 0.0, "vec_leg_s": 0.0}),
+        "stream_lsh_decomposition": _safe(
+            lambda: measure_stream_lsh_decomposition(spark, sf_dir),
+            {"batch_walls_s": [], "stage_totals_s": {},
+             "per_batch_stages_s": []}),
     }
     con.close()
     # silence the JVM for the rest of the process: the StateStore

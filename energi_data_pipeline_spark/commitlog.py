@@ -220,21 +220,23 @@ class CommitLogTable:
             if out is None:  # nothing to do (e.g. empty anti-join)
                 return base_v if base_v is not None else -1
             seg = self._write_segment(out)
-            if op == "append" and base_v is not None \
-                    and self._segment_rows(seg) == 0:
+            if op == "append" and self._segment_rows(seg) == 0:
                 # idempotent append: the anti-join (or builder)
                 # produced nothing new — publish no commit and drop
-                # the empty segment.  The emptiness probe reads the
-                # WRITTEN segment's parquet footers (a driver-side
-                # metadata peek), so the plan executes exactly once:
-                # r09 shipped this as an eager localCheckpoint +
-                # head(1) probe + a second pass for the segment
-                # write, which doubled executor storage with blocks
-                # nothing ever unpersisted and is non-recoverable on
-                # executor loss in a real cluster.
+                # the empty segment (including the first-ever append
+                # of an empty batch: no v0 referencing an empty
+                # segment is created).  The emptiness probe reads
+                # the WRITTEN segment's parquet footers (a
+                # driver-side metadata peek), so the plan executes
+                # exactly once: r09 shipped this as an eager
+                # localCheckpoint + head(1) probe + a second pass
+                # for the segment write, which doubled executor
+                # storage with blocks nothing ever unpersisted and
+                # is non-recoverable on executor loss in a real
+                # cluster.
                 self.store.delete_tree(
                     os.path.join(self.path, _DATA_DIR, seg))
-                return base_v
+                return base_v if base_v is not None else -1
             prev = (self.manifest(base_v)["segments"]
                     if (op == "append" and base_v is not None) else [])
             next_v = (base_v + 1) if base_v is not None else 0

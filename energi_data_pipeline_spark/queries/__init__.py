@@ -249,13 +249,15 @@ _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
     # round-10 ADVICE: curation.py classifier-gate feature-plan reuse
     # (memoized _dense_features) — pin both classifier consumers
     "curation_quality_classifier", "curation_classifier_gate",
-    # round-10 ADVICE: commitlog insert_if_absent unpersists its
-    # localCheckpoint — pin the commitlog-backed entries
+    # round-10: insert/merge representatives pinned for the io.py
+    # file_memo_key change (session-identity keying) they consume
+    # via read_table.  NOTE: the commitlog.py footer-probe rewrite
+    # has NO registry consumer — CommitLogTable's coverage is
+    # tests/test_commitlog.py + test_pipeline_golden.py (the
+    # medallion commitlog variant), not driver CORRECTNESS rows.
     "core_insert_if_absent", "core_merge_upsert",
-    # NOT pinned: io.py _TABLE_CACHE session-identity keying and
-    # session.py tune(force=) are cache-key/doc changes with no plan
-    # or value effect (driver correctness sessions are vanilla
-    # builders); bench.py floor-guard changes touch no query code.
+    # NOT pinned: session.py tune(force=) is additive; bench.py
+    # floor-guard changes touch no query code.
 )
 
 

@@ -915,13 +915,13 @@ _LINK_SQL = "0.5 + 0.5 * {m} / (1 + abs({m}))"
 
 #: result schema of the dense feature build (shared by both
 #: implementations below).
+_FEAT_SCHEMA = ("doc_id bigint, source string, y double, "
+                "xs array<double>")
+
 #: (session, corpus-file identity) -> persisted dense-feature
 #: DataFrame; see _dense_features for why object identity (not plan
 #: equality) is the reuse contract between trainer and gate.
 _DENSE_FEAT_MEMO: dict = {}
-
-_FEAT_SCHEMA = ("doc_id bigint, source string, y double, "
-                "xs array<double>")
 
 
 def _feat_batches(it):
@@ -1050,8 +1050,20 @@ def _dense_features(spark, sf_dir):
         d = d.repartition(target)
     fxv = (d.mapInPandas(_feat_batches, _FEAT_SCHEMA)
            .persist(StorageLevel.DISK_ONLY))
-    if len(_DENSE_FEAT_MEMO) > 32:  # stale sessions/corpora: rebuild
-        _DENSE_FEAT_MEMO.clear()
+    # evictions UNPERSIST: a dropped entry's DISK_ONLY blocks would
+    # otherwise stay registered in the CacheManager for the session's
+    # life with no reachable handle.  Same-session same-path entries
+    # with a different file identity (corpus rewritten in place) are
+    # evicted eagerly for the same reason.
+    stale = [k for k in _DENSE_FEAT_MEMO
+             if k[:3] == key[:3] and k != key]
+    if len(_DENSE_FEAT_MEMO) > 32:
+        stale = list(_DENSE_FEAT_MEMO)
+    for k in stale:
+        try:
+            _DENSE_FEAT_MEMO.pop(k).unpersist()
+        except Exception:
+            pass  # a stopped session's handle: nothing to release
     _DENSE_FEAT_MEMO[key] = fxv
     return fxv
 

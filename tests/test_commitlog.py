@@ -194,3 +194,23 @@ def test_crashed_writer_invisible(spark, tmp_path, deny_rename):
     t._write_segment(make(spark, [(666, "ghost")]))
     assert rows(t.read(spark)) == before
     assert t.current_version() == 0
+
+
+def test_first_append_of_empty_batch_creates_nothing(spark, tmp_path,
+                                                     deny_rename):
+    """The no-empty-segments contract holds from version 0: the
+    first-ever insert_if_absent of an empty batch publishes no
+    commit and leaves no segment (round-10 review: the footer probe
+    originally skipped the base_v-is-None path, so a fresh table's
+    v0 could reference an empty segment)."""
+    t = CommitLogTable(str(tmp_path / "t"))
+    empty = make(spark, [(1, "a")]).filter("k < 0")
+    assert t.insert_if_absent(spark, empty, ["k"]) == -1
+    assert t.current_version() is None
+    # the discarded segment is gone, not left as orphan garbage
+    data_dir = os.path.join(str(tmp_path / "t"), "data")
+    assert not os.path.isdir(data_dir) or not os.listdir(data_dir)
+    # and the table still initializes normally afterwards
+    t.insert_if_absent(spark, make(spark, [(1, "a")]), ["k"])
+    assert t.current_version() == 0
+    assert rows(t.read(spark)) == [(1, "a")]

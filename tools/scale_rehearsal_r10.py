@@ -188,7 +188,7 @@ def bucket_ab(spark, reg, sf_dir, label) -> dict:
     }
 
 
-def lexleg(spark, sf_dir, cons=None) -> dict:
+def lexleg(spark, sf_dir) -> dict:
     """Standalone lexical leg (tfidf_query_cosine at the hybrid
     stride), min of 3, caches dropped — the leg-level scale row."""
     from energi_data_pipeline_spark.queries.simsearch import (
