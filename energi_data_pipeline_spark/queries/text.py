@@ -1525,19 +1525,40 @@ def text_bpe_apply_merges(spark, sf_dir):
     never touches corpus-cardinality data.
 
     Scale shape: the vocab side is vocabulary-cardinality (Heaps'
-    law sub-linear); AQE picks broadcast vs shuffle for the word
-    join from its runtime size.  Documents whose every pretoken is
-    length-0 drop out (inner join) — same rule as the oracle.
+    law sub-linear), and the join side is chosen EXPLICITLY: left
+    alone, the planner broadcast the EXPLODED CORPUS stream (the
+    vocab side is a checkpointed RDD with no stats, and parquet scan
+    stats never model explode fan-out — the round-10 explain pass
+    caught exactly this BuildLeft shape, a driver-OOM at any real
+    corpus).  The vocab broadcasts while the corpus text-byte upper
+    bound (vocab char mass can never exceed it) fits the
+    heap-derived budget — every replicated test corpus stays under
+    it — else the vocab becomes the shuffle-hash BUILD side against
+    the streamed corpus, the standard dictionary-join shape (one
+    build row per word, so per-key build mass is skew-free; AQE
+    splits probe-side stopword skew).  Documents whose every
+    pretoken is length-0 drop out (inner join) — same rule as the
+    oracle.
 
     Parity anchor: on merge-free inputs (no learned pair occurs),
     n_bpe_tokens == total symbol count and n_pretokens reproduces
     `text_bpe_token_count`'s pretoken boundaries — pinned by
     tests/test_oracle_parity.py::test_bpe_apply_merge_free."""
+    import os
+
+    from ..io import broadcast_budget_bytes, parquet_column_bytes
+
     _, vocab_seq = _bpe_learn(spark, sf_dir)
     vocab = vocab_seq.select(
         "wd",
         F.size(F.split(F.col("seq"), " ")).cast("bigint")
         .alias("n_sym"))
+    text_bytes = parquet_column_bytes(
+        os.path.join(sf_dir, "documents.parquet"), "text")
+    if text_bytes <= broadcast_budget_bytes(spark):
+        vocab = F.broadcast(vocab)
+    else:
+        vocab = vocab.hint("shuffle_hash")
     d = spread(t(spark, sf_dir, "documents"))
     toks = (d.select(
         "doc_id",

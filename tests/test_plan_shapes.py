@@ -774,3 +774,14 @@ def test_ann_lsh_plan_prunes_topk_in_window(spark):
         df._jdf.queryExecution(), "formatted")
     assert "WindowGroupLimit" in p, p[:2000]
     assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_bpe_apply_broadcasts_vocab_not_corpus(spark, registry):
+    """The BPE apply word join must build on the VOCAB side.  Left
+    alone, the planner broadcast the exploded corpus token stream
+    (the checkpointed vocab has no stats and parquet scan stats do
+    not model explode fan-out) — a driver-OOM shape at any real
+    corpus.  BuildRight = the vocab (right side of toks.join(vocab))
+    is the broadcast build."""
+    p = plan_of(spark, registry, "text_bpe_apply_merges")
+    assert "BroadcastHashJoin Inner BuildRight" in p, p[:2000]
