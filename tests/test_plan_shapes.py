@@ -101,6 +101,15 @@ BOUNDED_BROADCAST_SIDES = {
                                      # parameters, bounded by
                                      # construction — curation.py
                                      # chained-GD re-entry)
+    "vocab",                         # BPE word->pieces vocabulary:
+                                     # broadcast ONLY when the corpus
+                                     # text-byte upper bound fits the
+                                     # heap-derived broadcast budget,
+                                     # else shuffle-hash build on the
+                                     # vocab side (text.py BPE apply
+                                     # join-side policy; plan pinned by
+                                     # test_bpe_apply_broadcasts_vocab_
+                                     # not_corpus)
 }
 
 
