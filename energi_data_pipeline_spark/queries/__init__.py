@@ -203,7 +203,7 @@ _DRIVER_VERIFIED = frozenset({
     "curation_token_budget", "curation_shard_manifest",
     "curation_gate_overlap", "curation_dataset_card",
     "core_groupby_agg_fastsum", "core_cte_chain_fastsum",
-    "text_bpe_learn_merges", "sims_hybrid_rrf",
+    "text_bpe_learn_merges", "text_bpe_apply_merges", "sims_hybrid_rrf",
     "mm_png_header_parse", "mm_wav_header_parse",
     "ext_pagerank_power",
     # --- CORRECTNESS_r06 green rows (the 8 round-6 additions; the
@@ -230,34 +230,28 @@ _DRIVER_VERIFIED = frozenset({
 #: green backlog.  Convention: touching a query or helper => add
 #: every consuming registry entry to this tuple; clear/rebuild the
 #: tuple at the start of the next round once its CORRECTNESS rows
-#: land green.  ROUND-10 ROTATION: all 37 r09 pins landed green in
-#: CORRECTNESS_r09 (50/50) and were already in _DRIVER_VERIFIED;
-#: the window now pins the round-10 touched entries.
+#: land green.  ROUND-11 ROTATION: all 12 r10 pins landed green in
+#: CORRECTNESS_r10 (50/50); text_bpe_apply_merges promoted into
+#: _DRIVER_VERIFIED.  The window now pins the round-11 touched
+#: entries.
 _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
-    # round-10: bucketed/co-partitioned star-join experiment for the
-    # fastsum twin — pin both cte-chain twins (verdict #2)
-    "core_cte_chain_fastsum", "core_cte_chain",
-    # round-10: streaming LSH per-batch decomposition / redundant-job
-    # cut (verdict #3) — pin both incremental index streams
+    # round-11: idempotent-by-construction batch commits in the
+    # streaming index publish path (verdict #4) — pin both
+    # incremental index streams
     "stream_incremental_lsh_dedup", "stream_incremental_embedding_index",
-    # round-10: hybrid lexical-leg profiling swing (verdict #4) — the
-    # leg is shared with the tfidf pairs entry via _tfidf_w
-    "sims_hybrid_rrf", "text_tfidf_cosine_pairs",
-    # round-10: new tokenizer train->apply entry (verdict #6) plus its
-    # trainer (shared merge-learning helpers may move)
-    "text_bpe_apply_merges", "text_bpe_learn_merges",
-    # round-10 ADVICE: curation.py classifier-gate feature-plan reuse
-    # (memoized _dense_features) — pin both classifier consumers
+    # round-11: BPE apply OOV extension + _bpe_learn memoization
+    # (verdict #5 + ADVICE) — pin the trainer, the apply entry, and
+    # the new held-out encode entry (auto-front as never-verified,
+    # listed here for the changed-code record)
+    "text_bpe_learn_merges", "text_bpe_apply_merges",
+    "text_bpe_encode_heldout",
+    # round-11: sweep-sleeper adjudication touches (verdict #6)
+    "ext_association_rules", "curation_gate_overlap",
+    # round-11 ADVICE: per-session LRU eviction for _DENSE_FEAT_MEMO
+    # — pin both classifier consumers of the memoized feature stage
     "curation_quality_classifier", "curation_classifier_gate",
-    # round-10: insert/merge representatives pinned for the io.py
-    # file_memo_key change (session-identity keying) they consume
-    # via read_table.  NOTE: the commitlog.py footer-probe rewrite
-    # has NO registry consumer — CommitLogTable's coverage is
-    # tests/test_commitlog.py + test_pipeline_golden.py (the
-    # medallion commitlog variant), not driver CORRECTNESS rows.
-    "core_insert_if_absent", "core_merge_upsert",
-    # NOT pinned: session.py tune(force=) is additive; bench.py
-    # floor-guard changes touch no query code.
+    # NOT pinned: bench.py idle-gate/contamination changes touch no
+    # query code; commitlog.py empty-probe docs are comment-only.
 )
 
 
