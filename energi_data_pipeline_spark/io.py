@@ -308,9 +308,13 @@ def read_layer_table(spark: SparkSession, warehouse: str, layer: str,
     path = table_path(warehouse, layer, name)
     recover_atomic(path)
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
     except Exception:
         return None
+    # segment-append tables carry the internal _bid partition column
+    # (append_batch_segment's idempotency key) — never part of the
+    # logical schema
+    return df.drop("_bid") if "_bid" in df.columns else df
 
 
 def max_watermark(df: DataFrame | None, col: str, default):
@@ -352,6 +356,68 @@ def insert_if_absent(spark: SparkSession, new_df: DataFrame, warehouse: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def append_batch_segment(spark: SparkSession, df: DataFrame,
+                         warehouse: str, layer: str, name: str,
+                         batch_id: int,
+                         partition_by: list[str] | None = None,
+                         write_width: int | None = None) -> None:
+    """Idempotent-BY-CONSTRUCTION micro-batch append: the batch
+    writes under a deterministic ``_bid=<batch_id>`` partition of the
+    destination, and a replay of batch N dynamically OVERWRITES
+    exactly its own partition subtree.
+
+    Why this exists (vs :func:`insert_if_absent`): the anti-join
+    append pays a full read of the accumulated table plus a key
+    shuffle PER BATCH purely for replay idempotency — O(index) work
+    per batch, the dominant cost of the streaming index-maintenance
+    pipelines once the index outgrows the batch (measured ~2.3s/run
+    of the stream_incremental_lsh_dedup stage wall at sf0.1; at a
+    100 TB index it is a non-starter).  Here a replay costs one
+    partition-scoped overwrite of the batch's own segment — no read
+    of the rest of the table at all.
+
+    Chosen over a manifest skip-if-segment-present check
+    deliberately: a crash mid-segment leaves partial files a skip
+    would preserve forever, while the overwrite replay repairs them;
+    the streaming checkpoint already re-delivers a batch id until
+    its foreachBatch completes, which is exactly the at-least-once
+    window this makes idempotent.
+
+    Contract difference: key-level dedup ACROSS batches is NOT
+    performed — use only where batches are key-disjoint by
+    construction (the index streams replay ascending-id spans) or
+    downstream tolerates replayed keys.  :func:`read_layer_table`
+    drops the internal ``_bid`` column on read-back.
+
+    ``write_width`` bounds the files per segment: a micro-batch
+    arrives spread across the session's full parallelism (io.spread)
+    and writing it as-is emits one file per partition PER partition_by
+    value — hundreds of tiny files per segment whose create/commit
+    cost and later listing dwarf the data (first measurement of this
+    path: appends 4x SLOWER than the anti-join they replaced).
+    Default: the current shuffle width, which the index streams size
+    to the input bytes (128 MB/partition), so segment file count
+    scales with batch volume, not core count.
+    """
+    path = table_path(warehouse, layer, name)
+    if write_width is None:
+        write_width = max(1, int(spark.conf.get(
+            "spark.sql.shuffle.partitions", "8")))
+    if partition_by and write_width > 1:
+        # co-locate each partition value so partitionBy emits one
+        # file per value instead of one per (task, value) pair
+        df = df.repartition(write_width, *partition_by)
+    else:
+        # narrow merge, no shuffle (at width 1 a single task writes
+        # one file per partition_by value anyway)
+        df = df.coalesce(write_width)
+    (df.withColumn("_bid", F.lit(int(batch_id)))
+       .write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("_bid", *(partition_by or []))
+       .parquet(path))
 
 
 def export_csv(df: DataFrame, path: str, order_by: list[str],

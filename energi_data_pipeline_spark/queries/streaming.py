@@ -930,7 +930,9 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
     (band-bucket join + signature-agreement verify, partner id <
     own id), its verdicts appended idempotently, and its signatures +
     band-long posting rows APPENDED to the two index tables
-    (band-partitioned) through insert_if_absent — per-batch write
+    (band-partitioned) as deterministic per-batch segments
+    (io.append_batch_segment: replay of batch N overwrites its own
+    _bid partition, O(batch), no index read) — per-batch write
     volume is O(batch), never a full index rewrite.  The
     tested contract is the incremental-equivalence invariant: after
     replaying the corpus as {INCR_LSH_BATCHES} ascending-id batches,
@@ -949,7 +951,7 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
     import tempfile
 
     from ..functions.hashing import base_hashes, minhash_from_hashes
-    from ..io import insert_if_absent, read_layer_table, table_path
+    from ..io import append_batch_segment, read_layer_table
     from .dedup import docs_corpus_size, minhash_params
     from .dedup import shingles_from_tokens
     from .text import tokens_col
@@ -1006,7 +1008,7 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
                 for b in range(nb)])).alias("bk")
         ).select("doc_id", "bk.band", "bk.key")
 
-    def process_batch(batch_df, _bid):
+    def process_batch(batch_df, bid):
         import time as _time
 
         marks = [("start", _time.perf_counter())]
@@ -1031,10 +1033,10 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         # The index is TWO append-only tables: signatures (verify
         # side) and the band-long posting list (candidate side,
         # partitioned by band).  Per batch we APPEND the batch delta
-        # through insert_if_absent — O(batch) write volume — instead
-        # of republishing the whole index snapshot, whose total
-        # write volume is O(batches x index): quadratic in stream
-        # length, the scale-killer shape flagged in round 4.
+        # as its own deterministic segment — O(batch) write volume —
+        # instead of republishing the whole index snapshot, whose
+        # total write volume is O(batches x index): quadratic in
+        # stream length, the scale-killer shape flagged in round 4.
         idx_bands = read_layer_table(sess, wh, "silver", "lsh_bands")
         # band is the partitionBy column; re-cast on read-back so the
         # union/join keeps its int type even when
@@ -1071,15 +1073,22 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
                     .select("doc_id",
                             F.coalesce(F.col("dup"), F.lit(False))
                             .alias("is_dup_of_earlier")))
-        insert_if_absent(sess, verdicts, wh, "gold", "dup_verdicts",
-                         keys=["doc_id"])
+        # idempotent-by-construction segment appends (round-11): each
+        # batch owns the _bid=<batch_id> partition of its tables, so
+        # a replay overwrites its own segment in O(batch) — the
+        # previous insert_if_absent anti-joins re-read the WHOLE
+        # accumulated index per batch (O(index), ~2.3s/run of the
+        # sf0.1 stage wall) purely for replay insurance.  Batches are
+        # ascending-id spans, key-disjoint by construction, which is
+        # exactly append_batch_segment's contract.
+        append_batch_segment(sess, verdicts, wh, "gold",
+                             "dup_verdicts", bid)
         mark("detect_and_publish_verdicts")
-        insert_if_absent(sess, batch_sigs, wh, "silver", "lsh_index",
-                         keys=["doc_id"])
+        append_batch_segment(sess, batch_sigs, wh, "silver",
+                             "lsh_index", bid)
         mark("append_sig_index")
-        insert_if_absent(sess, batch_bands, wh, "silver", "lsh_bands",
-                         keys=["doc_id", "band"],
-                         partition_by=["band"])
+        append_batch_segment(sess, batch_bands, wh, "silver",
+                             "lsh_bands", bid, partition_by=["band"])
         mark("append_band_postings")
         if stage_times is not None:
             stage_times.append({
@@ -1115,7 +1124,7 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        out = spark.read.parquet(table_path(wh, "gold", "dup_verdicts"))
+        out = read_layer_table(spark, wh, "gold", "dup_verdicts")
         return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1164,8 +1173,9 @@ def stream_incremental_embedding_index(spark, sf_dir):
     compared against the accumulated (bucket, vector) index — plus
     its own lower-id rows — by exact in-bucket cosine, verdicts
     append idempotently, and the batch's vectors APPEND to the
-    bucket-partitioned index through insert_if_absent (O(batch)
-    write volume per batch, never a full index rewrite).  The
+    bucket-partitioned index as a deterministic per-batch segment
+    (io.append_batch_segment — O(batch) write volume per batch and
+    O(batch) replays, never a full index rewrite or read).  The
     verified contract is again incremental-equals-batch: the verdict
     table must equal the batch "has a lower-id bucket-mate at cosine
     >= {NEARDUP_T}" relation.
@@ -1178,7 +1188,7 @@ def stream_incremental_embedding_index(spark, sf_dir):
     import shutil
     import tempfile
 
-    from ..io import insert_if_absent, read_layer_table, table_path
+    from ..io import append_batch_segment, read_layer_table
 
     tune(spark)
     src = tempfile.mkdtemp(prefix="emb_idx_src_")
@@ -1203,7 +1213,7 @@ def stream_incremental_embedding_index(spark, sf_dir):
         _os.utime(dst, (now + 100 * b, now + 100 * b))
         shutil.rmtree(stage, ignore_errors=True)
 
-    def process_batch(batch_df, _bid):
+    def process_batch(batch_df, bid):
         sess = batch_df.sparkSession
         # single-file micro-batch = single partition: fan out before
         # the per-vector norm/plane math (same fix as the LSH twin's
@@ -1240,13 +1250,16 @@ def stream_incremental_embedding_index(spark, sf_dir):
                     .select("vec_id",
                             F.coalesce(F.col("dup"), F.lit(False))
                             .alias("is_dup_of_earlier")))
-        insert_if_absent(sess, verdicts, wh, "gold", "emb_verdicts",
-                         keys=["vec_id"])
+        # idempotent-by-construction segment appends (round-11, same
+        # rationale as the LSH twin): replays overwrite their own
+        # _bid partition instead of anti-joining the whole index
+        append_batch_segment(sess, verdicts, wh, "gold",
+                             "emb_verdicts", bid)
         # append the batch delta only (bucket-partitioned) — the
         # full-snapshot republish was O(batches x index) total write
         # volume, quadratic in stream length
-        insert_if_absent(sess, batch_vec, wh, "silver", "emb_index",
-                         keys=["vec_id"], partition_by=["bucket"])
+        append_batch_segment(sess, batch_vec, wh, "silver",
+                             "emb_index", bid, partition_by=["bucket"])
 
     # input-sized shuffle width for the per-batch jobs (see the LSH
     # twin's A/B: micro-batch exchanges at session width are mostly
@@ -1263,7 +1276,7 @@ def stream_incremental_embedding_index(spark, sf_dir):
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        out = spark.read.parquet(table_path(wh, "gold", "emb_verdicts"))
+        out = read_layer_table(spark, wh, "gold", "emb_verdicts")
         return out.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

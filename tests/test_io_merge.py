@@ -367,3 +367,82 @@ def test_table_lock_released_when_owner_killed(tmp_path):
     with table_lock(path, timeout_s=10.0):
         pass  # acquired despite the owner never releasing
     assert time.time() - t0 < 5.0
+
+
+# ----------------- append_batch_segment: idempotent-by-construction
+# micro-batch appends (round-11: replaces the per-batch anti-join in
+# the streaming index pipelines; replay of batch N overwrites its own
+# _bid partition instead of reading the accumulated table)
+
+
+def test_segment_append_accumulates_batches(spark, tmp_path):
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               read_layer_table)
+    wh = str(tmp_path)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b1 = spark.createDataFrame([(3, "c")], "k int, v string")
+    append_batch_segment(spark, b0, wh, "silver", "t", 0)
+    append_batch_segment(spark, b1, wh, "silver", "t", 1)
+    out = read_layer_table(spark, wh, "silver", "t")
+    # the internal _bid partition column never reaches readers
+    assert set(out.columns) == {"k", "v"}
+    assert _rows(out) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_segment_append_replay_overwrites_own_segment(spark, tmp_path):
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               read_layer_table)
+    wh = str(tmp_path)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b1 = spark.createDataFrame([(3, "c")], "k int, v string")
+    append_batch_segment(spark, b0, wh, "silver", "t", 0)
+    append_batch_segment(spark, b1, wh, "silver", "t", 1)
+    # replay batch 0 (at-least-once redelivery): its segment is
+    # overwritten in place — no duplicate rows, batch 1 untouched
+    append_batch_segment(spark, b0, wh, "silver", "t", 0)
+    out = read_layer_table(spark, wh, "silver", "t")
+    assert out.count() == 3
+    assert _rows(out) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_segment_append_replay_repairs_partial_segment(spark, tmp_path):
+    """A crash mid-segment leaves partial files; the replay's dynamic
+    overwrite must repair them (this is why the manifest
+    skip-if-present variant was rejected — it would preserve the
+    corruption forever)."""
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               read_layer_table, table_path)
+    wh = str(tmp_path)
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    append_batch_segment(spark, full, wh, "silver", "t", 0)
+    # simulate the crash: drop all but one data file from the segment
+    seg = Path(table_path(wh, "silver", "t")) / "_bid=0"
+    parts = sorted(seg.glob("*.parquet"))
+    if len(parts) > 1:
+        for p in parts[1:]:
+            p.unlink()
+        assert read_layer_table(spark, wh, "silver", "t").count() < 3
+    append_batch_segment(spark, full, wh, "silver", "t", 0)  # replay
+    assert _rows(read_layer_table(spark, wh, "silver", "t")) == {
+        (1, "a"), (2, "b"), (3, "c")}
+
+
+def test_segment_append_with_partition_columns(spark, tmp_path):
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               read_layer_table)
+    from pyspark.sql import functions as F
+    wh = str(tmp_path)
+    b0 = spark.createDataFrame(
+        [(1, 0, "x"), (2, 1, "y")], "k int, band int, key string")
+    append_batch_segment(spark, b0, wh, "silver", "t", 0,
+                         partition_by=["band"])
+    append_batch_segment(spark, b0, wh, "silver", "t", 0,  # replay
+                         partition_by=["band"])
+    out = read_layer_table(spark, wh, "silver", "t")
+    assert out.count() == 2
+    # band survives as a partition-directory column (string-typed
+    # when partitionColumnTypeInference is off — cast on read-back,
+    # same contract the index streams follow)
+    assert {int(r[0]) for r in out.select(
+        F.col("band").cast("int")).collect()} == {0, 1}
