@@ -203,6 +203,13 @@ def _nanos_columns_at(path: str, _mtime_ns: int,
                       _size: int) -> tuple[str, ...]:
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # a Spark-written table is a directory of part files; any
+        # one footer carries the (uniform) schema
+        path = next(
+            os.path.join(root, f)
+            for root, _d, files in os.walk(path)
+            for f in sorted(files) if f.endswith(".parquet"))
     schema = pq.read_schema(path)
     return tuple(f.name for f in schema
                  if str(f.type).startswith("timestamp[ns"))

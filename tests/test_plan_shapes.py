@@ -101,6 +101,11 @@ BOUNDED_BROADCAST_SIDES = {
                                      # parameters, bounded by
                                      # construction — curation.py
                                      # chained-GD re-entry)
+    "mrow",                          # BPE merge rules collapsed to
+                                     # ONE row holding a BPE_MERGES-
+                                     # element array (constant by
+                                     # construction — text.py held-out
+                                     # encode fold)
     "vocab",                         # BPE word->pieces vocabulary:
                                      # broadcast ONLY when the corpus
                                      # text-byte upper bound fits the
@@ -793,4 +798,13 @@ def test_bpe_apply_broadcasts_vocab_not_corpus(spark, registry):
     corpus.  BuildRight = the vocab (right side of toks.join(vocab))
     is the broadcast build."""
     p = plan_of(spark, registry, "text_bpe_apply_merges")
+    assert "BroadcastHashJoin Inner BuildRight" in p, p[:2000]
+
+
+def test_bpe_heldout_broadcasts_vocab_not_corpus(spark, registry):
+    """Same join-side pin for the held-out encode: the encoder table
+    (trained vocab UNION the merge-applied delta) must be the build
+    side of the corpus join, and the merge-rules fold must ride a
+    one-row broadcast — never the exploded held-out token stream."""
+    p = plan_of(spark, registry, "text_bpe_encode_heldout")
     assert "BroadcastHashJoin Inner BuildRight" in p, p[:2000]
