@@ -245,8 +245,10 @@ _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
     # listed here for the changed-code record)
     "text_bpe_learn_merges", "text_bpe_apply_merges",
     "text_bpe_encode_heldout",
-    # round-11: sweep-sleeper adjudication touches (verdict #6)
-    "ext_association_rules", "curation_gate_overlap",
+    # round-11: sweep-sleeper adjudication touches (verdict #6);
+    # market_basket_pairs shares the rewritten in-row pair mining
+    "ext_association_rules", "ext_market_basket_pairs",
+    "curation_gate_overlap",
     # round-11 ADVICE: per-session LRU eviction for _DENSE_FEAT_MEMO
     # — pin both classifier consumers of the memoized feature stage
     "curation_quality_classifier", "curation_classifier_gate",

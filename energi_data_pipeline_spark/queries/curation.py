@@ -765,36 +765,61 @@ def curation_gate_overlap(spark, sf_dir):
     scoring operators; the oracle composes their SQL verbatim, so
     the integration is hash-checked like curation_pipeline's.
 
-    Scale shape: each gate is its map-only scoring pass; the long
-    union shuffles (doc_id, gate, bool) triples once on doc_id; the
-    output is gate-pair-cardinality."""
-    gates = [
-        ("quality", REGISTRY["text_quality_score"].fn(spark, sf_dir)
-         .select("doc_id", F.col("passes_quality").alias("v"))),
-        ("repetition", REGISTRY["text_repetition_score"].fn(spark, sf_dir)
-         .select("doc_id", F.col("passes_repetition").alias("v"))),
-        ("not_blocked", REGISTRY["text_blocklist_filter"].fn(spark, sf_dir)
-         .select("doc_id", (~F.col("is_blocked")).alias("v"))),
-        ("lang_known", REGISTRY["text_lang_id"].fn(spark, sf_dir)
-         .select("doc_id", (F.col("lang_pred") != "unknown").alias("v"))),
-    ]
-    long = None
-    for name, df in gates:
-        part = df.select("doc_id", F.lit(name).alias("gate"), "v")
-        long = part if long is None else long.unionByName(part)
-    a, c = long.alias("a"), long.alias("c")
-    return (a.join(c, (F.col("c.doc_id") == F.col("a.doc_id"))
-                   & (F.col("a.gate") < F.col("c.gate")))
-            .groupBy(F.col("a.gate").alias("gate_a"),
-                     F.col("c.gate").alias("gate_b"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                 F.sum(F.when(F.col("a.v") & F.col("c.v"), 1)
-                       .otherwise(0)).cast("bigint").alias("both_pass"),
-                 F.sum(F.when(~F.col("a.v") & ~F.col("c.v"), 1)
-                       .otherwise(0)).cast("bigint").alias("both_fail"),
-                 F.round(F.sum(F.when(F.col("a.v") == F.col("c.v"), 1)
-                               .otherwise(0)).cast("double")
-                         / F.count(F.lit(1)), 6).alias("agree_rate")))
+    Scale shape (round-11 rewrite): ONE corpus scan computes all
+    four gate booleans per document map-side — including
+    repetition's top-token count, which folds in-row over the sorted
+    token array instead of paying the scoring entry's (doc, token)
+    shuffle (text.repetition_pass_col; equality with the entry is
+    test-pinned) — then one map-side-combined GLOBAL aggregation
+    folds the 6 pairs' counters, unpivoted to the 6 output rows.
+    Zero joins, one single-row exchange; the previous shape ran four
+    separate scoring scans, unioned them long, and self-joined on
+    doc_id.  Pairs involving repetition count only documents with
+    tokens: the repetition scoring entry (and the composed oracle)
+    drop zero-token documents, so the doc_id join excluded them from
+    exactly those pairs."""
+    from itertools import combinations
+
+    from .text import (blocked_col, lang_known_col, quality_pass_col,
+                       repetition_pass_col, tokens_col)
+
+    d = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    wide = d.select(
+        quality_pass_col(text).alias("quality"),
+        repetition_pass_col(text).alias("repetition"),
+        (~blocked_col(text)).alias("not_blocked"),
+        lang_known_col(text).alias("lang_known"),
+        (F.size(tokens_col(text)) > 0).alias("has_tokens"))
+    pairs = list(combinations(
+        sorted(["quality", "repetition", "not_blocked",
+                "lang_known"]), 2))
+
+    def csum(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    sums = []
+    for i, (ga, gb) in enumerate(pairs):
+        present = (F.col("has_tokens")
+                   if "repetition" in (ga, gb) else F.lit(True))
+        sums += [
+            csum(present).alias(f"n{i}"),
+            csum(present & F.col(ga) & F.col(gb)).alias(f"bp{i}"),
+            csum(present & ~F.col(ga) & ~F.col(gb)).alias(f"bf{i}"),
+            csum(present & (F.col(ga) == F.col(gb))).alias(f"ag{i}"),
+        ]
+    one = wide.agg(*sums)
+    rows = F.array(*[
+        F.struct(
+            F.lit(ga).alias("gate_a"), F.lit(gb).alias("gate_b"),
+            F.col(f"n{i}").cast("bigint").alias("n_docs"),
+            F.col(f"bp{i}").cast("bigint").alias("both_pass"),
+            F.col(f"bf{i}").cast("bigint").alias("both_fail"),
+            F.round(F.col(f"ag{i}").cast("double")
+                    / F.col(f"n{i}"), 6).alias("agree_rate"))
+        for i, (ga, gb) in enumerate(pairs)])
+    return (one.select(F.explode(rows).alias("r")).select("r.*")
+            .filter(F.col("n_docs") > 0))
 
 
 # ------------------------------------------------- dataset card

@@ -1943,22 +1943,27 @@ def ext_market_basket_pairs(spark, sf_dir):
     """Market-basket co-occurrence: part pairs appearing together in
     at least {BASKET_MIN_COUNT} orders — the frequent-itemset seed
     (Apriori's pair pass) behind "bought together" features.  The
-    self-join key is the ORDER (baskets are small and bounded), so
-    the pair space is sum of per-basket sizes squared — linear in
-    order count, never |parts|^2; the count shuffle is on the pair
-    key with map-side combine."""
+    pair space is sum of per-basket sizes squared — linear in order
+    count, never |parts|^2; the count shuffle is on the pair key
+    with map-side combine.  Round-11 shape (shared with
+    ext_association_rules): ONE shuffle on the order key builds
+    per-order sorted item sets, and the a<b pairs are generated
+    IN-ROW (indexed transform x suffix slice) — the previous
+    items-self-join paid a second corpus shuffle to co-locate order
+    keys that the grouped sets already provide."""
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    return (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("part_a"),
-                 F.col("b.l_partkey").alias("part_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-        .filter(F.col("n_orders") >= BASKET_MIN_COUNT)
-    )
+    sets = (li.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("it")))
+    pairs_long = sets.select(F.explode(F.flatten(F.transform(
+        F.col("it"),
+        lambda x, i: F.transform(
+            F.slice(F.col("it"), i + F.lit(2), F.size(F.col("it"))),
+            lambda y: F.struct(x.alias("part_a"),
+                               y.alias("part_b")))))).alias("p"))
+    return (pairs_long.select("p.part_a", "p.part_b")
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+            .filter(F.col("n_orders") >= BASKET_MIN_COUNT))
 
 
 # ------------------------------------- association rules (lift)
@@ -1996,24 +2001,41 @@ def ext_association_rules(spark, sf_dir):
     do.  Completes the market-basket family: pair mining finds the
     candidates, these metrics rank them.
 
-    Scale shape: pair counting as in ext_market_basket_pairs, plus
-    two joins to the per-item counts (item-catalog-cardinality — AQE
-    broadcasts while it fits) and the one-row order total as a
-    bounded scalar broadcast."""
+    Scale shape (round-11 rewrite): ONE shuffle on the order key
+    builds per-order sorted item sets (map-side partial collect_set),
+    and the a<b pairs are generated IN-ROW from each set (indexed
+    transform x suffix slice — the sort makes position order item
+    order) instead of the previous items-self-join, which re-shuffled
+    the distinct item stream a second time to co-locate order keys.
+    The per-item counts and the one-row order total are derived from
+    the SAME grouped exchange (three consumers of one identical
+    exchange subtree — AQE runtime-reuses it, so the lineitem scan
+    and the order-key shuffle run once; no corpus-cardinality cache
+    needed).  Downstream joins are item-catalog-cardinality (AQE
+    broadcasts while they fit); the order total is a bounded scalar
+    broadcast.  Per-order set size is bounded by the basket (7 items
+    at TPC-H marginals; a pathological mega-basket would fan out
+    quadratically in ONE row — the same mass the self-join pair
+    stream carried, without the shuffle).  Measured at sf0.1:
+    ~10-15% under the self-join shape warm, one fewer corpus
+    exchange."""
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct().cache()
-    total = items.agg(
-        F.count_distinct("l_orderkey").alias("t"))
-    item_cnt = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).alias("c"))
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("part_a"),
-                 F.col("b.l_partkey").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= BASKET_MIN_COUNT))
+    sets = (li.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("it")))
+    pairs_long = sets.select(F.explode(F.flatten(F.transform(
+        F.col("it"),
+        lambda x, i: F.transform(
+            F.slice(F.col("it"), i + F.lit(2), F.size(F.col("it"))),
+            lambda y: F.struct(x.alias("part_a"),
+                               y.alias("part_b")))))).alias("p"))
+    pairs = (pairs_long.select("p.part_a", "p.part_b")
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= BASKET_MIN_COUNT))
+    item_cnt = (sets.select(F.explode("it").alias("l_partkey"))
+                .groupBy("l_partkey")
+                .agg(F.count(F.lit(1)).alias("c")))
+    total = sets.agg(F.count(F.lit(1)).alias("t"))
     ca = item_cnt.select(F.col("l_partkey").alias("part_a"),
                          F.col("c").alias("ca"))
     cb = item_cnt.select(F.col("l_partkey").alias("part_b"),

@@ -528,6 +528,89 @@ FROM agg
 """
 
 
+# --- map-side gate-boolean expressions (round-11): the agreement
+# matrix (curation_gate_overlap) needs only each gate's BOOLEAN, and
+# every one of them is computable in-row — including repetition's
+# top-token count, which the scoring entry derives through a
+# (doc, token) shuffle but which equals the longest run of the
+# sorted token array, an O(n log n) per-row fold.  Equality with the
+# shuffle formulation is pinned by
+# tests/test_oracle_parity.py::test_gate_bool_exprs_match_entries.
+
+def quality_pass_col(text):
+    """text_quality_score's passes_quality as a map-side expression
+    (same thresholds as the entry and its oracle)."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(tokens_col(text)).cast("double")
+    n_punct = F.length(
+        F.regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    n_digit = F.length(
+        F.regexp_replace(text, "[^0-9]", "")).cast("double")
+    return ((n_tokens >= 10) & (n_tokens <= 1000)
+            & (n_punct / n_chars < 0.2)
+            & (n_digit / n_chars < 0.3))
+
+
+def lang_known_col(text):
+    """text_lang_id's (lang_pred != 'unknown'), via the same CASE so
+    NULL-text semantics match the entry exactly."""
+    toks = tokens_col(text)
+
+    def hits(words):
+        return F.size(F.filter(
+            toks, lambda x: x.isin(*words))).cast("double")
+
+    en_hits, da_hits = hits(EN_STOP), hits(DA_STOP)
+    pred = (F.when((en_hits == 0) & (da_hits == 0), F.lit("unknown"))
+            .when(en_hits >= da_hits, F.lit("en"))
+            .otherwise(F.lit("da")))
+    return pred != "unknown"
+
+
+def blocked_col(text):
+    """text_blocklist_filter's is_blocked as a map-side expression."""
+    bl = F.array(*[F.lit(w) for w in BLOCKLIST])
+    tk = F.transform(tokens_col(text), lambda x: F.lower(x))
+    return F.size(F.filter(tk, lambda x: F.array_contains(bl, x))) > 0
+
+
+def repetition_pass_col(text):
+    """text_repetition_score's passes_repetition WITHOUT the
+    (doc, token) shuffle: top_cnt == the longest equal-run of the
+    SORTED token array (one in-row fold), and the bigram ratio was
+    already in-row.  Zero-token documents yield NULL — the scoring
+    entry (and its oracle) drop them entirely (explode/unnest of an
+    empty array), so consumers must gate on a has-tokens condition
+    to reproduce the entry's row set."""
+    tk = F.transform(tokens_col(text), lambda x: F.lower(x))
+    bigrams = F.filter(
+        F.zip_with(tk,
+                   F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        lambda x: x.contains(" "))
+    bg_n = F.greatest(F.size(tk) - 1, F.lit(0)).cast("double")
+    bg_uniq = F.size(F.array_distinct(bigrams)).cast("double")
+    dup_bg = F.when(bg_n == 0, F.lit(0.0)) \
+        .otherwise(1.0 - bg_uniq / bg_n)
+    st = F.array_sort(tk)
+    top_cnt = F.aggregate(
+        st,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"]).cast("double")
+    n_tokens = F.size(tk).cast("double")
+    return ((top_cnt / n_tokens < TOP_TOKEN_MAX)
+            & (dup_bg < DUP_BIGRAM_MAX))
+
+
 @query("text_repetition_score", REPETITION_SQL)
 def text_repetition_score(spark, sf_dir):
     """Within-document repetition signals (the Gopher rule family):

@@ -169,3 +169,54 @@ def test_bpe_heldout_oov_encoding(spark):
     import shutil
 
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_gate_bool_exprs_match_entries(spark):
+    """The map-side gate-boolean expressions (round-11: they let
+    curation_gate_overlap fold all four gates in one scan) must equal
+    the scoring entries' published booleans doc-for-doc — in
+    particular repetition's sorted-run fold vs the entry's
+    (doc, token) shuffle."""
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.io import read_table
+    from energi_data_pipeline_spark.queries import load_all
+    from energi_data_pipeline_spark.queries.text import (
+        blocked_col, lang_known_col, quality_pass_col,
+        repetition_pass_col)
+
+    reg = load_all()
+    text = F.col("text")
+    wide = {r["doc_id"]: r for r in (
+        read_table(spark, SF0001, "documents").select(
+            "doc_id",
+            quality_pass_col(text).alias("q"),
+            repetition_pass_col(text).alias("r"),
+            blocked_col(text).alias("b"),
+            lang_known_col(text).alias("l")).collect())}
+    ents = {
+        "q": {r["doc_id"]: r["passes_quality"] for r in
+              reg["text_quality_score"].fn(spark, SF0001).collect()},
+        "r": {r["doc_id"]: r["passes_repetition"] for r in
+              reg["text_repetition_score"].fn(spark, SF0001).collect()},
+        "b": {r["doc_id"]: r["is_blocked"] for r in
+              reg["text_blocklist_filter"].fn(spark, SF0001).collect()},
+        "l": {r["doc_id"]: r["lang_pred"] != "unknown" for r in
+              reg["text_lang_id"].fn(spark, SF0001).collect()},
+    }
+    assert len(wide) > 0
+    for k, vals in ents.items():
+        # the repetition entry may cover fewer docs (zero-token
+        # drops); every doc IT covers must agree with the expression
+        bad = {d: (wide[d][k], v) for d, v in vals.items()
+               if wide[d][k] != v}
+        assert not bad, (k, dict(list(bad.items())[:5]))
+    # docs absent from the repetition entry are exactly the
+    # zero-token ones — the overlap query's has_tokens condition
+    missing = set(wide) - set(ents["r"])
+    from energi_data_pipeline_spark.queries.text import tokens_col
+    zero = {r["doc_id"] for r in (
+        read_table(spark, SF0001, "documents")
+        .filter(F.size(tokens_col(F.col("text"))) == 0)
+        .select("doc_id").collect())}
+    assert missing == zero
