@@ -262,6 +262,21 @@ class CommitLogTable:
         return self.transact(spark, lambda _base: df, op="overwrite")
 
     def append(self, spark: SparkSession, df: DataFrame) -> int:
+        """Append ``df`` as a new segment.
+
+        NO-EMPTY-COMMIT contract (round-10 ADVICE, documented where
+        callers look): appending an EMPTY DataFrame publishes no
+        commit — the version does not bump, and a first-ever empty
+        append leaves ``read()`` returning None rather than creating
+        a v0 of an empty table.  This is deliberate and shared with
+        :meth:`insert_if_absent` (whose replays depend on it): a
+        commit log where idempotent replays accumulate empty
+        segments and version bumps is unusable, and splitting the
+        behavior per-op would make 'did this append commit?'
+        depend on which wrapper produced the rows.  Callers that
+        need an empty table to EXIST should publish it explicitly
+        with :meth:`overwrite` (overwrite always commits, including
+        empty snapshots)."""
         return self.transact(spark, lambda _base: df, op="append")
 
     def insert_if_absent(self, spark: SparkSession, df: DataFrame,

@@ -1082,8 +1082,17 @@ def _dense_features(spark, sf_dir):
     # evicted eagerly for the same reason.
     stale = [k for k in _DENSE_FEAT_MEMO
              if k[:3] == key[:3] and k != key]
-    if len(_DENSE_FEAT_MEMO) > 32:
-        stale = list(_DENSE_FEAT_MEMO)
+    # overflow: evict oldest-inserted first, never a full flush — a
+    # flush unpersists live sessions' hot entries and the next
+    # trainer/gate pair re-runs the Arrow feature kernel, the exact
+    # cost the memo exists to avoid (round-10 ADVICE).  dict
+    # preserves insertion order; dropping from the front is LRU-by-
+    # insertion, good enough for a cache whose hits are clustered
+    # within a session.
+    overflow = len(_DENSE_FEAT_MEMO) - 32
+    if overflow > 0:
+        stale += [k for k in list(_DENSE_FEAT_MEMO)[:overflow]
+                  if k not in stale]
     for k in stale:
         try:
             _DENSE_FEAT_MEMO.pop(k).unpersist()

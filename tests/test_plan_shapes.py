@@ -808,3 +808,89 @@ def test_bpe_heldout_broadcasts_vocab_not_corpus(spark, registry):
     one-row broadcast — never the exploded held-out token stream."""
     p = plan_of(spark, registry, "text_bpe_encode_heldout")
     assert "BroadcastHashJoin Inner BuildRight" in p, p[:2000]
+
+
+#: entries whose plan legitimately explodes INSIDE a broadcast build
+#: side (round-10 audit classification, re-verified round-11).  Every
+#: row must be one of the documented bounded classes:
+#:   bands   — constant-fanout band-struct explode (LSH banding,
+#:             x nb<=4); size estimate grows with file bytes so the
+#:             stock 10MB threshold demotes it naturally (validated
+#:             by the x10/x100 rehearsal rows)
+#:   quant   — bounded quantizer tables (IVF cells / PQ codebooks,
+#:             sub-corpus by construction, same class as "cent")
+#:   literal — literal-array / bounded-spine explode (salts, bin
+#:             grids, time spines)
+#:   block   — sims_cosine_topk_bruteforce's deliberate block
+#:             replication (the query side must never broadcast)
+EXPLODE_IN_BROADCAST_ALLOWLIST = {
+    "dedup_minhash_lsh_pairs": "bands",
+    "dedup_minhash_calibration": "bands",
+    "dedup_simhash_pairs": "bands",
+    "dedup_minhash_bbit": "bands",
+    "mm_phash_near_dup": "bands",
+    "curation_pipeline": "bands (composes lsh_pairs)",
+    "curation_funnel_report": "bands (composes lsh_pairs)",
+    "curation_split_leakage": "bands (composes lsh_pairs)",
+    "curation_dataset_card": "bands (composes lsh_pairs)",
+    "sims_cosine_topk_bruteforce": "block",
+    "sims_knn_label_consistency": "block (composes bruteforce)",
+    "sims_recall_eval": "block (composes bruteforce)",
+    "sims_matryoshka_recall": "block (composes bruteforce)",
+    "sims_pq_adc": "quant",
+    "sims_pq_distortion": "quant",
+    "sims_ivfpq_ann": "quant",
+    "ext_range_join_binned": "literal (bin grid)",
+    "ext_salted_join": "literal (salt array)",
+    "ext_time_resample": "literal (time spine)",
+}
+
+_CARDINALITY_BARRIERS = {"HashAggregateExec", "ObjectHashAggregateExec",
+                         "SortAggregateExec"}
+_BCAST_JOINS = {"BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"}
+
+
+def _explode_in_broadcast_hits(node, in_bcast=False, hits=None):
+    """Count GenerateExec nodes on a broadcast JOIN BUILD SIDE with
+    no cardinality-reducing aggregate between (walked on sparkPlan,
+    which carries build-side info BEFORE exchange insertion — the
+    exchange nodes themselves only appear in the executed plan)."""
+    hits = hits if hits is not None else []
+    name = node.getClass().getSimpleName()
+    if name == "GenerateExec" and in_bcast:
+        hits.append(name)
+    ch = node.children()
+    if name in _BCAST_JOINS:
+        bi = 0 if str(node.buildSide().toString()) == "BuildLeft" else 1
+        for i in range(ch.size()):
+            _explode_in_broadcast_hits(
+                ch.apply(i), in_bcast or i == bi, hits)
+        return hits
+    child_in = False if name in _CARDINALITY_BARRIERS else in_bcast
+    for i in range(ch.size()):
+        _explode_in_broadcast_hits(ch.apply(i), child_in, hits)
+    return hits
+
+
+def test_no_unguarded_broadcast_of_explode(spark, registry):
+    """Round-11 (verdict #7): the round-10 one-off audit — every
+    registry entry's physical plan scanned for an explode riding a
+    broadcast build side — made permanent.  Parquet scan stats never
+    model explode fan-out, so the planner happily broadcasts an
+    exploded corpus stream whenever the source FILE is small (the
+    round-10 BPE-apply BuildLeft bug: driver-OOM at any real
+    corpus); any new hit must be classified onto the documented
+    allowlist or fixed with an explicit join-side policy."""
+    offenders = {}
+    for name, qd in registry.items():
+        try:
+            df = qd.fn(spark, SF)
+        except Exception as exc:  # surface build failures loudly
+            offenders[name] = f"build error: {exc}"[:120]
+            continue
+        hits = _explode_in_broadcast_hits(
+            df._jdf.queryExecution().sparkPlan())
+        if hits and name not in EXPLODE_IN_BROADCAST_ALLOWLIST:
+            offenders[name] = f"{len(hits)} explode(s) in broadcast"
+        spark.catalog.clearCache()
+    assert not offenders, offenders
