@@ -141,24 +141,36 @@ CONTAMINATION_ABS_S = 0.5
 
 
 def wait_for_idle() -> dict:
-    """Spin-wait (bounded) for the 1-min loadavg to drop below the
-    gate before any timed work starts; record the verdict either way.
-    A capture that starts against 2-3 cores of background load is a
-    measurement of the contention, not the engines."""
+    """Spin-wait (bounded) for the box to go idle before any timed
+    work starts; record the verdict either way.  A capture that
+    starts against 2-3 cores of background load is a measurement of
+    the contention, not the engines.
+
+    Gate: 1-min loadavg under the threshold AND 5-min loadavg under
+    2x it.  The 1-min check alone under-waits right after heavy work
+    (round-11 capture #2: released at load1 0.47 while load5 was
+    still >3 from the previous capture's churn, and read 25% high) —
+    a recently-busy box still carries page-cache/writeback drain the
+    1-min average no longer shows."""
     t0 = time.perf_counter()
-    load0 = os.getloadavg()[0]
-    load = load0
-    while load > IDLE_GATE_LOADAVG and \
-            time.perf_counter() - t0 < IDLE_GATE_BUDGET_S:
+    load0 = list(os.getloadavg())
+    l5_gate = max(1.0, 2 * IDLE_GATE_LOADAVG)
+
+    def busy():
+        l1, l5, _ = os.getloadavg()
+        return l1 > IDLE_GATE_LOADAVG or l5 > l5_gate
+
+    while busy() and time.perf_counter() - t0 < IDLE_GATE_BUDGET_S:
         time.sleep(5.0)
-        load = os.getloadavg()[0]
     waited = round(time.perf_counter() - t0, 1)
+    l1, l5, _ = os.getloadavg()
     return {
-        "loadavg_at_invocation": round(load0, 2),
+        "loadavg_at_invocation": [round(x, 2) for x in load0[:2]],
         "threshold": IDLE_GATE_LOADAVG,
+        "threshold_5min": l5_gate,
         "waited_s": waited,
-        "loadavg_at_release": round(load, 2),
-        "verdict": ("idle" if load <= IDLE_GATE_LOADAVG
+        "loadavg_at_release": [round(l1, 2), round(l5, 2)],
+        "verdict": ("idle" if not busy()
                     else "STILL_LOADED_AFTER_BUDGET"),
     }
 
