@@ -1028,6 +1028,11 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         batch_sigs = sign(_io_spread(batch_df)).localCheckpoint(
             eager=True)
         mark("sign")
+        # bands stay eagerly checkpointed: they feed THREE consumers
+        # (both sides of the candidate join + the posting-segment
+        # append), and the md5 band-key recompute measured costlier
+        # than the one extra job (round-11 A/B: 5.6-7.1s -> 8.4-8.6s
+        # per replay when lazy)
         batch_bands = band_long(batch_sigs).localCheckpoint(eager=True)
         mark("bands")
         # The index is TWO append-only tables: signatures (verify
