@@ -427,6 +427,76 @@ def append_batch_segment(spark: SparkSession, df: DataFrame,
        .parquet(path))
 
 
+#: compaction target: segments at or below the caller's replay
+#: horizon fold into this base partition
+_COMPACTED_BID = -1
+
+
+def compact_batch_segments(spark: SparkSession, warehouse: str,
+                           layer: str, name: str, upto_bid: int,
+                           partition_by: list[str] | None = None,
+                           write_width: int | None = None) -> int:
+    """LSM-style maintenance for :func:`append_batch_segment` tables:
+    fold every ``_bid <= upto_bid`` segment (and any previous base)
+    into the single base partition ``_bid=-1``, leaving younger
+    segments untouched.  Returns the number of segments folded.
+
+    Why: a resident stream appends one ``_bid`` partition per batch,
+    so directory listing on the read path grows O(batches) over the
+    stream's life — fine for thousands of segments, wrong at 100 TB
+    / millions of batches.  Periodic compaction (e.g. every N
+    batches, from the stream's own foreachBatch or a maintenance
+    job) bounds the listing at O(N + 1) while keeping the hot recent
+    segments replayable.
+
+    REPLAY-HORIZON CONTRACT: only compact batch ids the streaming
+    checkpoint can no longer redeliver (i.e. ``upto_bid`` strictly
+    below the engine's committed offsets).  A replay of a COMPACTED
+    batch id would recreate its segment alongside the base copy and
+    duplicate rows — by construction this cannot happen for batches
+    whose offsets are committed, which is exactly when foreachBatch
+    stops being re-invoked for them.
+
+    Crash-safety rides :func:`publish_atomic`'s staged-write +
+    rename swap (readers see the old layout or the compacted one,
+    never a mix, and a hard kill mid-swap is repaired by
+    recover_atomic on the next read) — no new failure modes over the
+    existing single-writer contract.
+    """
+    path = table_path(warehouse, layer, name)
+    recover_atomic(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return 0
+    if "_bid" not in df.columns:
+        return 0
+    bid = F.col("_bid").cast("long")
+    folded = [
+        d for d in os.listdir(path)
+        if d.startswith("_bid=") and d != f"_bid={_COMPACTED_BID}"
+        and int(d.split("=", 1)[1]) <= upto_bid]
+    if not folded:
+        return 0
+    out = df.withColumn(
+        "_bid",
+        F.when(bid <= upto_bid, F.lit(_COMPACTED_BID)).otherwise(bid))
+    if write_width is None:
+        write_width = max(1, int(spark.conf.get(
+            "spark.sql.shuffle.partitions", "8")))
+    cols = list(partition_by or [])
+    if cols:
+        # one file per (_bid, partition-value) leaf
+        out = out.repartition(write_width, "_bid", *cols)
+    elif write_width > 1:
+        # hash-scatter: <= write_width files per _bid value
+        out = out.repartition(write_width)
+    else:
+        out = out.coalesce(1)
+    publish_atomic(out, path, partition_by=["_bid", *cols])
+    return len(folded)
+
+
 def export_csv(df: DataFrame, path: str, order_by: list[str],
                single_file: bool = True) -> None:
     """Ordered CSV with header (gold_aggr.py:234-254).

@@ -446,3 +446,77 @@ def test_segment_append_with_partition_columns(spark, tmp_path):
     # same contract the index streams follow)
     assert {int(r[0]) for r in out.select(
         F.col("band").cast("int")).collect()} == {0, 1}
+
+
+def test_segment_compaction_folds_and_preserves(spark, tmp_path):
+    """compact_batch_segments folds every segment at or below the
+    replay horizon into the _bid=-1 base, bounds the directory count,
+    preserves rows exactly, and keeps LIVE segments replayable."""
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               compact_batch_segments,
+                                               read_layer_table,
+                                               table_path)
+    wh = str(tmp_path)
+    for b in range(5):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"v{b}_{i}") for i in range(3)],
+            "k int, v string")
+        append_batch_segment(spark, df, wh, "silver", "t", b)
+    before = _rows(read_layer_table(spark, wh, "silver", "t"))
+    assert len(before) == 15
+
+    folded = compact_batch_segments(spark, wh, "silver", "t",
+                                    upto_bid=2)
+    assert folded == 3
+    seg_dirs = sorted(
+        d for d in Path(table_path(wh, "silver", "t")).iterdir()
+        if d.name.startswith("_bid="))
+    assert [d.name for d in seg_dirs] == ["_bid=-1", "_bid=3", "_bid=4"]
+    assert _rows(read_layer_table(spark, wh, "silver", "t")) == before
+
+    # a LIVE (uncompacted) batch replays idempotently as before
+    df3 = spark.createDataFrame(
+        [(30 + i, f"v3_{i}") for i in range(3)], "k int, v string")
+    append_batch_segment(spark, df3, wh, "silver", "t", 3)
+    assert _rows(read_layer_table(spark, wh, "silver", "t")) == before
+
+    # compacting again with no eligible segments is a no-op
+    assert compact_batch_segments(spark, wh, "silver", "t",
+                                  upto_bid=2) == 0
+
+    # a second horizon advance folds the rest into the same base
+    assert compact_batch_segments(spark, wh, "silver", "t",
+                                  upto_bid=10) == 2
+    assert _rows(read_layer_table(spark, wh, "silver", "t")) == before
+    seg_dirs = sorted(
+        d for d in Path(table_path(wh, "silver", "t")).iterdir()
+        if d.name.startswith("_bid="))
+    assert [d.name for d in seg_dirs] == ["_bid=-1"]
+
+
+def test_segment_compaction_with_partition_columns(spark, tmp_path):
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               compact_batch_segments,
+                                               read_layer_table)
+    from pyspark.sql import functions as F
+    wh = str(tmp_path)
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, i % 2, f"x{b}{i}") for i in range(4)],
+            "k int, band int, key string")
+        append_batch_segment(spark, df, wh, "silver", "t", b,
+                             partition_by=["band"])
+    before = {
+        (r["k"], int(r["band"]), r["key"]) for r in
+        read_layer_table(spark, wh, "silver", "t")
+        .select("k", F.col("band").cast("int").alias("band"), "key")
+        .collect()}
+    assert compact_batch_segments(spark, wh, "silver", "t",
+                                  upto_bid=1,
+                                  partition_by=["band"]) == 2
+    after = {
+        (r["k"], int(r["band"]), r["key"]) for r in
+        read_layer_table(spark, wh, "silver", "t")
+        .select("k", F.col("band").cast("int").alias("band"), "key")
+        .collect()}
+    assert after == before
