@@ -252,6 +252,9 @@ _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
     # round-11 ADVICE: per-session LRU eviction for _DENSE_FEAT_MEMO
     # — pin both classifier consumers of the memoized feature stage
     "curation_quality_classifier", "curation_classifier_gate",
+    # round-11: new corpus-wide keep-best entry (auto-fronts as
+    # never-verified; listed for the changed-code record)
+    "curation_cluster_representatives",
     # NOT pinned: bench.py idle-gate/contamination changes touch no
     # query code; commitlog.py empty-probe docs are comment-only.
 )

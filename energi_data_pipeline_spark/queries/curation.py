@@ -1456,6 +1456,10 @@ for _name in ("curation_pipeline", "curation_funnel_report",
               "curation_split_leakage", "curation_dataset_card"):
     _rok(_name, _SIGKNEE, table="documents")
 
+# registered at module end for the round-11 keep-best entry (defined
+# below this block): it composes the same floor-valued LSH SQL
+_rok("curation_cluster_representatives", _SIGKNEE, table="documents")
+
 
 # ------------------------- deterministic weighted priority sampling
 #: docs kept per source.
@@ -1520,3 +1524,88 @@ def curation_weighted_sample(spark, sf_dir):
             .select("source", "doc_id", F.col("wt").alias("weight"),
                     F.round("pri", 6).alias("priority"),
                     F.col("rk").cast("int").alias("sample_rank")))
+
+
+# ----------------------------- near-dup cluster representatives
+from .dedup import CC_SQL_TEMPLATE as _CC_TPL  # noqa: E402
+
+_CC_FULL = _CC_TPL.format(lsh=REGISTRY["dedup_minhash_lsh_pairs"].oracle)
+_KEEP_BEST_SQL = (
+    _CC_FULL[:_CC_FULL.index("SELECT a AS doc_id")].rstrip()
+    + """,
+cc AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+       FROM reach GROUP BY a),
+q AS (SELECT doc_id, passes_quality FROM (__QUALITY__) t),
+base AS (
+  SELECT d.doc_id,
+         COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+         CASE WHEN COALESCE(q.passes_quality, FALSE)
+              THEN 0 ELSE 1 END AS fail
+  FROM documents d
+  LEFT JOIN cc ON cc.doc_id = d.doc_id
+  LEFT JOIN q ON q.doc_id = d.doc_id),
+rep AS (
+  SELECT cluster_id,
+         MIN(struct_pack(f := fail, d := doc_id)) AS b
+  FROM base GROUP BY cluster_id)
+SELECT base.doc_id,
+       CAST(base.cluster_id AS BIGINT) AS cluster_id,
+       base.doc_id = rep.b.d AS is_representative
+FROM base JOIN rep USING (cluster_id)
+""".replace("__QUALITY__", REGISTRY["text_quality_score"].oracle))
+
+
+@query("curation_cluster_representatives", _KEEP_BEST_SQL)
+def curation_cluster_representatives(spark, sf_dir):
+    """Keep-best near-dup dedup — the decision step the cluster
+    closure feeds: every document is labeled with its near-dup
+    cluster (its own id when it has no near-dup), and exactly ONE
+    representative per cluster is marked kept — preferring a
+    document that passes the quality gate, tie-broken by lowest
+    doc_id.  This is the standard training-data dedup policy
+    ("drop near-dups, keep the best copy"), completing the family:
+    lsh_pairs finds candidates, connected_components closes them
+    into clusters, this entry decides what survives.  It differs
+    from `dedup_cluster_keep_best` (clustered docs only, longest-doc
+    rule, per-cluster window) on all three axes that matter
+    downstream: the output covers EVERY document (the keep-set a
+    dataloader actually consumes — singletons are their own
+    representative), the preference is the quality GATE (a kept
+    near-dup should pass curation, not merely be longest), and the
+    representative choice is aggregation-shaped for skew (below).
+
+    Scale shape: the quality bit is the map-side gate expression
+    (text.quality_pass_col — one corpus scan, no join to the scoring
+    entry); the cluster labels join on doc_id (cluster-member
+    cardinality, equi-join); the representative choice is a
+    min-struct AGGREGATION on cluster_id with map-side combine plus
+    a join-back — deliberately NOT a row_number window: a
+    boilerplate-heavy corpus can produce one giant cluster, and the
+    window shape would sort that whole cluster in a single task
+    while the agg pre-combines per partition (skew-safe), with the
+    cluster-cardinality rep table AQE-broadcast on the way back."""
+    from .dedup import dedup_connected_components
+    from .text import quality_pass_col
+
+    d = t(spark, sf_dir, "documents")
+    cc = dedup_connected_components(spark, sf_dir)
+    base = (d.select(
+        "doc_id",
+        F.when(F.coalesce(quality_pass_col(F.col("text")),
+                          F.lit(False)), 0).otherwise(1)
+        .alias("fail"))
+        .join(cc, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+                .alias("cluster_id"),
+                "fail"))
+    rep = (base.groupBy("cluster_id")
+           .agg(F.min(F.struct(F.col("fail").alias("f"),
+                               F.col("doc_id").alias("d")))
+                .alias("b")))
+    return (base.join(rep, "cluster_id")
+            .select("doc_id",
+                    F.col("cluster_id").cast("bigint")
+                    .alias("cluster_id"),
+                    (F.col("doc_id") == F.col("b.d"))
+                    .alias("is_representative")))
