@@ -175,6 +175,24 @@ def wait_for_idle() -> dict:
     }
 
 
+def drop_measurement_caches(spark) -> None:
+    """Between measured executions: drop Spark's cached relations AND
+    the package's driver-side RESULT memos whose hits would turn a
+    steady-state measurement into a cache lookup.  The BPE training
+    memo's localCheckpoint RDDs survive clearCache() (SWEEP first
+    read a 0.025s 'steady' BPE train against an oracle re-running the
+    full training SQL).  Plan/schema memos (table DataFrames, stream
+    schemas) stay — they cache build-time work the driver session
+    pays per query anyway, not results."""
+    spark.catalog.clearCache()
+    try:
+        from energi_data_pipeline_spark.queries.text import \
+            clear_bpe_memo
+        clear_bpe_memo(spark)
+    except Exception:
+        pass  # measurement must not die on a memo-introspection edge
+
+
 def _run_spread_contaminated(runs: list[float]) -> bool:
     """True when a run list's min-to-max spread says some executions
     ran against a different machine state than others (the r10 driver
@@ -368,21 +386,27 @@ def run_interleaved(sf_dir: str) -> tuple[
     spark_runs: dict[str, list[float]] = {}
     duck_runs: dict[str, list[float]] = {}
 
-    def measure_pair(name: str, rs: list[float], ds: list[float]):
+    def measure_pair(name: str, rs: list[float], ds: list[float],
+                     force: bool = False):
         """One interleaved S,D,S,D,... pass of N_RUNS per engine,
         APPENDING to the given run lists (shared by the main loop
-        and the contamination re-run pass so both stay symmetric)."""
+        and the contamination re-run pass so both stay symmetric).
+
+        ``force`` bypasses the RERUN_CUTOFF_S skip: the contamination
+        pass exists precisely because contention may have inflated
+        every run — a >cutoff contaminated min must not suppress the
+        clean re-measurement it flagged for."""
         fn = registry[name].fn
         oracle = registry[name].oracle
         for _ in range(N_RUNS):
-            if not rs or min(rs) <= RERUN_CUTOFF_S:
+            if force or not rs or min(rs) <= RERUN_CUTOFF_S:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
                 rs.append(round(time.perf_counter() - t0, 3))
-                spark.catalog.clearCache()
+                drop_measurement_caches(spark)
             if oracle is not None and (
-                    not ds or min(ds) <= RERUN_CUTOFF_S):
+                    force or not ds or min(ds) <= RERUN_CUTOFF_S):
                 t0 = time.perf_counter()
                 con.execute(oracle).fetchall()
                 ds.append(round(time.perf_counter() - t0, 3))
@@ -406,9 +430,13 @@ def run_interleaved(sf_dir: str) -> tuple[
         n for n in HEADLINE
         if _run_spread_contaminated(spark_runs.get(n, []))
         or _run_spread_contaminated(duck_runs.get(n, [])))
+    rerun_added: dict[str, list[int]] = {}
     for name in flagged:
+        n_s, n_d = len(spark_runs[name]), len(duck_runs.get(name, []))
         measure_pair(name, spark_runs[name],
-                     duck_runs.get(name, []))
+                     duck_runs.get(name, []), force=True)
+        rerun_added[name] = [len(spark_runs[name]) - n_s,
+                             len(duck_runs.get(name, [])) - n_d]
 
     # extras run AFTER all timed measurements; a flake in one of the
     # instrumented replays must not discard the tens of minutes of
@@ -435,10 +463,12 @@ def run_interleaved(sf_dir: str) -> tuple[
             "flagged": flagged,
             "spread_threshold": CONTAMINATION_SPREAD,
             "abs_threshold_s": CONTAMINATION_ABS_S,
-            "rerun_runs_added": N_RUNS if flagged else 0,
+            "rerun_runs_added": rerun_added,
             "note": ("flagged pairs were re-measured once, BOTH "
-                     "engines interleaved, runs appended — "
-                     "min-aggregation picks the clean executions"),
+                     "engines interleaved (cutoff skip bypassed), "
+                     "runs appended per-name as [spark, duck] in "
+                     "rerun_runs_added — min-aggregation picks the "
+                     "clean executions"),
         },
         "session_floor_s": measure_session_floor(spark),
         "duck_floor_s": measure_duck_floor(con),
@@ -519,7 +549,7 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
                 rs.append(round(time.perf_counter() - t0, 3))
             except Exception:
                 break
-            spark.catalog.clearCache()
+            drop_measurement_caches(spark)
         steady_s[name] = min(rs)
         print(f"# sweep steady {i + 1}/{len(rerun)} {name} "
               f"{steady_s[name]}", file=sys.stderr, flush=True)

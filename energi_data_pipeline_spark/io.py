@@ -206,10 +206,15 @@ def _nanos_columns_at(path: str, _mtime_ns: int,
     if os.path.isdir(path):
         # a Spark-written table is a directory of part files; any
         # one footer carries the (uniform) schema
-        path = next(
-            os.path.join(root, f)
-            for root, _d, files in os.walk(path)
-            for f in sorted(files) if f.endswith(".parquet"))
+        part = next(
+            (os.path.join(root, f)
+             for root, _d, files in os.walk(path)
+             for f in sorted(files) if f.endswith(".parquet")),
+            None)
+        if part is None:
+            return ()  # no data files (empty write / staged dir):
+            # nothing can be a nanos column
+        path = part
     schema = pq.read_schema(path)
     return tuple(f.name for f in schema
                  if str(f.type).startswith("timestamp[ns"))
@@ -432,6 +437,24 @@ def append_batch_segment(spark: SparkSession, df: DataFrame,
 _COMPACTED_BID = -1
 
 
+def _segment_partition_cols(path: str) -> list[str]:
+    """Partition columns BELOW _bid, derived from one on-disk leaf
+    chain — the authoritative layout, whatever the caller believes."""
+    for top in sorted(os.listdir(path)):
+        if not top.startswith("_bid="):
+            continue
+        cols: list[str] = []
+        cur = os.path.join(path, top)
+        while True:
+            subs = [d for d in sorted(os.listdir(cur))
+                    if "=" in d and os.path.isdir(os.path.join(cur, d))]
+            if not subs:
+                return cols
+            cols.append(subs[0].split("=", 1)[0])
+            cur = os.path.join(cur, subs[0])
+    return []
+
+
 def compact_batch_segments(spark: SparkSession, warehouse: str,
                            layer: str, name: str, upto_bid: int,
                            partition_by: list[str] | None = None,
@@ -478,6 +501,19 @@ def compact_batch_segments(spark: SparkSession, warehouse: str,
         and int(d.split("=", 1)[1]) <= upto_bid]
     if not folded:
         return 0
+    # the on-disk leaf chain is the authoritative partition layout:
+    # republishing with a DIFFERENT partition_by than the appends
+    # used would mix partition depths under one root and make every
+    # subsequent read fail with conflicting-directory-structures —
+    # derive when omitted, refuse loudly on a mismatch
+    disk_cols = _segment_partition_cols(path)
+    if partition_by is None:
+        partition_by = disk_cols
+    elif list(partition_by) != disk_cols:
+        raise ValueError(
+            f"compact_batch_segments: partition_by={partition_by} "
+            f"does not match the table's on-disk segment layout "
+            f"{disk_cols} at {path}")
     out = df.withColumn(
         "_bid",
         F.when(bid <= upto_bid, F.lit(_COMPACTED_BID)).otherwise(bid))

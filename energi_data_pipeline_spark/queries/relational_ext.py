@@ -1924,6 +1924,30 @@ def ext_rolling_active_users(spark, sf_dir):
 # --------------------------------------- market-basket pairs
 BASKET_MIN_COUNT = 2
 
+
+def _order_item_pairs(li):
+    """Shared basket pair miner (round-11 shape): per-order SORTED
+    item sets from one order-key shuffle (map-side partial
+    collect_set), with the a<b pairs generated IN-ROW — an indexed
+    transform crossed with the suffix slice of the sorted set, so
+    position order IS item order and no self-join re-shuffles the
+    corpus.  Returns ``(sets, pairs)``: the grouped sets (reused by
+    the association entry for item counts / the order total off the
+    same AQE-reusable exchange) and the exploded (part_a, part_b)
+    stream.  A pathological mega-basket fans out quadratically in
+    ONE row — the same mass the old self-join pair stream carried,
+    without the shuffle."""
+    sets = (li.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("it")))
+    pairs = (sets.select(F.explode(F.flatten(F.transform(
+        F.col("it"),
+        lambda x, i: F.transform(
+            F.slice(F.col("it"), i + F.lit(2), F.size(F.col("it"))),
+            lambda y: F.struct(x.alias("part_a"),
+                               y.alias("part_b")))))).alias("p"))
+        .select("p.part_a", "p.part_b"))
+    return sets, pairs
+
 BASKET_SQL = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1946,22 +1970,14 @@ def ext_market_basket_pairs(spark, sf_dir):
     pair space is sum of per-basket sizes squared — linear in order
     count, never |parts|^2; the count shuffle is on the pair key
     with map-side combine.  Round-11 shape (shared with
-    ext_association_rules): ONE shuffle on the order key builds
-    per-order sorted item sets, and the a<b pairs are generated
-    IN-ROW (indexed transform x suffix slice) — the previous
-    items-self-join paid a second corpus shuffle to co-locate order
-    keys that the grouped sets already provide."""
+    ext_association_rules via _order_item_pairs): ONE shuffle on the
+    order key builds per-order sorted item sets, and the a<b pairs
+    are generated IN-ROW (indexed transform x suffix slice) — the
+    previous items-self-join paid a second corpus shuffle to
+    co-locate order keys that the grouped sets already provide."""
     li = t(spark, sf_dir, "lineitem")
-    sets = (li.groupBy("l_orderkey")
-            .agg(F.array_sort(F.collect_set("l_partkey")).alias("it")))
-    pairs_long = sets.select(F.explode(F.flatten(F.transform(
-        F.col("it"),
-        lambda x, i: F.transform(
-            F.slice(F.col("it"), i + F.lit(2), F.size(F.col("it"))),
-            lambda y: F.struct(x.alias("part_a"),
-                               y.alias("part_b")))))).alias("p"))
-    return (pairs_long.select("p.part_a", "p.part_b")
-            .groupBy("part_a", "part_b")
+    _sets, pairs = _order_item_pairs(li)
+    return (pairs.groupBy("part_a", "part_b")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
             .filter(F.col("n_orders") >= BASKET_MIN_COUNT))
 
@@ -2020,15 +2036,8 @@ def ext_association_rules(spark, sf_dir):
     ~10-15% under the self-join shape warm, one fewer corpus
     exchange."""
     li = t(spark, sf_dir, "lineitem")
-    sets = (li.groupBy("l_orderkey")
-            .agg(F.array_sort(F.collect_set("l_partkey")).alias("it")))
-    pairs_long = sets.select(F.explode(F.flatten(F.transform(
-        F.col("it"),
-        lambda x, i: F.transform(
-            F.slice(F.col("it"), i + F.lit(2), F.size(F.col("it"))),
-            lambda y: F.struct(x.alias("part_a"),
-                               y.alias("part_b")))))).alias("p"))
-    pairs = (pairs_long.select("p.part_a", "p.part_b")
+    sets, pair_stream = _order_item_pairs(li)
+    pairs = (pair_stream
              .groupBy("part_a", "part_b")
              .agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= BASKET_MIN_COUNT))

@@ -1529,6 +1529,24 @@ def text_bpe_learn_merges(spark, sf_dir):
 _BPE_LEARN_MEMO: dict = {}
 
 
+def clear_bpe_memo(spark=None) -> int:
+    """Drop memoized BPE training results — ``spark``'s session only,
+    or all sessions when None; returns the number of entries dropped.
+    Measurement harnesses call this between runs: the memo's
+    localCheckpoint RDDs survive ``spark.catalog.clearCache()``, so a
+    'steady-state' re-run of a BPE entry would otherwise measure a
+    dict lookup against a DuckDB oracle that re-runs the full
+    training SQL (SWEEP_r11 first read 0.025s steady / 0.15x ratio —
+    a cache artifact, not a number).  Production encoders WANT the
+    reuse; benches must not."""
+    keys = [k for k in _BPE_LEARN_MEMO
+            if spark is None
+            or k[:2] == (spark.sparkContext.applicationId, id(spark))]
+    for k in keys:
+        _BPE_LEARN_MEMO.pop(k, None)
+    return len(keys)
+
+
 def _bpe_learn(spark, sf_dir, parity: str | None = None):
     """Shared BPE training loop: returns ``(merges_df,
     final_seq_df)`` — the learned merge table (merge_rank, pair,
@@ -1676,27 +1694,46 @@ def text_bpe_apply_merges(spark, sf_dir):
     n_bpe_tokens == total symbol count and n_pretokens reproduces
     `text_bpe_token_count`'s pretoken boundaries — pinned by
     tests/test_oracle_parity.py::test_bpe_apply_merge_free."""
-    import os
-
-    from ..io import broadcast_budget_bytes, parquet_column_bytes
-
     _, vocab_seq = _bpe_learn(spark, sf_dir)
     vocab = vocab_seq.select(
         "wd",
         F.size(F.split(F.col("seq"), " ")).cast("bigint")
         .alias("n_sym"))
+    toks = _doc_pretokens(spread(t(spark, sf_dir, "documents")))
+    return _encode_corpus_with_vocab(spark, sf_dir, toks, vocab)
+
+
+def _doc_pretokens(d):
+    """The BPE pretokenizer stream: (doc_id, lowered non-empty
+    whitespace token) — one row per occurrence."""
+    return (d.select(
+        "doc_id",
+        F.explode(F.transform(tokens_col(F.col("text")),
+                              lambda x: F.lower(x))).alias("wd"))
+        .filter(F.length("wd") > 0))
+
+
+def _encode_corpus_with_vocab(spark, sf_dir, toks, vocab):
+    """Corpus-encode tail shared by the apply and held-out entries:
+    join the pretoken stream against the (wd, n_sym) encoder table
+    and fold to per-doc counts.  The dictionary join side is chosen
+    EXPLICITLY — broadcast while the corpus text-byte upper bound
+    (vocab char mass can never exceed it) fits the heap budget, else
+    the vocab becomes the shuffle-hash BUILD side — because the
+    checkpointed vocab has no stats and the planner would otherwise
+    broadcast the exploded corpus (the round-10 BuildLeft bug,
+    plan-shape-pinned).  Keeping this policy in ONE place is the
+    point: a budget change must not fork between the two encoders."""
+    import os
+
+    from ..io import broadcast_budget_bytes, parquet_column_bytes
+
     text_bytes = parquet_column_bytes(
         os.path.join(sf_dir, "documents.parquet"), "text")
     if text_bytes <= broadcast_budget_bytes(spark):
         vocab = F.broadcast(vocab)
     else:
         vocab = vocab.hint("shuffle_hash")
-    d = spread(t(spark, sf_dir, "documents"))
-    toks = (d.select(
-        "doc_id",
-        F.explode(F.transform(tokens_col(F.col("text")),
-                              lambda x: F.lower(x))).alias("wd"))
-        .filter(F.length("wd") > 0))
     return (toks.join(vocab, "wd")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pretokens"),
@@ -1777,19 +1814,11 @@ def text_bpe_encode_heldout(spark, sf_dir):
     vocabulary-sized; the encoder join side follows the same
     explicit budget policy as the apply entry (broadcast under the
     heap budget, else shuffle-hash build on the vocab)."""
-    import os
-
-    from ..io import broadcast_budget_bytes, parquet_column_bytes
-
     merges, vocab_seq = _bpe_learn(spark, sf_dir, parity="even")
     seen = vocab_seq.select("wd", "seq")
-    d = (spread(t(spark, sf_dir, "documents"))
-         .filter(F.col("doc_id") % 2 == 1))
-    toks = (d.select(
-        "doc_id",
-        F.explode(F.transform(tokens_col(F.col("text")),
-                              lambda x: F.lower(x))).alias("wd"))
-        .filter(F.length("wd") > 0))
+    toks = _doc_pretokens(
+        spread(t(spark, sf_dir, "documents"))
+        .filter(F.col("doc_id") % 2 == 1))
     chars = F.transform(
         F.sequence(F.lit(1), F.length("wd")),
         lambda i: F.col("wd").substr(i, F.lit(1)))
@@ -1818,13 +1847,4 @@ def text_bpe_encode_heldout(spark, sf_dir):
              .select("wd",
                      F.size(F.split(F.col("seq"), " ")).cast("bigint")
                      .alias("n_sym")))
-    text_bytes = parquet_column_bytes(
-        os.path.join(sf_dir, "documents.parquet"), "text")
-    if text_bytes <= broadcast_budget_bytes(spark):
-        vocab = F.broadcast(vocab)
-    else:
-        vocab = vocab.hint("shuffle_hash")
-    return (toks.join(vocab, "wd")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pretokens"),
-                 F.sum("n_sym").cast("bigint").alias("n_bpe_tokens")))
+    return _encode_corpus_with_vocab(spark, sf_dir, toks, vocab)

@@ -520,3 +520,37 @@ def test_segment_compaction_with_partition_columns(spark, tmp_path):
         .select("k", F.col("band").cast("int").alias("band"), "key")
         .collect()}
     assert after == before
+
+
+def test_segment_compaction_derives_and_guards_partition_layout(
+        spark, tmp_path):
+    """Omitting partition_by derives the on-disk layout (compacting a
+    band-partitioned table must NOT flatten band into a data column —
+    mixed partition depths make the whole table unreadable); passing
+    a WRONG partition_by is refused loudly."""
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               compact_batch_segments,
+                                               read_layer_table,
+                                               table_path)
+    from pyspark.sql import functions as F
+    wh = str(tmp_path)
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, i % 2, f"x{b}{i}") for i in range(4)],
+            "k int, band int, key string")
+        append_batch_segment(spark, df, wh, "silver", "t", b,
+                             partition_by=["band"])
+    # derive: no partition_by passed, layout preserved
+    assert compact_batch_segments(spark, wh, "silver", "t",
+                                  upto_bid=1) == 2
+    base = Path(table_path(wh, "silver", "t")) / "_bid=-1"
+    assert sorted(d.name for d in base.iterdir()
+                  if d.name.startswith("band=")) == ["band=0", "band=1"]
+    out = read_layer_table(spark, wh, "silver", "t")
+    assert out.count() == 12
+    assert {int(r[0]) for r in
+            out.select(F.col("band").cast("int")).collect()} == {0, 1}
+    # refuse: a mismatching partition_by is an error, not corruption
+    with pytest.raises(ValueError, match="on-disk segment layout"):
+        compact_batch_segments(spark, wh, "silver", "t", upto_bid=2,
+                               partition_by=["key"])

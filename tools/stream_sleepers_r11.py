@@ -59,6 +59,13 @@ def main() -> None:
                     "stream_engine_startup_s": startup,
                     "sections": {}}
     for label, sf_dir in POINTS.items():
+        # a missing scale point or one failing target must not
+        # discard the other targets / the earlier section (the
+        # round-10 rehearsal lost a 25-min sweep this way)
+        if not Path(sf_dir).exists():
+            result["sections"][label] = {"err": f"missing {sf_dir}"}
+            Path(out_path).write_text(json.dumps(result, indent=1))
+            continue
         cons = duck_connection(sf_dir)
         rows = {}
         for n in TARGETS:
@@ -71,25 +78,32 @@ def main() -> None:
             spark.catalog.clearCache()
             srs, drs = [], []
             guard = oracle_scale_guard(n, sf_dir)
-            for _ in range(N_RUNS):
-                t0 = time.perf_counter()
-                reg[n].fn(spark, sf_dir).write.format("noop") \
-                    .mode("overwrite").save()
-                srs.append(round(time.perf_counter() - t0, 3))
-                spark.catalog.clearCache()
-                if guard is None and (not drs or min(drs) <= 120):
+            err = None
+            try:
+                for _ in range(N_RUNS):
                     t0 = time.perf_counter()
-                    cons.execute(reg[n].oracle).fetchall()
-                    drs.append(round(time.perf_counter() - t0, 3))
+                    reg[n].fn(spark, sf_dir).write.format("noop") \
+                        .mode("overwrite").save()
+                    srs.append(round(time.perf_counter() - t0, 3))
+                    spark.catalog.clearCache()
+                    if guard is None and (not drs or min(drs) <= 120):
+                        t0 = time.perf_counter()
+                        cons.execute(reg[n].oracle).fetchall()
+                        drs.append(
+                            round(time.perf_counter() - t0, 3))
+            except Exception as exc:
+                err = f"{type(exc).__name__}: {exc}"[:200]
             rows[n] = {
                 "spark_runs": srs, "duck_runs": drs,
-                "spark_s": min(srs),
+                "spark_s": min(srs) if srs else None,
                 "duck_s": min(drs) if drs else None,
                 "ratio": (round(min(srs) / min(drs), 2)
-                          if drs else None),
+                          if srs and drs else None),
                 **({"oracle_skipped": guard} if guard else {}),
+                **({"err": err} if err else {}),
             }
-            print(f"# {label} {n}: spark {srs} duck {drs}",
+            print(f"# {label} {n}: spark {srs} duck {drs}"
+                  + (f" ERR {err}" if err else ""),
                   file=sys.stderr, flush=True)
         cons.close()
         result["sections"][label] = rows
@@ -99,7 +113,10 @@ def main() -> None:
     marg = {}
     s = result["sections"]
     for n in TARGETS:
-        a, b = s["sf0.1"][n]["spark_s"], s["x10"][n]["spark_s"]
+        a = s.get("sf0.1", {}).get(n, {}).get("spark_s")
+        b = s.get("x10", {}).get(n, {}).get("spark_s")
+        if not a or not b:
+            continue
         marg[n] = {"sf0.1_wall_s": a, "x10_wall_s": b,
                    "x10_over_sf0.1": round(b / a, 2),
                    "marginal_per_sf0.1_s": round((b - a) / 9, 3)}
