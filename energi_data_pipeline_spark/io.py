@@ -374,7 +374,8 @@ def append_batch_segment(spark: SparkSession, df: DataFrame,
                          warehouse: str, layer: str, name: str,
                          batch_id: int,
                          partition_by: list[str] | None = None,
-                         write_width: int | None = None) -> None:
+                         write_width: int | None = None,
+                         keys: list[str] | None = None) -> None:
     """Idempotent-BY-CONSTRUCTION micro-batch append: the batch
     writes under a deterministic ``_bid=<batch_id>`` partition of the
     destination, and a replay of batch N dynamically OVERWRITES
@@ -403,6 +404,15 @@ def append_batch_segment(spark: SparkSession, df: DataFrame,
     downstream tolerates replayed keys.  :func:`read_layer_table`
     drops the internal ``_bid`` column on read-back.
 
+    ``keys`` (opt-in debug assertion) names the batch's logical key
+    columns; when given, the append first verifies none of the
+    batch's keys already exist in an EARLIER ``_bid`` segment and
+    raises ``ValueError`` on a violation.  The check anti-joins
+    against the accumulated key column — O(index), exactly the cost
+    segment appends exist to avoid — so production callers leave it
+    off and the contract tests / debug runs turn it on (the index
+    streams pass it under ``SPARK_GRAFT_DEBUG_SEGMENT_KEYS=1``).
+
     ``write_width`` bounds the files per segment: a micro-batch
     arrives spread across the session's full parallelism (io.spread)
     and writing it as-is emits one file per partition PER partition_by
@@ -414,6 +424,34 @@ def append_batch_segment(spark: SparkSession, df: DataFrame,
     scales with batch volume, not core count.
     """
     path = table_path(warehouse, layer, name)
+    # repair a hard-killed publish_atomic swap BEFORE writing: if
+    # compact_batch_segments died between its two renames the table
+    # dir is gone and the full snapshot is stranded at <path>.__old —
+    # an append that recreates the dir first would make recover_atomic
+    # a no-op forever and silently drop the compacted history from
+    # every subsequent read (append-only tables like dup_verdicts may
+    # never be read between appends, so the read-path repair alone is
+    # not enough).  Cheap and idempotent.
+    recover_atomic(path)
+    if keys:
+        prior = None
+        try:
+            prior = (spark.read.parquet(path)
+                     .filter(F.col("_bid").cast("long")
+                             != int(batch_id))
+                     .select(*keys))
+        except Exception:
+            prior = None  # first segment: nothing to collide with
+        if prior is not None:
+            n_dup = (df.select(*keys).dropDuplicates(keys)
+                     .join(prior, on=list(keys), how="inner")
+                     .limit(1).count())
+            if n_dup:
+                raise ValueError(
+                    f"append_batch_segment: batch {batch_id} of "
+                    f"{layer}/{name} contains keys {keys} already "
+                    f"present in an earlier _bid segment — batches "
+                    f"must be key-disjoint (see docstring contract)")
     if write_width is None:
         write_width = max(1, int(spark.conf.get(
             "spark.sql.shuffle.partitions", "8")))
@@ -438,21 +476,47 @@ _COMPACTED_BID = -1
 
 
 def _segment_partition_cols(path: str) -> list[str]:
-    """Partition columns BELOW _bid, derived from one on-disk leaf
-    chain — the authoritative layout, whatever the caller believes."""
+    """Partition columns BELOW _bid, derived from the on-disk leaf
+    chains — the authoritative layout, whatever the caller believes.
+
+    EVERY non-empty ``_bid=`` directory is scanned and the derived
+    chains must agree: trusting only the first one would let an
+    anomalous first segment (an empty dir stranded by a partial
+    write, or a heterogeneous layout from an out-of-contract caller)
+    misreport the layout — turning the compaction mismatch guard
+    into a spurious ValueError, or worse a republish under the wrong
+    layout, the exact corruption the guard exists to prevent.  Empty
+    segment dirs (no data files, no partition subdirs) are skipped;
+    disagreeing chains raise."""
+    chains: dict[tuple, str] = {}
     for top in sorted(os.listdir(path)):
         if not top.startswith("_bid="):
             continue
         cols: list[str] = []
         cur = os.path.join(path, top)
+        empty = False
         while True:
-            subs = [d for d in sorted(os.listdir(cur))
+            entries = sorted(os.listdir(cur))
+            subs = [d for d in entries
                     if "=" in d and os.path.isdir(os.path.join(cur, d))]
             if not subs:
-                return cols
+                # leaf level: a genuine unpartitioned/innermost leaf
+                # holds data files; a bare dir is a stranded partial
+                # write and carries no layout information
+                empty = not any(e.endswith(".parquet") for e in entries)
+                break
             cols.append(subs[0].split("=", 1)[0])
             cur = os.path.join(cur, subs[0])
-    return []
+        if empty:
+            continue
+        chains.setdefault(tuple(cols), top)
+    if len(chains) > 1:
+        raise ValueError(
+            f"_segment_partition_cols: segments under {path} disagree "
+            f"on partition layout: "
+            + "; ".join(f"{t}→{list(c)}" for c, t in sorted(
+                chains.items(), key=lambda kv: kv[1])))
+    return list(next(iter(chains))) if chains else []
 
 
 def compact_batch_segments(spark: SparkSession, warehouse: str,
@@ -483,8 +547,19 @@ def compact_batch_segments(spark: SparkSession, warehouse: str,
     Crash-safety rides :func:`publish_atomic`'s staged-write +
     rename swap (readers see the old layout or the compacted one,
     never a mix, and a hard kill mid-swap is repaired by
-    recover_atomic on the next read) — no new failure modes over the
-    existing single-writer contract.
+    recover_atomic on the next read — and, for append-only tables
+    that may not be read between appends, by the same repair at the
+    top of :func:`append_batch_segment`) — no new failure modes over
+    the existing single-writer contract.
+
+    AMORTIZATION CONTRACT: each compaction republishes the FULL
+    table snapshot (live segments above the horizon are read and
+    rewritten too), so one invocation costs O(index) write volume,
+    not O(folded segments).  Invoke it every N >> 1 batches (see
+    :func:`maybe_compact_segments`) so total compaction write volume
+    over the stream's life is O(batches/N x index) — compacting
+    every batch would re-introduce the quadratic total-write-volume
+    shape segment appends were built to remove.
     """
     path = table_path(warehouse, layer, name)
     recover_atomic(path)
@@ -531,6 +606,45 @@ def compact_batch_segments(spark: SparkSession, warehouse: str,
         out = out.coalesce(1)
     publish_atomic(out, path, partition_by=["_bid", *cols])
     return len(folded)
+
+
+def maybe_compact_segments(spark: SparkSession, warehouse: str,
+                           layer: str, name: str, batch_id: int,
+                           every: int, horizon: int = 1,
+                           partition_by: list[str] | None = None,
+                           write_width: int | None = None) -> int:
+    """The wired compaction POLICY for the streaming index tables:
+    from inside foreachBatch, fold everything at or below the replay
+    horizon once every ``every`` batches — keeping the read-path
+    directory listing bounded at O(every + horizon) ``_bid``
+    partitions (+ the ``_bid=-1`` base) instead of O(stream life).
+
+    ``horizon`` is the number of MOST-RECENT batch ids (below the
+    current one) left uncompacted.  Under foreachBatch + checkpoint
+    the engine commits batch N's offsets when its foreachBatch
+    returns, so while batch ``batch_id`` is processing, only
+    ``batch_id`` itself can ever be redelivered — ``horizon=1``
+    already over-protects; larger horizons just keep more recent
+    segments individually replayable/inspectable.
+
+    Fires on ``batch_id % every == every - 1`` (so a stream shorter
+    than ``every`` batches never pays a compaction) and compacts
+    ``_bid <= batch_id - 1 - horizon``.  Returns segments folded
+    (0 on off-cycle batches).  Amortization: one O(index) republish
+    per ``every`` batches — see :func:`compact_batch_segments`."""
+    if every < 2:
+        raise ValueError("maybe_compact_segments: every must be >= 2 "
+                         "(every-batch compaction is the quadratic "
+                         "write-volume shape — see the amortization "
+                         "contract)")
+    if batch_id % every != every - 1:
+        return 0
+    upto = batch_id - 1 - horizon
+    if upto < 0:
+        return 0
+    return compact_batch_segments(spark, warehouse, layer, name, upto,
+                                  partition_by=partition_by,
+                                  write_width=write_width)
 
 
 def export_csv(df: DataFrame, path: str, order_by: list[str],

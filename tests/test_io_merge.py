@@ -554,3 +554,127 @@ def test_segment_compaction_derives_and_guards_partition_layout(
     with pytest.raises(ValueError, match="on-disk segment layout"):
         compact_batch_segments(spark, wh, "silver", "t", upto_bid=2,
                                partition_by=["key"])
+
+
+# ---------------- round-12 hardening (VERDICT r11 #6 + ADVICE items)
+
+
+def test_segment_append_keys_assertion_catches_overlap(spark, tmp_path):
+    """The opt-in keys= debug assertion: disjoint batches pass, a
+    batch whose keys already live in an EARLIER segment raises, and a
+    REPLAY of a batch's own keys (same _bid) stays legal — replay
+    overwrites its own segment, that is the whole design."""
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               read_layer_table)
+    wh = str(tmp_path)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b1 = spark.createDataFrame([(3, "c"), (4, "d")], "k int, v string")
+    append_batch_segment(spark, b0, wh, "silver", "t", 0, keys=["k"])
+    append_batch_segment(spark, b1, wh, "silver", "t", 1, keys=["k"])
+    # replay of batch 1 with identical keys: legal (own segment)
+    append_batch_segment(spark, b1, wh, "silver", "t", 1, keys=["k"])
+    assert read_layer_table(spark, wh, "silver", "t").count() == 4
+    # a NEW batch re-using key 2 violates the cross-batch contract
+    bad = spark.createDataFrame([(2, "dup")], "k int, v string")
+    with pytest.raises(ValueError, match="key-disjoint"):
+        append_batch_segment(spark, bad, wh, "silver", "t", 2,
+                             keys=["k"])
+    # ... and without keys= the (documented) contract is the
+    # caller's problem — no check, no error
+    append_batch_segment(spark, bad, wh, "silver", "t", 2)
+
+
+def test_segment_append_repairs_hard_killed_compaction(spark, tmp_path):
+    """ADVICE (medium): a compaction swap hard-killed between its two
+    renames strands the full snapshot at <path>.__old with the table
+    dir gone.  The NEXT APPEND must repair it before writing —
+    otherwise the recreated dir makes recover_atomic a no-op forever
+    and the compacted history is silently dropped for append-only
+    tables that are never read between appends."""
+    import shutil
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               read_layer_table,
+                                               table_path)
+    wh = str(tmp_path)
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"v{b}{i}") for i in range(2)],
+            "k int, v string")
+        append_batch_segment(spark, df, wh, "silver", "t", b)
+    path = table_path(wh, "silver", "t")
+    before = _rows(read_layer_table(spark, wh, "silver", "t"))
+    # simulate the hard kill between publish_atomic's two renames
+    shutil.move(path, f"{path}.__old")
+    assert not os.path.exists(path)
+    b3 = spark.createDataFrame([(30, "v30")], "k int, v string")
+    append_batch_segment(spark, b3, wh, "silver", "t", 3)
+    after = _rows(read_layer_table(spark, wh, "silver", "t"))
+    assert after == before | {(30, "v30")}  # history survived
+    assert not os.path.exists(f"{path}.__old")
+
+
+def test_segment_partition_cols_skips_empty_and_rejects_mixed(
+        spark, tmp_path):
+    """ADVICE (low): the layout derivation scans ALL segments — an
+    empty first segment dir (stranded partial write) must not
+    misreport the layout as unpartitioned, and genuinely mixed
+    layouts raise instead of silently republishing under the wrong
+    one."""
+    from energi_data_pipeline_spark.io import (_segment_partition_cols,
+                                               append_batch_segment,
+                                               compact_batch_segments,
+                                               table_path)
+    wh = str(tmp_path)
+    df = spark.createDataFrame(
+        [(i, i % 2, f"x{i}") for i in range(4)],
+        "k int, band int, key string")
+    append_batch_segment(spark, df, wh, "silver", "t", 1,
+                         partition_by=["band"])
+    path = table_path(wh, "silver", "t")
+    # stranded EMPTY segment dir sorting FIRST (_bid=0 < _bid=1)
+    os.makedirs(os.path.join(path, "_bid=0"))
+    assert _segment_partition_cols(path) == ["band"]
+    # compaction derives the right layout despite the empty dir
+    # (folded count includes the stranded empty dir it sweeps away)
+    assert compact_batch_segments(spark, wh, "silver", "t",
+                                  upto_bid=1) == 2
+    # genuinely mixed layouts are refused loudly
+    wh2 = os.path.join(str(tmp_path), "mixed")
+    append_batch_segment(spark, df, wh2, "silver", "t", 0,
+                         partition_by=["band"])
+    append_batch_segment(spark, df, wh2, "silver", "t", 1)  # flat
+    with pytest.raises(ValueError, match="disagree"):
+        _segment_partition_cols(table_path(wh2, "silver", "t"))
+
+
+def test_maybe_compact_segments_policy(spark, tmp_path):
+    """The wired policy (VERDICT r11 #4): N batches through
+    maybe_compact_segments leave at most every+horizon _bid segments
+    plus the -1 base, with identical read-back, and every-batch
+    compaction (the quadratic shape) is refused."""
+    from energi_data_pipeline_spark.io import (append_batch_segment,
+                                               maybe_compact_segments,
+                                               read_layer_table,
+                                               table_path)
+    wh = str(tmp_path)
+    every, horizon = 3, 1
+    expect = set()
+    for b in range(9):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"v{b}{i}") for i in range(2)],
+            "k int, v string")
+        expect |= {(b * 10 + i, f"v{b}{i}") for i in range(2)}
+        append_batch_segment(spark, df, wh, "silver", "t", b)
+        maybe_compact_segments(spark, wh, "silver", "t", b,
+                               every=every, horizon=horizon)
+        segs = [d for d in os.listdir(table_path(wh, "silver", "t"))
+                if d.startswith("_bid=") and d != "_bid=-1"]
+        assert len(segs) <= every + horizon
+        assert _rows(read_layer_table(spark, wh, "silver", "t")) \
+            == expect
+    # fired on batches 2, 5, 8: base exists, only recent segs live
+    segs = sorted(d for d in os.listdir(table_path(wh, "silver", "t"))
+                  if d.startswith("_bid="))
+    assert segs == ["_bid=-1", "_bid=7", "_bid=8"]
+    with pytest.raises(ValueError, match="every must be"):
+        maybe_compact_segments(spark, wh, "silver", "t", 9, every=1)
