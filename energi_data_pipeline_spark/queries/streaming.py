@@ -918,6 +918,14 @@ FROM docs d
 #: micro-batches the corpus is replayed as (ascending doc_id ranges).
 INCR_LSH_BATCHES = 3
 
+#: segment-compaction cycle for the streaming index tables: fold
+#: cold segments into the _bid=-1 base every this-many batches
+#: (io.maybe_compact_segments).  Each compaction republishes the
+#: full table (O(index)) so the cycle must stay >> 1; 4 keeps the
+#: default 3-batch replays compaction-free while bounding a long
+#: stream's per-table listing at ~5 _bid directories.
+SEGMENT_COMPACT_EVERY = 4
+
 
 @query("stream_incremental_lsh_dedup", INCR_LSH_SQL)
 def stream_incremental_lsh_dedup(spark, sf_dir,
@@ -951,7 +959,8 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
     import tempfile
 
     from ..functions.hashing import base_hashes, minhash_from_hashes
-    from ..io import append_batch_segment, read_layer_table
+    from ..io import (append_batch_segment, maybe_compact_segments,
+                      read_layer_table)
     from .dedup import docs_corpus_size, minhash_params
     from .dedup import shingles_from_tokens
     from .text import tokens_col
@@ -1052,32 +1061,72 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
                          "doc_id", F.col("band").cast("int").alias("band"),
                          "key")
                      .unionByName(batch_bands))
-        bl = batch_bands.alias("l")
+        # the batch side of the candidate probe is one micro-batch of
+        # band rows — broadcast it explicitly so the accumulated index
+        # side is scanned once and hash-probed map-side, never
+        # shuffled on the band key (at a 100 TB index the index-side
+        # exchange IS the cost; AQE would usually reach the same plan
+        # but only after a replanning round per batch).  Safe to hint:
+        # batch_bands is eagerly checkpointed, so its size is known
+        # and bounded by the micro-batch, not the stream's history.
+        bl = F.broadcast(batch_bands).alias("l")
         kl = all_bands.alias("r")
+        # NOT distinct here: a pair colliding in several bands is
+        # re-verified once per band, but candidates are a tiny
+        # fraction of the batch and dup_ids' distinct collapses the
+        # result — dropping the exchange saves a serial AQE stage
+        # per batch, which at micro-batch sizes outweighs the
+        # duplicate verify work
         cand = (bl.join(kl, (F.col("l.band") == F.col("r.band"))
                         & (F.col("l.key") == F.col("r.key"))
                         & (F.col("r.doc_id") < F.col("l.doc_id")))
                 .select(F.col("l.doc_id").alias("doc_id"),
-                        F.col("r.doc_id").alias("partner_id"))
-                .distinct())
+                        F.col("r.doc_id").alias("partner_id")))
         idx_sigs = read_layer_table(sess, wh, "silver", "lsh_index")
         sigs_all = (batch_sigs if idx_sigs is None
                     else idx_sigs.unionByName(batch_sigs))
-        a, b = batch_sigs.alias("a"), sigs_all.alias("b")
+        batch_sig_probe = batch_sigs.alias("a")
+        index_sig_side = sigs_all.alias("b")
         agree = sum(
             F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1)
             .otherwise(0) for k in range(nh))
-        dup_ids = (cand
-                   .join(a, cand.doc_id == F.col("a.doc_id"))
-                   .join(b, cand.partner_id == F.col("b.doc_id"))
+        # verify join order: (candidates x batch signatures) first —
+        # both micro-batch-sized, broadcast — so the ONLY pass over
+        # the accumulated signature index is the final probe, with
+        # the small side on the build side of a broadcast hash join.
+        cand_batch_sigs = cand.join(F.broadcast(batch_sig_probe),
+                                    cand.doc_id == F.col("a.doc_id"))
+        dup_ids = (index_sig_side
+                   .join(F.broadcast(cand_batch_sigs),
+                         cand_batch_sigs.partner_id
+                         == F.col("b.doc_id"))
                    .filter((agree.cast("double") / nh) >= 0.5)
-                   .select(cand.doc_id).distinct())
-        verdicts = (batch_sigs.select("doc_id")
-                    .join(dup_ids.withColumn("dup", F.lit(True)),
-                          "doc_id", "left")
-                    .select("doc_id",
-                            F.coalesce(F.col("dup"), F.lit(False))
-                            .alias("is_dup_of_earlier")))
+                   .select(cand.doc_id))
+        # flag via SEMI/ANTI instead of distinct + left join: semi
+        # joins tolerate duplicate build-side keys (a doc verified
+        # via several partners/bands), so the dedup exchange the
+        # old distinct paid disappears — both probes broadcast the
+        # same small dup_ids set and run in the same stage wave
+        batch_ids = batch_sigs.select("doc_id")
+        verdicts = (batch_ids
+                    .join(F.broadcast(dup_ids), "doc_id", "left_semi")
+                    .withColumn("is_dup_of_earlier", F.lit(True))
+                    .unionByName(
+                        batch_ids
+                        .join(F.broadcast(dup_ids), "doc_id",
+                              "left_anti")
+                        .withColumn("is_dup_of_earlier",
+                                    F.lit(False))))
+        if stage_times is not None:
+            # instrumented runs materialize HERE so the detection
+            # join cost and the verdict-segment write cost are
+            # separately observable (r11 verdict #3: the fused stage
+            # was 44% of the wall and never decomposed); the append
+            # then re-reads the checkpointed rows.  The production /
+            # headline path skips the extra job and fuses detect +
+            # publish into the single write action.
+            verdicts = verdicts.localCheckpoint(eager=True)
+        mark("detect_verdicts")
         # idempotent-by-construction segment appends (round-11): each
         # batch owns the _bid=<batch_id> partition of its tables, so
         # a replay overwrites its own segment in O(batch) — the
@@ -1085,16 +1134,32 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         # accumulated index per batch (O(index), ~2.3s/run of the
         # sf0.1 stage wall) purely for replay insurance.  Batches are
         # ascending-id spans, key-disjoint by construction, which is
-        # exactly append_batch_segment's contract.
+        # exactly append_batch_segment's contract (asserted under
+        # SPARK_GRAFT_DEBUG_SEGMENT_KEYS=1 via the keys= debug arg).
+        dbg_keys = (["doc_id"] if _os.environ.get(
+            "SPARK_GRAFT_DEBUG_SEGMENT_KEYS") else None)
         append_batch_segment(sess, verdicts, wh, "gold",
-                             "dup_verdicts", bid)
-        mark("detect_and_publish_verdicts")
+                             "dup_verdicts", bid, keys=dbg_keys)
+        mark("publish_verdicts")
         append_batch_segment(sess, batch_sigs, wh, "silver",
-                             "lsh_index", bid)
+                             "lsh_index", bid, keys=dbg_keys)
         mark("append_sig_index")
         append_batch_segment(sess, batch_bands, wh, "silver",
-                             "lsh_bands", bid, partition_by=["band"])
+                             "lsh_bands", bid, partition_by=["band"],
+                             keys=dbg_keys)
         mark("append_band_postings")
+        # wired compaction policy (r11 verdict #4): bound the segment
+        # listing at O(SEGMENT_COMPACT_EVERY + horizon) directories
+        # per index table over the stream's life.  At the default
+        # 3-batch replay this never fires (a stream shorter than the
+        # cycle needs no compaction — and pays none); longer streams
+        # fold their cold segments every cycle.
+        for lyr, tbl in (("gold", "dup_verdicts"),
+                         ("silver", "lsh_index"),
+                         ("silver", "lsh_bands")):
+            maybe_compact_segments(sess, wh, lyr, tbl, bid,
+                                   every=SEGMENT_COMPACT_EVERY)
+        mark("compact")
         if stage_times is not None:
             stage_times.append({
                 lbl: round(t1 - t0, 3)
@@ -1193,7 +1258,8 @@ def stream_incremental_embedding_index(spark, sf_dir):
     import shutil
     import tempfile
 
-    from ..io import append_batch_segment, read_layer_table
+    from ..io import (append_batch_segment, maybe_compact_segments,
+                      read_layer_table)
 
     tune(spark)
     src = tempfile.mkdtemp(prefix="emb_idx_src_")
@@ -1257,14 +1323,25 @@ def stream_incremental_embedding_index(spark, sf_dir):
                             .alias("is_dup_of_earlier")))
         # idempotent-by-construction segment appends (round-11, same
         # rationale as the LSH twin): replays overwrite their own
-        # _bid partition instead of anti-joining the whole index
+        # _bid partition instead of anti-joining the whole index.
+        # Batches are ascending-id spans, key-disjoint by
+        # construction (asserted under SPARK_GRAFT_DEBUG_SEGMENT_KEYS).
+        dbg_keys = (["vec_id"] if _os.environ.get(
+            "SPARK_GRAFT_DEBUG_SEGMENT_KEYS") else None)
         append_batch_segment(sess, verdicts, wh, "gold",
-                             "emb_verdicts", bid)
+                             "emb_verdicts", bid, keys=dbg_keys)
         # append the batch delta only (bucket-partitioned) — the
         # full-snapshot republish was O(batches x index) total write
         # volume, quadratic in stream length
         append_batch_segment(sess, batch_vec, wh, "silver",
-                             "emb_index", bid, partition_by=["bucket"])
+                             "emb_index", bid, partition_by=["bucket"],
+                             keys=dbg_keys)
+        # wired compaction policy, same cycle as the LSH twin: bounds
+        # the listing for streams longer than the compaction cycle
+        for lyr, tbl in (("gold", "emb_verdicts"),
+                         ("silver", "emb_index")):
+            maybe_compact_segments(sess, wh, lyr, tbl, bid,
+                                   every=SEGMENT_COMPACT_EVERY)
 
     # input-sized shuffle width for the per-batch jobs (see the LSH
     # twin's A/B: micro-batch exchanges at session width are mostly

@@ -115,6 +115,21 @@ BOUNDED_BROADCAST_SIDES = {
                                      # join-side policy; plan pinned by
                                      # test_bpe_apply_broadcasts_vocab_
                                      # not_corpus)
+    # --- streaming index maintenance (r12 verdict #3): every
+    # broadcast side below is MICRO-BATCH-bounded (one trigger's
+    # rows, eagerly checkpointed so sizes are known), never the
+    # accumulated index — broadcasting the batch side is what keeps
+    # the O(index) side scan-only at a 100 TB index
+    "batch_bands",                   # one micro-batch's band rows
+    "batch_sig_probe",               # one micro-batch's signatures
+    "cand_batch_sigs",               # candidate pairs x batch sigs
+                                     # (candidates are a subset of
+                                     # the batch's band collisions)
+    "dup_ids",                       # per-batch dup verdict ids
+                                     # (subset of the micro-batch;
+                                     # possibly with per-band
+                                     # duplicates — semi/anti probes
+                                     # tolerate them)
 }
 
 

@@ -85,17 +85,31 @@ def test_merge_latest_rows_null_newest_wins(spark):
 def test_incremental_lsh_dedup_matches_batch_any_split(spark, monkeypatch):
     """The incremental-equals-batch invariant must hold for ANY batch
     count, not just the oracle's default 3: replaying the corpus as
-    4 ascending-id micro-batches yields the same verdict table as
-    the full-batch LSH pair query's lower-id-partner relation."""
+    5 ascending-id micro-batches yields the same verdict table as
+    the full-batch LSH pair query's lower-id-partner relation.
+
+    5 batches also crosses the SEGMENT_COMPACT_EVERY=4 cycle, so the
+    in-stream compaction policy FIRES mid-stream (batch 3 folds
+    _bid<=1 of all three index tables) and the invariant proves the
+    fold preserved the index contents; and the run executes under
+    SPARK_GRAFT_DEBUG_SEGMENT_KEYS=1, so append_batch_segment's
+    cross-batch key-disjointness assertion is live for every append
+    this stream performs — pinning the caller's ascending-id-span
+    contract (r11 verdict #6)."""
     import energi_data_pipeline_spark.queries.streaming as st
     from energi_data_pipeline_spark.queries.dedup import (
         dedup_minhash_lsh_pairs)
     from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.001"
-    monkeypatch.setattr(st, "INCR_LSH_BATCHES", 4)
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_SEGMENT_KEYS", "1")
+    # NOTE: n_batches is passed explicitly — the old
+    # monkeypatch.setattr(st, "INCR_LSH_BATCHES", 4) silently did
+    # nothing (the default was bound at def time), so this test was
+    # replaying the default 3 batches while claiming 4.
     got = {(r.doc_id, r.is_dup_of_earlier) for r in
-           st.stream_incremental_lsh_dedup(spark, sf).collect()}
+           st.stream_incremental_lsh_dedup(spark, sf, n_batches=5)
+           .collect()}
 
     pairs = dedup_minhash_lsh_pairs(spark, sf)
     dup_ids = {r.doc_b for r in pairs.select("doc_b").collect()}
@@ -103,3 +117,16 @@ def test_incremental_lsh_dedup_matches_batch_any_split(spark, monkeypatch):
     want = {(r.doc_id, r.doc_id in dup_ids)
             for r in docs.select("doc_id").collect()}
     assert got == want
+
+
+def test_incremental_emb_index_disjoint_keys_contract(spark, monkeypatch):
+    """The embedding-index stream (the second append_batch_segment
+    caller) runs with the cross-batch key-disjointness assertion
+    live — its ascending-vec_id batch spans satisfy the segment
+    contract by construction (r11 verdict #6)."""
+    import energi_data_pipeline_spark.queries.streaming as st
+
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_SEGMENT_KEYS", "1")
+    out = st.stream_incremental_embedding_index(
+        spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
