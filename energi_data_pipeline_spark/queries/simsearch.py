@@ -1920,6 +1920,12 @@ def sims_ivfpq_ann(spark, sf_dir):
 #: refinement iterations (unrolled identically in the SQL oracle).
 KMEANS_ITERS = 2
 
+#: lineage-truncation cadence for the chained Lloyd loop: one eager
+#: localCheckpoint every this-many iterations keeps the analyzed
+#: plan bounded if KMEANS_ITERS is raised, while the default 2
+#: iterations chain checkpoint-free into a single job.
+_KMEANS_CHAIN_DEPTH = 4
+
 
 def _kmeans_oracle() -> str:
     """Unrolled-Lloyd oracle: seed centroids from the stride sample,
@@ -1978,42 +1984,69 @@ def sims_kmeans_lloyd(spark, sf_dir):
     distance computation + per-vector argmin — centroids are the
     bounded quantizer table, so assignment never shuffles the corpus
     — and (b) one map-side-combined shuffle to k·dim partial sums
-    for the mean update.  The iteration count is a constant; each
-    round's result is localCheckpoint-truncated like the
-    connected-components loop, so plans do not grow with iterations.
+    for the mean update.  The argmin is a min-over-struct
+    AGGREGATION (partial-aggregable, combines map-side, no per-key
+    sort), not a row_number window — same skew-safe choice as the
+    cluster-representative keep-best.  All iterations CHAIN into one
+    plan (r11 verdict #5: the per-iteration eager localCheckpoints
+    made this the sweep's only absolute-rule sleeper at 3.5s — four
+    checkpoint jobs' scheduling floors on a 0.3s compute); a
+    truncation point every _KMEANS_CHAIN_DEPTH iterations bounds
+    plan growth if the constant is ever raised, and at the default
+    2 iterations the whole query is ONE job plus its broadcasts.
     Float discipline: squared-distance terms pre-rounded to 8dp and
-    DECIMAL-accumulated, means DECIMAL-exact per dimension, argmin
-    ties broken by centroid id — bit-identical to the unrolled-CTE
-    oracle."""
+    accumulated EXACTLY as 1e8-scaled longs (provably equal to the
+    oracle's DECIMAL(38,10) sum — see the inline derivation — at
+    whole-stage-codegen speed), means DECIMAL-exact per dimension,
+    argmin ties broken by centroid id (struct comparison orders by
+    d2 then cent_id — identical tie-break) — bit-identical to the
+    unrolled-CTE oracle."""
     emb = spread(t(spark, sf_dir, "embeddings"))
     vlong = (emb.select("vec_id", F.posexplode("embedding")
                         .alias("pos", "vf"))
              .select("vec_id", "pos",
                      F.col("vf").cast("double").alias("v"))
              ).cache()
+    # eager materialization: the chained plan references vlong from
+    # FIVE subtrees (two broadcast exchanges + three probe/update
+    # sides); populating the cache up-front measured ~0.5s faster
+    # than letting the first subtree race to fill it (r12 A/B:
+    # 3.23s lazy vs 2.73s eager at sf0.1)
     vlong.count()
     cent = (vlong.filter(
         F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0)
         .select(F.col("vec_id").alias("cent_id"), "pos",
                 F.col("v").alias("c")))
     assign = None
-    for _ in range(KMEANS_ITERS):
+    for it in range(KMEANS_ITERS):
         term = F.round((F.col("v") - F.col("c"))
                        * (F.col("v") - F.col("c")), 8)
+        # exact LONG-scaled accumulation of the 8dp-rounded terms:
+        # term is k/1e8 with k an integer < 4e8 (embedding deltas are
+        # O(1)), recovered exactly by round(term*1e8) — the double
+        # holding k/1e8 is within 4.4e-16 of it, so scaling back up
+        # errs < 5e-8, far under the 0.5 rounding margin.  A long sum
+        # of <= dim such terms stays < 2^53, so sum/1e8 is the SAME
+        # real number the DECIMAL(38,10) sum surfaces — bit-identical
+        # to the oracle, but whole-stage-codegen long math instead of
+        # per-row BigDecimal (r12 A/B: 3.8 -> 2.9s at sf0.1; verified
+        # value-identical to the decimal form at all three SFs).
+        t8 = F.round(term * F.lit(1e8), 0).cast("long")
         d2 = (vlong.join(F.broadcast(cent), "pos")
               .groupBy("vec_id", "cent_id")
-              .agg(F.round(F.sum(term.cast("decimal(38,10)"))
-                           .cast("double"), 6).alias("d2")))
-        aw = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
-        assign = (d2.withColumn("rk", F.row_number().over(aw))
-                  .filter(F.col("rk") == 1)
-                  .select("vec_id", "cent_id", "d2")
-                  .localCheckpoint(eager=True))
+              .agg(F.round((F.sum(t8) / F.lit(1e8)).cast("double"),
+                           6).alias("d2")))
+        best = (d2.groupBy("vec_id")
+                .agg(F.min(F.struct("d2", "cent_id")).alias("s")))
+        assign = best.select("vec_id", F.col("s.cent_id").alias("cent_id"),
+                             F.col("s.d2").alias("d2"))
+        if (it + 1) % _KMEANS_CHAIN_DEPTH == 0 \
+                and it + 1 < KMEANS_ITERS:
+            assign = assign.localCheckpoint(eager=True)
         cent = (assign.join(vlong, "vec_id")
                 .groupBy("cent_id", "pos")
                 .agg((F.sum(F.col("v").cast("decimal(38,10)"))
-                      .cast("double") / F.count(F.lit(1))).alias("c"))
-                .localCheckpoint(eager=True))
+                      .cast("double") / F.count(F.lit(1))).alias("c")))
     return (assign.groupBy(F.col("cent_id").alias("cluster_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
                  F.round(F.sum(F.col("d2").cast("decimal(38,10)"))
