@@ -82,6 +82,11 @@ HEADLINE = [
     "curation_quality_classifier",
     "dedup_containment",
     "sims_hybrid_rrf",
+    # round-12: the end-to-end "what survives dedup" query a real
+    # curation run executes (LSH pairs -> CC closure -> quality gate
+    # -> keep-best representative); previously the repo's heaviest
+    # composition with zero timing evidence (r11 verdict optional #7)
+    "curation_cluster_representatives",
 ]
 
 #: streaming entries: their per-run time includes micro-batch engine
@@ -101,7 +106,11 @@ STREAMING = {"stream_tumbling_window", "stream_incremental_lsh_dedup"}
 #: oracle.  Both ratios are still published.
 PATHOLOGICAL_ORACLES = ["dedup_minhash_lsh_pairs",
                         "stream_incremental_lsh_dedup",
-                        "curation_pipeline"]
+                        "curation_pipeline",
+                        # composes the same correlated-subquery LSH
+                        # scoring SQL verbatim (its oracle is the
+                        # pair query + CC closure + keep-best)
+                        "curation_cluster_representatives"]
 
 #: DECIMAL(38,10)-exact parity anchors: retained deliberately as
 #: oracle-exact hash-parity twins even though Spark's non-vectorized
@@ -197,10 +206,20 @@ def _run_spread_contaminated(runs: list[float]) -> bool:
     """True when a run list's min-to-max spread says some executions
     ran against a different machine state than others (the r10 driver
     artifact's own DuckDB control spanning 2.3->7.2s on identical
-    single-threaded SQL was the smoking gun it printed silently)."""
-    if len(runs) < 2:
+    single-threaded SQL was the smoking gun it printed silently).
+
+    The FIRST run is excluded from the spread when enough later runs
+    exist: it pays the query's first-touch codegen/compilation at the
+    measured SF (the sibling-SF warm-up compiles most but not all of
+    it), so a sub-second query routinely reads cold 1.2s -> steady
+    0.3s on a PROVABLY idle box — r11's driver capture flagged five
+    such queries after a 335-second idle gate.  Real contamination
+    (background load shifting mid-capture) inflates runs across the
+    list, which the remaining spread still catches."""
+    tail = runs[1:] if len(runs) >= 3 else runs
+    if len(tail) < 2:
         return False
-    lo, hi = min(runs), max(runs)
+    lo, hi = min(tail), max(tail)
     return (hi - lo > CONTAMINATION_ABS_S
             and hi / max(lo, 0.001) > CONTAMINATION_SPREAD)
 

@@ -213,6 +213,13 @@ _DRIVER_VERIFIED = frozenset({
     "sketch_kmv_distinct", "sketch_countmin_heavy_hitters",
     "sketch_bloom_semijoin", "curation_quality_classifier",
     "curation_classifier_gate", "curation_weighted_sample",
+    # --- CORRECTNESS_r11 green rows (round-11 rotation: all 12 r11
+    # pins plus the two brand-new entries landed green, r11 window
+    # 50/50 zero err) ---
+    "text_bpe_learn_merges", "text_bpe_apply_merges",
+    "text_bpe_encode_heldout", "ext_association_rules",
+    "ext_market_basket_pairs", "curation_gate_overlap",
+    "curation_cluster_representatives",
 })
 
 
@@ -230,33 +237,24 @@ _DRIVER_VERIFIED = frozenset({
 #: green backlog.  Convention: touching a query or helper => add
 #: every consuming registry entry to this tuple; clear/rebuild the
 #: tuple at the start of the next round once its CORRECTNESS rows
-#: land green.  ROUND-11 ROTATION: all 12 r10 pins landed green in
-#: CORRECTNESS_r10 (50/50); text_bpe_apply_merges promoted into
-#: _DRIVER_VERIFIED.  The window now pins the round-11 touched
-#: entries.
+#: land green.  ROUND-12 ROTATION: all 11 r11 pins plus the two new
+#: entries landed green in CORRECTNESS_r11 (50/50, zero err);
+#: promoted into _DRIVER_VERIFIED.  The window now pins the
+#: round-12 touched entries.
 _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
-    # round-11: idempotent-by-construction batch commits in the
-    # streaming index publish path (verdict #4) — pin both
-    # incremental index streams
+    # round-12: segment-append hardening (recover_atomic on append,
+    # keys= debug assertion, layout scan) + wired compaction policy
+    # + detect-stage split/broadcast hints in the LSH stream
+    # (verdict #3/#4/#6 + all four ADVICE items) — pin both
+    # incremental index streams, the only append_batch_segment /
+    # maybe_compact_segments consumers
     "stream_incremental_lsh_dedup", "stream_incremental_embedding_index",
-    # round-11: BPE apply OOV extension + _bpe_learn memoization
-    # (verdict #5 + ADVICE) — pin the trainer, the apply entry, and
-    # the new held-out encode entry (auto-front as never-verified,
-    # listed here for the changed-code record)
-    "text_bpe_learn_merges", "text_bpe_apply_merges",
-    "text_bpe_encode_heldout",
-    # round-11: sweep-sleeper adjudication touches (verdict #6);
-    # market_basket_pairs shares the rewritten in-row pair mining
-    "ext_association_rules", "ext_market_basket_pairs",
-    "curation_gate_overlap",
-    # round-11 ADVICE: per-session LRU eviction for _DENSE_FEAT_MEMO
-    # — pin both classifier consumers of the memoized feature stage
-    "curation_quality_classifier", "curation_classifier_gate",
-    # round-11: new corpus-wide keep-best entry (auto-fronts as
-    # never-verified; listed for the changed-code record)
-    "curation_cluster_representatives",
-    # NOT pinned: bench.py idle-gate/contamination changes touch no
-    # query code; commitlog.py empty-probe docs are comment-only.
+    # round-12: Lloyd loop re-chained into one plan with a min-struct
+    # argmin replacing the row_number window (verdict #5)
+    "sims_kmeans_lloyd",
+    # NOT pinned: bench.py contamination-threshold / headline-set
+    # changes touch no query code; io.py doc-only amortization
+    # contract is comment-only for non-segment callers.
 )
 
 
