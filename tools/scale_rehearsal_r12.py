@@ -46,15 +46,20 @@ POINTS = {
     "x100": "/tmp/scale_r09/x100",
 }
 
-#: skip further oracle runs once one exceeds this (the
+#: hard per-run oracle cap, enforced by con.interrupt() from a
+#: watchdog thread (run_sweep's mechanism — the skip-further-runs
+#: rule alone lets the FIRST run grind for hours: the x10
 #: cluster-representatives oracle composes the pathological
-#: correlated-subquery LSH scoring SQL — minutes at x10+; one
-#: measured point settles the row, Spark keeps its min-of-3)
+#: correlated-subquery LSH scoring SQL, 209s at sf0.1 already).
+#: A capped oracle is recorded as a timeout; Spark keeps its
+#: min-of-3 and the row reads "Spark wins by construction".
 DUCK_CAP_S = 120.0
 N_RUNS = 3
 
 
 def _measure_pair(spark, cons, reg, name, sf_dir, n_runs=N_RUNS):
+    import threading
+
     srs, drs, errs = [], [], []
     spark_dead = duck_dead = False
     for _ in range(n_runs):
@@ -71,13 +76,27 @@ def _measure_pair(spark, cons, reg, name, sf_dir, n_runs=N_RUNS):
                 spark.catalog.clearCache()
         if duck_dead or (drs and min(drs) > DUCK_CAP_S):
             continue
+        done = threading.Event()
+
+        def _interrupt():
+            if not done.wait(DUCK_CAP_S):
+                cons.interrupt()
+
+        killer = threading.Thread(target=_interrupt, daemon=True)
+        killer.start()
         t0 = time.perf_counter()
         try:
             cons.execute(reg[name].oracle).fetchall()
             drs.append(round(time.perf_counter() - t0, 3))
         except Exception as exc:
-            errs.append(f"duck: {type(exc).__name__}: {exc}"[:200])
+            if time.perf_counter() - t0 >= DUCK_CAP_S - 1:
+                errs.append(f"duck: timeout >{DUCK_CAP_S}s cap")
+            else:
+                errs.append(f"duck: {type(exc).__name__}: {exc}"[:200])
             duck_dead = True
+        finally:
+            done.set()
+            killer.join()
     err = "; ".join(errs) or None
     return {
         "spark_runs": srs, "duck_runs": drs,
