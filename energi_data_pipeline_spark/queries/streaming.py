@@ -1309,18 +1309,30 @@ def stream_incremental_embedding_index(spark, sf_dir):
             F.col("bucket").alias("b_bucket"))
         cos = F.round(_dot("embedding", "b_emb")
                       / (F.col("nrm") * F.col("b_nrm")), 6)
-        dup_ids = (batch_vec
-                   .join(partner,
+        # broadcast the MICRO-BATCH side (eagerly checkpointed, size
+        # known and trigger-bounded) so the accumulated index side is
+        # scanned once and hash-probed map-side, never shuffled on
+        # the bucket key — same r12 join-side policy as the LSH twin
+        dup_ids = (partner
+                   .join(F.broadcast(batch_vec),
                          (F.col("b_bucket") == F.col("bucket"))
                          & (F.col("b_id") < F.col("vec_id")))
                    .filter(cos >= NEARDUP_T)
-                   .select("vec_id").distinct())
-        verdicts = (batch_vec.select("vec_id")
-                    .join(dup_ids.withColumn("dup", F.lit(True)),
-                          "vec_id", "left")
-                    .select("vec_id",
-                            F.coalesce(F.col("dup"), F.lit(False))
-                            .alias("is_dup_of_earlier")))
+                   .select("vec_id"))
+        # flag via SEMI/ANTI probes of the small dup set instead of
+        # distinct + left join (semi joins tolerate the duplicate
+        # build keys a vector verified via several partners has) —
+        # drops the dedup exchange per batch, same as the LSH twin
+        batch_ids = batch_vec.select("vec_id")
+        verdicts = (batch_ids
+                    .join(F.broadcast(dup_ids), "vec_id", "left_semi")
+                    .withColumn("is_dup_of_earlier", F.lit(True))
+                    .unionByName(
+                        batch_ids
+                        .join(F.broadcast(dup_ids), "vec_id",
+                              "left_anti")
+                        .withColumn("is_dup_of_earlier",
+                                    F.lit(False))))
         # idempotent-by-construction segment appends (round-11, same
         # rationale as the LSH twin): replays overwrite their own
         # _bid partition instead of anti-joining the whole index.

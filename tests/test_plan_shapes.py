@@ -120,6 +120,8 @@ BOUNDED_BROADCAST_SIDES = {
     # rows, eagerly checkpointed so sizes are known), never the
     # accumulated index — broadcasting the batch side is what keeps
     # the O(index) side scan-only at a 100 TB index
+    "batch_vec",                     # one micro-batch's vectors
+                                     # (embedding-index stream probe)
     "batch_bands",                   # one micro-batch's band rows
     "batch_sig_probe",               # one micro-batch's signatures
     "cand_batch_sigs",               # candidate pairs x batch sigs
