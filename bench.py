@@ -202,21 +202,25 @@ def drop_measurement_caches(spark) -> None:
         pass  # measurement must not die on a memo-introspection edge
 
 
-def _run_spread_contaminated(runs: list[float]) -> bool:
+def _run_spread_contaminated(runs: list[float],
+                             exclude_cold_first: bool = False) -> bool:
     """True when a run list's min-to-max spread says some executions
     ran against a different machine state than others (the r10 driver
     artifact's own DuckDB control spanning 2.3->7.2s on identical
     single-threaded SQL was the smoking gun it printed silently).
 
-    The FIRST run is excluded from the spread when enough later runs
-    exist: it pays the query's first-touch codegen/compilation at the
-    measured SF (the sibling-SF warm-up compiles most but not all of
-    it), so a sub-second query routinely reads cold 1.2s -> steady
-    0.3s on a PROVABLY idle box — r11's driver capture flagged five
-    such queries after a 335-second idle gate.  Real contamination
-    (background load shifting mid-capture) inflates runs across the
-    list, which the remaining spread still catches."""
-    tail = runs[1:] if len(runs) >= 3 else runs
+    ``exclude_cold_first`` (SPARK lists only) drops the first run
+    from the spread when enough later runs exist: it pays the
+    query's first-touch codegen/compilation at the measured SF (the
+    sibling-SF warm-up compiles most but not all of it), so a
+    sub-second query routinely reads cold 1.2s -> steady 0.3s on a
+    PROVABLY idle box — r11's driver capture flagged five such
+    queries after a 335-second idle gate.  DuckDB has no per-SF
+    compilation cold start, so its lists keep the full-list rule —
+    an inflated FIRST duck run is exactly the r10 smoking-gun shape
+    and must still trigger the re-run pair."""
+    tail = (runs[1:] if exclude_cold_first and len(runs) >= 3
+            else runs)
     if len(tail) < 2:
         return False
     lo, hi = min(tail), max(tail)
@@ -447,7 +451,8 @@ def run_interleaved(sf_dir: str) -> tuple[
     # visible in the artifact.
     flagged = sorted(
         n for n in HEADLINE
-        if _run_spread_contaminated(spark_runs.get(n, []))
+        if _run_spread_contaminated(spark_runs.get(n, []),
+                                    exclude_cold_first=True)
         or _run_spread_contaminated(duck_runs.get(n, [])))
     rerun_added: dict[str, list[int]] = {}
     for name in flagged:

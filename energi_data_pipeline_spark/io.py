@@ -433,25 +433,25 @@ def append_batch_segment(spark: SparkSession, df: DataFrame,
     # never be read between appends, so the read-path repair alone is
     # not enough).  Cheap and idempotent.
     recover_atomic(path)
-    if keys:
-        prior = None
-        try:
-            prior = (spark.read.parquet(path)
-                     .filter(F.col("_bid").cast("long")
-                             != int(batch_id))
-                     .select(*keys))
-        except Exception:
-            prior = None  # first segment: nothing to collide with
-        if prior is not None:
-            n_dup = (df.select(*keys).dropDuplicates(keys)
-                     .join(prior, on=list(keys), how="inner")
-                     .limit(1).count())
-            if n_dup:
-                raise ValueError(
-                    f"append_batch_segment: batch {batch_id} of "
-                    f"{layer}/{name} contains keys {keys} already "
-                    f"present in an earlier _bid segment — batches "
-                    f"must be key-disjoint (see docstring contract)")
+    if keys and os.path.exists(path):
+        # NO try/except around the prior read: this is the DEBUG
+        # contract verifier — a read failure (schema drift, corrupt
+        # footer) must surface loudly, not silently skip the check
+        # it exists to perform.  Only a genuinely absent table (first
+        # segment) has nothing to collide with.
+        prior = (spark.read.parquet(path)
+                 .filter(F.col("_bid").cast("long")
+                         != int(batch_id))
+                 .select(*keys))
+        n_dup = (df.select(*keys).dropDuplicates(keys)
+                 .join(prior, on=list(keys), how="inner")
+                 .limit(1).count())
+        if n_dup:
+            raise ValueError(
+                f"append_batch_segment: batch {batch_id} of "
+                f"{layer}/{name} contains keys {keys} already "
+                f"present in an earlier _bid segment — batches "
+                f"must be key-disjoint (see docstring contract)")
     if write_width is None:
         write_width = max(1, int(spark.conf.get(
             "spark.sql.shuffle.partitions", "8")))
@@ -492,24 +492,21 @@ def _segment_partition_cols(path: str) -> list[str]:
     for top in sorted(os.listdir(path)):
         if not top.startswith("_bid="):
             continue
-        cols: list[str] = []
-        cur = os.path.join(path, top)
-        empty = False
-        while True:
-            entries = sorted(os.listdir(cur))
-            subs = [d for d in entries
-                    if "=" in d and os.path.isdir(os.path.join(cur, d))]
-            if not subs:
-                # leaf level: a genuine unpartitioned/innermost leaf
-                # holds data files; a bare dir is a stranded partial
-                # write and carries no layout information
-                empty = not any(e.endswith(".parquet") for e in entries)
-                break
-            cols.append(subs[0].split("=", 1)[0])
-            cur = os.path.join(cur, subs[0])
-        if empty:
-            continue
-        chains.setdefault(tuple(cols), top)
+        seg = os.path.join(path, top)
+        # full walk, not just the first child chain: layout is
+        # derived from where DATA FILES actually live, so a stranded
+        # empty partition subdir (partial write) anywhere — including
+        # as the first sibling — carries no vote, while every dir
+        # that does hold parquet contributes its key=value chain
+        for cur, _dirs, files in os.walk(seg):
+            if not any(f.endswith(".parquet") for f in files):
+                continue
+            rel = os.path.relpath(cur, seg)
+            cols = tuple(part.split("=", 1)[0]
+                         for part in ([] if rel == "." else
+                                      rel.split(os.sep))
+                         if "=" in part)
+            chains.setdefault(cols, os.path.join(top, rel))
     if len(chains) > 1:
         raise ValueError(
             f"_segment_partition_cols: segments under {path} disagree "
@@ -593,8 +590,16 @@ def compact_batch_segments(spark: SparkSession, warehouse: str,
         "_bid",
         F.when(bid <= upto_bid, F.lit(_COMPACTED_BID)).otherwise(bid))
     if write_width is None:
-        write_width = max(1, int(spark.conf.get(
-            "spark.sql.shuffle.partitions", "8")))
+        # size the republish to the INDEX bytes (128 MB/target file),
+        # NOT the session shuffle width: inside a stream's
+        # foreachBatch the session width is micro-batch-sized, and
+        # funneling the O(index) full-table rewrite — the heaviest
+        # write the stream performs — through O(batch) tasks would
+        # invert the file-sizing contract as the index grows
+        total_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path) for f in fs)
+        write_width = max(1, int(total_bytes // (128 << 20)) + 1)
     cols = list(partition_by or [])
     if cols:
         # one file per (_bid, partition-value) leaf

@@ -918,6 +918,39 @@ FROM docs d
 #: micro-batches the corpus is replayed as (ascending doc_id ranges).
 INCR_LSH_BATCHES = 3
 
+
+def _debug_segment_keys(id_col: str) -> list[str] | None:
+    """The opt-in segment key-disjointness assertion, shared by both
+    index streams: under SPARK_GRAFT_DEBUG_SEGMENT_KEYS=1 every
+    append verifies its keys are absent from earlier segments
+    (io.append_batch_segment's contract; O(index) cost, debug only)."""
+    import os
+    return ([id_col] if os.environ.get("SPARK_GRAFT_DEBUG_SEGMENT_KEYS")
+            else None)
+
+
+def _flag_batch_members(batch_ids, member_ids, id_col: str,
+                        flag_col: str):
+    """Per-batch boolean flag column: TRUE for batch rows whose id
+    appears in ``member_ids`` — the r12 join-side policy for the dup
+    verdicts of both index streams, in ONE place.
+
+    ``member_ids`` may carry duplicates (a doc verified via several
+    partners/bands) and its ROW count scales with collision density,
+    so it is distinct-ed FIRST — bounding the broadcast side at the
+    micro-batch cardinality (every value is a batch id) before the
+    hint.  A forced broadcast of the raw pair-shaped set would be
+    unbounded under a dup-dense corpus, exactly the class
+    test_no_hardcoded_broadcast_on_scaling_sides exists to block."""
+    batch_dup_flags = (member_ids.distinct()
+                       .withColumn("dup", F.lit(True)))
+    return (batch_ids
+            .join(F.broadcast(batch_dup_flags), id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("dup"), F.lit(False))
+                    .alias(flag_col)))
+
+
 #: segment-compaction cycle for the streaming index tables: fold
 #: cold segments into the _bid=-1 base every this-many batches
 #: (io.maybe_compact_segments).  Each compaction republishes the
@@ -1091,32 +1124,24 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
             F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1)
             .otherwise(0) for k in range(nh))
         # verify join order: (candidates x batch signatures) first —
-        # both micro-batch-sized, broadcast — so the ONLY pass over
-        # the accumulated signature index is the final probe, with
-        # the small side on the build side of a broadcast hash join.
+        # the batch-side signature join broadcasts (batch-bounded);
+        # the candidate-pair side is deliberately NOT hinted: its
+        # cardinality scales with collision density (batch x index
+        # partners), not the micro-batch, so the build side is left
+        # to AQE's runtime sizes — broadcast when genuinely small,
+        # honest shuffle join under a dup-dense pathology instead of
+        # a forced driver collect of an unbounded pair set.
         cand_batch_sigs = cand.join(F.broadcast(batch_sig_probe),
                                     cand.doc_id == F.col("a.doc_id"))
         dup_ids = (index_sig_side
-                   .join(F.broadcast(cand_batch_sigs),
+                   .join(cand_batch_sigs,
                          cand_batch_sigs.partner_id
                          == F.col("b.doc_id"))
                    .filter((agree.cast("double") / nh) >= 0.5)
                    .select(cand.doc_id))
-        # flag via SEMI/ANTI instead of distinct + left join: semi
-        # joins tolerate duplicate build-side keys (a doc verified
-        # via several partners/bands), so the dedup exchange the
-        # old distinct paid disappears — both probes broadcast the
-        # same small dup_ids set and run in the same stage wave
-        batch_ids = batch_sigs.select("doc_id")
-        verdicts = (batch_ids
-                    .join(F.broadcast(dup_ids), "doc_id", "left_semi")
-                    .withColumn("is_dup_of_earlier", F.lit(True))
-                    .unionByName(
-                        batch_ids
-                        .join(F.broadcast(dup_ids), "doc_id",
-                              "left_anti")
-                        .withColumn("is_dup_of_earlier",
-                                    F.lit(False))))
+        verdicts = _flag_batch_members(
+            batch_sigs.select("doc_id"), dup_ids,
+            "doc_id", "is_dup_of_earlier")
         if stage_times is not None:
             # instrumented runs materialize HERE so the detection
             # join cost and the verdict-segment write cost are
@@ -1136,8 +1161,7 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         # ascending-id spans, key-disjoint by construction, which is
         # exactly append_batch_segment's contract (asserted under
         # SPARK_GRAFT_DEBUG_SEGMENT_KEYS=1 via the keys= debug arg).
-        dbg_keys = (["doc_id"] if _os.environ.get(
-            "SPARK_GRAFT_DEBUG_SEGMENT_KEYS") else None)
+        dbg_keys = _debug_segment_keys("doc_id")
         append_batch_segment(sess, verdicts, wh, "gold",
                              "dup_verdicts", bid, keys=dbg_keys)
         mark("publish_verdicts")
@@ -1236,7 +1260,8 @@ EMB_INDEX_BATCHES = 3
 
 @query("stream_incremental_embedding_index",
        EMB_INDEX_SQL.format(bucket=_emb_bucket_sql(NEARDUP_PLANES)))
-def stream_incremental_embedding_index(spark, sf_dir):
+def stream_incremental_embedding_index(spark, sf_dir,
+                                       n_batches: int = EMB_INDEX_BATCHES):
     """Streaming EMBEDDING near-dup index maintenance — the vector
     twin of stream_incremental_lsh_dedup: vectors arrive in
     ascending-id micro-batches; each batch is sign-LSH-bucketed,
@@ -1270,9 +1295,9 @@ def stream_incremental_embedding_index(spark, sf_dir):
     schema = d.schema
     planes = neardup_planes(corpus_size(sf_dir))
     max_id = d.agg(F.max("vec_id")).first()[0]
-    span = (max_id + EMB_INDEX_BATCHES) // EMB_INDEX_BATCHES
+    span = (max_id + n_batches) // n_batches
     now = 1_700_000_000
-    for b in range(EMB_INDEX_BATCHES):
+    for b in range(n_batches):
         stage = tempfile.mkdtemp(prefix="emb_idx_stage_")
         (d.filter((F.col("vec_id") >= b * span)
                   & (F.col("vec_id") < (b + 1) * span))
@@ -1319,27 +1344,15 @@ def stream_incremental_embedding_index(spark, sf_dir):
                          & (F.col("b_id") < F.col("vec_id")))
                    .filter(cos >= NEARDUP_T)
                    .select("vec_id"))
-        # flag via SEMI/ANTI probes of the small dup set instead of
-        # distinct + left join (semi joins tolerate the duplicate
-        # build keys a vector verified via several partners has) —
-        # drops the dedup exchange per batch, same as the LSH twin
-        batch_ids = batch_vec.select("vec_id")
-        verdicts = (batch_ids
-                    .join(F.broadcast(dup_ids), "vec_id", "left_semi")
-                    .withColumn("is_dup_of_earlier", F.lit(True))
-                    .unionByName(
-                        batch_ids
-                        .join(F.broadcast(dup_ids), "vec_id",
-                              "left_anti")
-                        .withColumn("is_dup_of_earlier",
-                                    F.lit(False))))
+        verdicts = _flag_batch_members(
+            batch_vec.select("vec_id"), dup_ids,
+            "vec_id", "is_dup_of_earlier")
         # idempotent-by-construction segment appends (round-11, same
         # rationale as the LSH twin): replays overwrite their own
         # _bid partition instead of anti-joining the whole index.
         # Batches are ascending-id spans, key-disjoint by
         # construction (asserted under SPARK_GRAFT_DEBUG_SEGMENT_KEYS).
-        dbg_keys = (["vec_id"] if _os.environ.get(
-            "SPARK_GRAFT_DEBUG_SEGMENT_KEYS") else None)
+        dbg_keys = _debug_segment_keys("vec_id")
         append_batch_segment(sess, verdicts, wh, "gold",
                              "emb_verdicts", bid, keys=dbg_keys)
         # append the batch delta only (bucket-partitioned) — the

@@ -634,6 +634,12 @@ def test_segment_partition_cols_skips_empty_and_rejects_mixed(
     # stranded EMPTY segment dir sorting FIRST (_bid=0 < _bid=1)
     os.makedirs(os.path.join(path, "_bid=0"))
     assert _segment_partition_cols(path) == ["band"]
+    # stranded empty PARTITION subdir as the first sibling inside a
+    # live segment: layout is derived from where data files actually
+    # live, so the empty band=-1 dir carries no vote (the first-child
+    # chain walk would have marked the whole segment empty)
+    os.makedirs(os.path.join(path, "_bid=1", "band=-1"))
+    assert _segment_partition_cols(path) == ["band"]
     # compaction derives the right layout despite the empty dir
     # (folded count includes the stranded empty dir it sweeps away)
     assert compact_batch_segments(spark, wh, "silver", "t",

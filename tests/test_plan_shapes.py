@@ -124,14 +124,14 @@ BOUNDED_BROADCAST_SIDES = {
                                      # (embedding-index stream probe)
     "batch_bands",                   # one micro-batch's band rows
     "batch_sig_probe",               # one micro-batch's signatures
-    "cand_batch_sigs",               # candidate pairs x batch sigs
-                                     # (candidates are a subset of
-                                     # the batch's band collisions)
-    "dup_ids",                       # per-batch dup verdict ids
-                                     # (subset of the micro-batch;
-                                     # possibly with per-band
-                                     # duplicates — semi/anti probes
-                                     # tolerate them)
+    "batch_dup_flags",               # per-batch dup verdict ids,
+                                     # DISTINCT-ed first so the
+                                     # broadcast side is bounded by
+                                     # micro-batch cardinality (the
+                                     # raw pair-shaped set scales
+                                     # with collision density and is
+                                     # deliberately NOT hinted —
+                                     # streaming._flag_batch_members)
 }
 
 

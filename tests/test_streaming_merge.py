@@ -123,10 +123,20 @@ def test_incremental_emb_index_disjoint_keys_contract(spark, monkeypatch):
     """The embedding-index stream (the second append_batch_segment
     caller) runs with the cross-batch key-disjointness assertion
     live — its ascending-vec_id batch spans satisfy the segment
-    contract by construction (r11 verdict #6)."""
+    contract by construction (r11 verdict #6) — and with 5 batches
+    the SEGMENT_COMPACT_EVERY=4 compaction policy FIRES mid-stream
+    for the bucket-partitioned emb_index (the only array-column
+    segment table), so the fold path is actually driven; the verdict
+    table must still match the full-corpus relation regardless of
+    the split."""
     import energi_data_pipeline_spark.queries.streaming as st
 
     monkeypatch.setenv("SPARK_GRAFT_DEBUG_SEGMENT_KEYS", "1")
-    out = st.stream_incremental_embedding_index(
-        spark, "/root/testdata/sf0.001")
-    assert out.count() > 0
+    sf = "/root/testdata/sf0.001"
+    got = {(r.vec_id, r.is_dup_of_earlier) for r in
+           st.stream_incremental_embedding_index(
+               spark, sf, n_batches=5).collect()}
+    want = {(r.vec_id, r.is_dup_of_earlier) for r in
+            st.stream_incremental_embedding_index(spark, sf)
+            .collect()}
+    assert got == want and len(got) > 0

@@ -79,7 +79,11 @@ def _measure_pair(spark, cons, reg, name, sf_dir, n_runs=N_RUNS):
         done = threading.Event()
 
         def _interrupt():
-            if not done.wait(DUCK_CAP_S):
+            # re-check AFTER the wait expires: if the oracle finished
+            # in the gap between wait() timing out and the finally's
+            # set(), a late interrupt would land on the idle shared
+            # connection and abort the NEXT healthy run
+            if not done.wait(DUCK_CAP_S) and not done.is_set():
                 cons.interrupt()
 
         killer = threading.Thread(target=_interrupt, daemon=True)
@@ -87,6 +91,7 @@ def _measure_pair(spark, cons, reg, name, sf_dir, n_runs=N_RUNS):
         t0 = time.perf_counter()
         try:
             cons.execute(reg[name].oracle).fetchall()
+            done.set()  # close the race window before bookkeeping
             drs.append(round(time.perf_counter() - t0, 3))
         except Exception as exc:
             if time.perf_counter() - t0 >= DUCK_CAP_S - 1:
@@ -128,9 +133,15 @@ def main() -> None:
     result: dict = {"loadavg_at_start": list(os.getloadavg()),
                     "targets": TARGETS, "sections": {}}
     for label in sections:
-        sf_dir = POINTS[label]
-        if not Path(sf_dir).exists():
-            result["sections"][label] = {"err": f"missing {sf_dir}"}
+        sf_dir = POINTS.get(label)
+        if sf_dir is None or not Path(sf_dir).exists():
+            # checkpoint the skip too — an in-memory-only err row
+            # vanishes if a later section crashes, defeating the
+            # per-section checkpointing this tool exists to provide
+            result["sections"][label] = {
+                "err": (f"unknown section {label!r}" if sf_dir is None
+                        else f"missing {sf_dir}")}
+            Path(out_path).write_text(json.dumps(result, indent=1))
             continue
         cons = duck_connection(sf_dir)
         rows = {}
