@@ -218,8 +218,16 @@ def _run_spread_contaminated(runs: list[float],
     queries after a 335-second idle gate.  DuckDB has no per-SF
     compilation cold start, so its lists keep the full-list rule —
     an inflated FIRST duck run is exactly the r10 smoking-gun shape
-    and must still trigger the re-run pair."""
+    and must still trigger the re-run pair.
+
+    The exclusion only applies when the first run IS the slowest:
+    a first run that is the FASTEST means the box degraded
+    mid-capture (r12 capture #3: curation_pipeline 3.45 -> 12.0 ->
+    10.9s), which is precisely the contamination this flag exists to
+    re-measure — dropping that first run would leave a tight
+    all-contaminated tail and mask it."""
     tail = (runs[1:] if exclude_cold_first and len(runs) >= 3
+            and runs[0] == max(runs)
             else runs)
     if len(tail) < 2:
         return False
