@@ -147,6 +147,26 @@ CONTAMINATION_SPREAD = 2.5
 #: ...AND the absolute spread is non-trivial (a 0.05s->0.14s jitter
 #: on a floor-dominated query is noise, not contamination)
 CONTAMINATION_ABS_S = 0.5
+#: cold-first-run exclusion cap (r12 ADVICE): the exclusion drops a
+#: slowest-first Spark run as per-SF codegen cold start, but genuine
+#: FIRST-RUN-ONLY contamination has the same shape (e.g. 7.2 -> 2.3
+#: -> 2.3) — so the excess of the excluded run over the steady tail
+#: must be plausibly compilation-sized.  Measured cold-starts on this
+#: suite read 0.3-1.5s over steady; anything above the cap keeps the
+#: full list and earns the symmetric re-run pair instead (the safe
+#: direction: an extra measurement, never a masked one).
+COLD_EXCESS_CAP_S = 2.0
+#: whole-capture weather signal (r12 verdict "What's wrong" #1): the
+#: spread-based flag is structurally blind to a UNIFORMLY slow box —
+#: tight run lists, every wall inflated (BENCH_r12: duckdb side +63%
+#: vs same-tree idle captures, 7 Spark queries at 1.4-6x, zero
+#: flags).  The DuckDB ex-outlier total is a natural control: same
+#: single-threaded SQL every capture, tree-independent unless an
+#: oracle is rewritten — compare it against the trailing median of
+#: committed captures with the IDENTICAL ex-outlier query set and
+#: stamp the ratio into the artifact.
+WEATHER_DEGRADED_RATIO = 1.3
+WEATHER_MIN_REFS = 3
 
 
 def wait_for_idle() -> dict:
@@ -225,15 +245,94 @@ def _run_spread_contaminated(runs: list[float],
     mid-capture (r12 capture #3: curation_pipeline 3.45 -> 12.0 ->
     10.9s), which is precisely the contamination this flag exists to
     re-measure — dropping that first run would leave a tight
-    all-contaminated tail and mask it."""
-    tail = (runs[1:] if exclude_cold_first and len(runs) >= 3
-            and runs[0] == max(runs)
-            else runs)
+    all-contaminated tail and mask it.  And only when the excluded
+    run's excess over the steady tail is compilation-sized
+    (<= COLD_EXCESS_CAP_S, r12 ADVICE): a slowest-first list like
+    7.2 -> 2.3 -> 2.3 is genuine first-run-only contamination, not
+    codegen, and must still earn the re-run pair.  Excluded-first
+    lists are recorded in the artifact (cold_excluded_first_runs)
+    so the adjudicator sees exactly what was dropped."""
+    tail, _ = _cold_first_tail(runs, exclude_cold_first)
     if len(tail) < 2:
         return False
     lo, hi = min(tail), max(tail)
     return (hi - lo > CONTAMINATION_ABS_S
             and hi / max(lo, 0.001) > CONTAMINATION_SPREAD)
+
+
+def _cold_first_tail(runs: list[float],
+                     exclude_cold_first: bool) -> tuple[list[float],
+                                                        bool]:
+    """(tail, excluded): drop runs[0] as per-SF codegen cold start
+    only when it is the slowest run AND its excess over the steady
+    tail is compilation-sized (see _run_spread_contaminated)."""
+    if (exclude_cold_first and len(runs) >= 3
+            and runs[0] == max(runs)
+            and runs[0] - min(runs[1:]) <= COLD_EXCESS_CAP_S):
+        return runs[1:], True
+    return runs, False
+
+
+def capture_weather(duck_total_ex: float, ex_names: set[str],
+                    sf: float, root: Path | None = None) -> dict:
+    """Whole-capture degradation signal (r12 verdict #2): compare
+    this capture's DuckDB ex-outlier total against the trailing
+    median of committed captures at the same SF with the IDENTICAL
+    ex-outlier query set (driver BENCH_r*.json in the repo root +
+    builder docs/scale_r*/bench_*.json).  The DuckDB side is the
+    control: single-threaded, tree-independent SQL — a +30% reading
+    on the same set means the BOX was slow, not the engine, and the
+    whole capture (both sides) should be read with that discount.
+    The set-equality guard keeps composition changes (headline or
+    outlier-list edits) from masquerading as weather; references
+    with a different set are skipped, so the signal goes silent for
+    one round after a composition change and resumes as new captures
+    commit."""
+    root = root or Path(__file__).resolve().parent
+    refs: list[tuple[str, float]] = []
+    cands = sorted(root.glob("BENCH_r*.json")) + sorted(
+        root.glob("docs/scale_r*/bench_*.json"))
+    for p in cands:
+        try:
+            d = json.loads(p.read_text(encoding="utf-8"))
+        except (OSError, ValueError):
+            continue
+        d = d.get("parsed") or d  # driver files wrap the compact line
+        if not isinstance(d, dict) or d.get("sf") != sf:
+            continue
+        names = (set(d.get("queries") or {})
+                 - set(d.get("outliers_dropped") or []))
+        v = d.get("duckdb_total_ex_outlier")
+        if names != ex_names or not isinstance(v, (int, float)) or v <= 0:
+            continue
+        refs.append((p.name, float(v)))
+    out: dict = {
+        "duckdb_total_ex_outlier": duck_total_ex,
+        "n_reference_captures": len(refs),
+        "degraded_ratio_threshold": WEATHER_DEGRADED_RATIO,
+    }
+    if len(refs) < WEATHER_MIN_REFS:
+        out["verdict"] = "insufficient_references"
+        out["note"] = (f"need {WEATHER_MIN_REFS} committed captures "
+                       "with the identical ex-outlier set; the "
+                       "signal resumes as new captures commit")
+        return out
+    med = statistics.median(v for _, v in refs)
+    ratio = round(duck_total_ex / max(med, 0.001), 3)
+    degraded = ratio > WEATHER_DEGRADED_RATIO
+    out.update({
+        "trailing_median_s": round(med, 3),
+        "reference_captures": [n for n, _ in refs],
+        "duck_vs_trailing_median": ratio,
+        "capture_degraded": degraded,
+        "verdict": "DEGRADED_BOX" if degraded else "normal",
+        "note": (
+            f"duckdb control {ratio}x its trailing median on the "
+            "identical query set — read every wall in this capture "
+            "with that discount" if degraded
+            else "duckdb control within weather of trailing median"),
+    })
+    return out
 
 
 def warmup_dir(sf_dir: str) -> str | None:
@@ -462,6 +561,12 @@ def run_interleaved(sf_dir: str) -> tuple[
         if _run_spread_contaminated(spark_runs.get(n, []),
                                     exclude_cold_first=True)
         or _run_spread_contaminated(duck_runs.get(n, [])))
+    # record what the cold-first exclusion dropped (r12 ADVICE): the
+    # adjudicator sees the excluded run alongside the steady tail
+    # instead of trusting the exclusion blind
+    cold_excluded = {
+        n: spark_runs[n] for n in HEADLINE
+        if _cold_first_tail(spark_runs.get(n, []), True)[1]}
     rerun_added: dict[str, list[int]] = {}
     for name in flagged:
         n_s, n_d = len(spark_runs[name]), len(duck_runs.get(name, []))
@@ -495,6 +600,8 @@ def run_interleaved(sf_dir: str) -> tuple[
             "flagged": flagged,
             "spread_threshold": CONTAMINATION_SPREAD,
             "abs_threshold_s": CONTAMINATION_ABS_S,
+            "cold_excluded_first_runs": cold_excluded,
+            "cold_excess_cap_s": COLD_EXCESS_CAP_S,
             "rerun_runs_added": rerun_added,
             "note": ("flagged pairs were re-measured once, BOTH "
                      "engines interleaved (cutoff skip bypassed), "
@@ -520,6 +627,15 @@ def run_interleaved(sf_dir: str) -> tuple[
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     return spark_runs, duck_runs, extras
+
+
+def _baseline_regression(baseline_s: float | None, v: float) -> bool:
+    """True when a fresh steady wall regresses against its checked-in
+    cleared baseline (r12 verdict #4): over tolerance AND by a
+    non-trivial absolute gap (box weather is ~25%, so 1.4x + 0.5s)."""
+    return (baseline_s is not None
+            and v > baseline_s * SWEEP_BASELINE_TOL
+            and v - baseline_s > SWEEP_BASELINE_MIN_GAP_S)
 
 
 def run_sweep(sf_dir: str, out_path: str) -> None:
@@ -548,6 +664,24 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
 
     idle_gate = wait_for_idle()
     registry = load_all()
+    # per-entry steady baselines (r12 verdict #4) — loaded up front
+    # because BOTH the steady-rerun selection and the flag rule need
+    # them (a 1.2s cold reading on a 0.3s baseline is usually
+    # first-touch codegen; it must earn steady re-runs before it can
+    # flag as a regression)
+    baseline: dict[str, dict] = {}
+    bl_path = Path(__file__).resolve().parent / "docs" \
+        / "sweep_steady_baseline.json"
+    try:
+        baseline = json.loads(
+            bl_path.read_text(encoding="utf-8"))["entries"]
+    except (OSError, ValueError, KeyError):
+        pass  # no baseline file -> every entry uses the old rules
+
+    def _regression(name: str, v: float) -> bool:
+        return _baseline_regression(
+            (baseline.get(name) or {}).get("steady_s"), v)
+
     spark = get_spark("energi-sweep")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark_s: dict[str, float] = {}
@@ -570,7 +704,8 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
     # first-touch codegen can no longer produce a sleeper row that
     # a later min-of-3 bench run would dissolve.
     steady_s: dict[str, float] = {}
-    rerun = [n for n, v in spark_s.items() if v > STEADY_RERUN_S]
+    rerun = [n for n, v in spark_s.items()
+             if v > STEADY_RERUN_S or _regression(n, v)]
     for i, name in enumerate(rerun):
         rs = [spark_s[name]]
         for _ in range(2):
@@ -606,16 +741,22 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
         # comparison by construction; the sleeper ratio rule skips
         # rows without a finite duck time).
         done = threading.Event()
+        # per-query CURSOR (own connection over the same catalog):
+        # an oracle finishing just as the watchdog fires would leave
+        # a stray cancel flag on a SHARED connection and abort the
+        # next healthy oracle (r12 ADVICE race); a stray interrupt
+        # on a cursor that closes right after this query cannot leak
+        cur = con.cursor()
 
         def _interrupt():
             if not done.wait(DUCK_ORACLE_CAP_S):
-                con.interrupt()
+                cur.interrupt()
 
         killer = threading.Thread(target=_interrupt, daemon=True)
         killer.start()
         t0 = time.perf_counter()
         try:
-            con.execute(qd.oracle).fetchall()
+            cur.execute(qd.oracle).fetchall()
             duck_s[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:
             if time.perf_counter() - t0 >= DUCK_ORACLE_CAP_S - 1:
@@ -626,11 +767,20 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
         finally:
             done.set()
             killer.join()
+            cur.close()
         print(f"# sweep duck {i + 1}/{len(registry)} {name} "
               f"{duck_s.get(name, duck_err.get(name, '?'))}",
               file=sys.stderr, flush=True)
     con.close()
 
+    # Flag rules (r12 verdict #4): entries with a checked-in cleared
+    # wall flag only on REGRESSION against it — the absolute/ratio
+    # rules re-flagged the same two boundary entries two rounds
+    # running on readings that re-adjudicated bit-for-bit at their
+    # cleared values, i.e. the threshold was generating work;
+    # vs-self flags are all new information.  New entries (no
+    # baseline yet) keep the old absolute/ratio rules until a clean
+    # sweep is merged via tools/update_sweep_baseline.py.
     rows = {}
     sleepers = []
     for name in registry:
@@ -639,21 +789,30 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
         d = duck_s.get(name)
         ratio = (round(s / d, 2) if s is not None and d else None)
         losing = ratio is None or ratio > 1.0
-        flag = bool(
-            s is not None
-            and name not in HEADLINE
-            and losing  # a query FASTER than its oracle is a win,
+        b = (baseline.get(name) or {}).get("steady_s")
+        rule = None
+        if s is None or name in HEADLINE:
+            flag = False  # headline entries are benched min-of-3
+        elif b is not None:
+            flag = _regression(name, s)
+            rule = "regression_vs_baseline" if flag else None
+        else:
+            flag = bool(
+                losing  # a query FASTER than its oracle is a win,
                         # not a sleeper, however absolutely slow the
                         # pair is (the graph/curation families beat
                         # their 70-100s oracles 15-25x)
-            and (s > SLEEPER_ABS_S
-                 or (ratio is not None and ratio > SLEEPER_RATIO
-                     and s - d > SLEEPER_MIN_GAP_S
-                     and name not in PATHOLOGICAL_ORACLES)))
+                and (s > SLEEPER_ABS_S
+                     or (ratio is not None and ratio > SLEEPER_RATIO
+                         and s - d > SLEEPER_MIN_GAP_S
+                         and name not in PATHOLOGICAL_ORACLES)))
+            rule = ("absolute_or_ratio_no_baseline" if flag else None)
         rows[name] = {"spark_s": s, "cold_s": cold,
                       "steady_s": steady_s.get(name),
                       "duckdb_s": d, "ratio": ratio,
+                      "baseline_s": b,
                       "sleeper": flag,
+                      **({"flag_rule": rule} if rule else {}),
                       **({"spark_err": spark_err[name]}
                          if name in spark_err else {}),
                       **({"duckdb_err": duck_err[name]}
@@ -666,11 +825,22 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
         "idle_gate": idle_gate,
         "loadavg_at_start": [round(x, 2) for x in os.getloadavg()],
         "n_queries": len(registry),
-        "runs_per_query": "1 cold (+2 steady re-runs above rerun_s)",
+        "runs_per_query": ("1 cold (+2 steady re-runs above rerun_s "
+                           "or when the cold wall would trip the "
+                           "regression rule)"),
         "steady_rerun_threshold_s": STEADY_RERUN_S,
         "sleeper_thresholds": {"abs_s": SLEEPER_ABS_S,
                                "ratio": SLEEPER_RATIO,
                                "ratio_min_gap_s": SLEEPER_MIN_GAP_S},
+        "baseline": {"path": str(bl_path.name),
+                     "n_entries": len(baseline),
+                     "tolerance": SWEEP_BASELINE_TOL,
+                     "min_gap_s": SWEEP_BASELINE_MIN_GAP_S,
+                     "rule": ("baselined entries flag only when "
+                              "steady > baseline*tolerance AND "
+                              "steady-baseline > min_gap_s; "
+                              "unbaselined entries keep the "
+                              "absolute/ratio rules")},
         "sleepers": sorted(
             sleepers, key=lambda n: -(rows[n]["spark_s"] or 0)),
         "headline": HEADLINE,
@@ -709,6 +879,12 @@ DUCK_ORACLE_CAP_S = 120.0
 #: it neither the abs_s nor the min-gap rule can fire, so a steady
 #: number would change nothing)
 STEADY_RERUN_S = 1.5
+#: regression-vs-baseline thresholds (r12 verdict #4): box weather
+#: measured ~25% session-to-session, so 1.4x + an absolute gap keeps
+#: noise out while a real 2x regression anywhere in the 209 stands
+#: out immediately
+SWEEP_BASELINE_TOL = 1.4
+SWEEP_BASELINE_MIN_GAP_S = 0.5
 
 
 def main() -> None:
@@ -771,6 +947,7 @@ def main() -> None:
     # artifact via floor_adjustment_note.
     ratio_ex_floor = round(
         total_ex_floor / max(duck_total_ex_floor, 0.001), 3)
+    weather = capture_weather(duck_total_ex, set(ex_names), sf)
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -816,6 +993,7 @@ def main() -> None:
         },
         "stream_engine_startup_s": stream_startup,
         "streaming_queries": sorted(STREAMING),
+        "capture_weather": weather,
         "provenance": {
             "interleaved": "S,D alternating per run within each query",
             "idle_gate": idle_gate,
@@ -881,6 +1059,10 @@ def main() -> None:
                       ("loadavg_at_invocation", "waited_s",
                        "loadavg_at_release", "verdict")},
         "contaminated_flagged": extras["contamination"]["flagged"],
+        "capture_weather": {
+            k: weather[k] for k in
+            ("duck_vs_trailing_median", "capture_degraded", "verdict")
+            if k in weather},
         "outliers_dropped": outliers,
         "oracle_exact_anchors": sorted(ORACLE_EXACT_ANCHORS),
         "full_artifact": "BENCH_LAST.json",

@@ -1,0 +1,141 @@
+"""Unit tests for bench.py's measurement guards (no Spark session).
+
+Round-12 verdict #2 + ADVICE: the spread-based contamination flag is
+blind to a uniformly slow box, and the cold-first-run exclusion could
+silently absorb genuine first-run-only contamination.  These pin the
+four run-list shapes the r12 commit message adjudicated ad hoc, the
+new compilation-sized cap on the exclusion, and the capture-level
+weather signal that compares the DuckDB control against the trailing
+median of committed captures.
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import (COLD_EXCESS_CAP_S, WEATHER_DEGRADED_RATIO,
+                   _cold_first_tail, _run_spread_contaminated,
+                   capture_weather)
+
+
+class TestSpreadShapes:
+    def test_tight_list_clean(self):
+        assert not _run_spread_contaminated([0.52, 0.50, 0.51])
+
+    def test_cold_first_compilation_sized_excluded(self):
+        # 1.2 -> 0.3 -> 0.3: spread 4x would flag, but the first run
+        # is slowest and its excess (0.9s) is compilation-sized
+        runs = [1.2, 0.3, 0.3]
+        assert _cold_first_tail(runs, True) == ([0.3, 0.3], True)
+        assert not _run_spread_contaminated(runs,
+                                            exclude_cold_first=True)
+
+    def test_cold_first_contamination_sized_flags(self):
+        # r12 ADVICE: 7.2 -> 2.3 -> 2.3 has the cold-start SHAPE but
+        # a 4.9s excess — no codegen costs that; keep the list, flag
+        runs = [7.2, 2.3, 2.3]
+        assert runs[0] - min(runs[1:]) > COLD_EXCESS_CAP_S
+        assert _cold_first_tail(runs, True) == (runs, False)
+        assert _run_spread_contaminated(runs, exclude_cold_first=True)
+
+    def test_mid_capture_degradation_flags(self):
+        # r12 capture #3 shape: first run FASTEST (box degraded
+        # mid-capture) — exclusion must not apply
+        runs = [3.45, 12.0, 10.9]
+        assert _cold_first_tail(runs, True) == (runs, False)
+        assert _run_spread_contaminated(runs, exclude_cold_first=True)
+
+    def test_duck_lists_never_exclude(self):
+        # DuckDB has no per-SF codegen: an inflated first duck run is
+        # the r10 smoking-gun shape
+        assert _run_spread_contaminated([2.5, 0.5, 0.5])
+
+    def test_two_run_list_no_exclusion(self):
+        # exclusion needs >=3 runs (a 1-run tail can't spread)
+        assert _cold_first_tail([1.2, 0.3], True) == ([1.2, 0.3],
+                                                      False)
+
+
+def _ref(path: Path, queries: dict, outliers: list,
+         duck_ex: float, sf: float = 0.1, wrap: bool = False):
+    d = {"queries": queries, "outliers_dropped": outliers,
+         "duckdb_total_ex_outlier": duck_ex, "sf": sf}
+    path.write_text(json.dumps({"parsed": d} if wrap else d),
+                    encoding="utf-8")
+
+
+class TestCaptureWeather:
+    Q = {"a": 1.0, "b": 2.0, "c": 3.0}
+
+    def test_degraded_capture_flags(self, tmp_path):
+        for i, v in enumerate([14.0, 14.5, 13.8, 14.2]):
+            _ref(tmp_path / f"BENCH_r{i:02d}.json", self.Q, ["c"], v,
+                 wrap=(i % 2 == 0))  # both driver + builder formats
+        w = capture_weather(20.5, {"a", "b"}, 0.1, root=tmp_path)
+        assert w["capture_degraded"] is True
+        assert w["duck_vs_trailing_median"] > WEATHER_DEGRADED_RATIO
+        assert w["n_reference_captures"] == 4
+
+    def test_idle_capture_clean(self, tmp_path):
+        for i, v in enumerate([14.0, 14.5, 13.8]):
+            _ref(tmp_path / f"BENCH_r{i:02d}.json", self.Q, ["c"], v)
+        w = capture_weather(13.9, {"a", "b"}, 0.1, root=tmp_path)
+        assert w["capture_degraded"] is False
+        assert w["verdict"] == "normal"
+
+    def test_set_mismatch_and_sf_mismatch_skipped(self, tmp_path):
+        _ref(tmp_path / "BENCH_r01.json", self.Q, ["c"], 14.0)
+        # different ex-outlier set (composition change)
+        _ref(tmp_path / "BENCH_r02.json", {"a": 1.0}, [], 3.0)
+        # different SF
+        _ref(tmp_path / "BENCH_r03.json", self.Q, ["c"], 1.2, sf=0.01)
+        w = capture_weather(14.0, {"a", "b"}, 0.1, root=tmp_path)
+        assert w["n_reference_captures"] == 1
+        assert w["verdict"] == "insufficient_references"
+        assert "capture_degraded" not in w
+
+    def test_unreadable_reference_skipped(self, tmp_path):
+        (tmp_path / "BENCH_r01.json").write_text("{not json",
+                                                 encoding="utf-8")
+        w = capture_weather(14.0, {"a", "b"}, 0.1, root=tmp_path)
+        assert w["n_reference_captures"] == 0
+
+    def test_real_repo_artifacts_retrodict_r12(self):
+        """BENCH_r12 (the degraded-box driver capture) must
+        self-label against the repo's committed history; the idle
+        builder capture from the same tree must not."""
+        root = Path(__file__).resolve().parent.parent
+        d = json.loads((root / "BENCH_r12.json").read_text())["parsed"]
+        ex = set(d["queries"]) - set(d["outliers_dropped"])
+        w = capture_weather(d["duckdb_total_ex_outlier"], ex, 0.1,
+                            root=root)
+        assert w.get("capture_degraded") is True
+        c = json.loads((root / "docs/scale_r12/"
+                        "bench_r12_capture1.json").read_text())
+        ex2 = set(c["queries"]) - set(c["outliers_dropped"])
+        w2 = capture_weather(c["duckdb_total_ex_outlier"], ex2, 0.1,
+                             root=root)
+        assert w2.get("capture_degraded") is False
+
+
+class TestBaselineRegression:
+    def test_rule_shapes(self):
+        from bench import _baseline_regression
+        assert not _baseline_regression(None, 5.0)   # no baseline
+        assert not _baseline_regression(2.0, 2.4)    # within weather
+        assert not _baseline_regression(0.2, 0.6)    # gap too small
+        assert _baseline_regression(2.0, 3.1)        # 1.55x, 1.1s gap
+        assert _baseline_regression(0.3, 1.2)        # 4x, 0.9s gap
+
+    def test_baseline_file_covers_registry(self):
+        # every committed registry entry should carry a baseline so
+        # the old threshold rules only apply to genuinely new entries
+        root = Path(__file__).resolve().parent.parent
+        doc = json.loads((root / "docs/sweep_steady_baseline.json")
+                         .read_text())
+        assert len(doc["entries"]) >= 209
+        for name, row in doc["entries"].items():
+            assert row["steady_s"] > 0, name
