@@ -242,19 +242,17 @@ _DRIVER_VERIFIED = frozenset({
 #: promoted into _DRIVER_VERIFIED.  The window now pins the
 #: round-12 touched entries.
 _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
-    # round-12: segment-append hardening (recover_atomic on append,
-    # keys= debug assertion, layout scan) + wired compaction policy
-    # + detect-stage split/broadcast hints in the LSH stream
-    # (verdict #3/#4/#6 + all four ADVICE items) — pin both
-    # incremental index streams, the only append_batch_segment /
-    # maybe_compact_segments consumers
+    # round-13: the batch-side broadcast hints of BOTH index streams
+    # are now byte-budget gated on the measured batch size (r12
+    # ADVICE), their segment appends run concurrently on the
+    # production path, and the embedding stream gained the stage
+    # telemetry + listing probe — pin both streams
     "stream_incremental_lsh_dedup", "stream_incremental_embedding_index",
-    # round-12: Lloyd loop re-chained into one plan with a min-struct
-    # argmin replacing the row_number window (verdict #5)
+    # round-13: component-magnitude guard at the data boundary (r12
+    # ADVICE; debug-gated, but the function body changed)
     "sims_kmeans_lloyd",
-    # NOT pinned: bench.py contamination-threshold / headline-set
-    # changes touch no query code; io.py doc-only amortization
-    # contract is comment-only for non-segment callers.
+    # NOT pinned: bench.py weather-signal / sweep-baseline changes
+    # and the rehearsal tools touch no query code.
 )
 
 

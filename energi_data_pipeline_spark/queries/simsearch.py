@@ -2013,6 +2013,29 @@ def sims_kmeans_lloyd(spark, sf_dir):
     # than letting the first subtree race to fill it (r12 A/B:
     # 3.23s lazy vs 2.73s eager at sf0.1)
     vlong.count()
+    # component-magnitude guard (r12 ADVICE): the exact long-scaled
+    # sum below silently depends on embedding components staying
+    # O(1) — sum over dim of round(term*1e8) must stay under 2^53,
+    # i.e. max|v| <= sqrt(2^53 / (4e8 * dim)) (centroids are means
+    # of components, so |v-c| <= 2*max|v|).  Opt-in debug check (one
+    # agg over the already-cached vlong) so a rescaled future corpus
+    # fails LOUDLY instead of drifting from the DECIMAL oracle in
+    # the last bit; asserted at half the derived bound for margin.
+    import os as _os
+    if _os.environ.get("SPARK_GRAFT_DEBUG_KMEANS_MAG"):
+        row = vlong.agg(
+            F.max(F.abs(F.col("v"))).alias("m"),
+            (F.max("pos") + 1).alias("dim")).first()
+        m, dm = row["m"] or 0.0, row["dim"] or 1
+        bound = 0.5 * ((2.0 ** 53) / (4e8 * dm)) ** 0.5
+        if m > bound:
+            raise AssertionError(
+                f"kmeans long-scaled sum precondition violated: "
+                f"max|component| {m:.4g} exceeds {bound:.4g} at "
+                f"dim={dm} — the 1e8-scaled long accumulation is no "
+                f"longer provably equal to the DECIMAL(38,10) "
+                f"oracle; rescale the corpus or lower the scale "
+                f"factor (see derivation above)")
     cent = (vlong.filter(
         F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0)
         .select(F.col("vec_id").alias("cent_id"), "pos",

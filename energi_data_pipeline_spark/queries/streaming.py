@@ -929,8 +929,26 @@ def _debug_segment_keys(id_col: str) -> list[str] | None:
             else None)
 
 
+def _bounded_broadcast(budget_gated_side, est_bytes: int):
+    """Broadcast-hint a micro-batch-side relation only while its
+    ESTIMATED in-memory size fits the heap-derived budget (r12
+    ADVICE): the index streams' batch-side hints were keyed on "a
+    trigger is one file" — an operational bound
+    (maxFilesPerTrigger=1 in this harness), not a structural one.  A
+    production trigger spanning many files must fall back to AQE's
+    size-based planning instead of force-broadcasting an arbitrarily
+    large micro-batch (embedding arrays included) — the same byte-
+    budget policy as dedup.gram_join_side and the wq/vocab gates."""
+    from ..io import broadcast_budget_bytes
+
+    if est_bytes <= broadcast_budget_bytes(
+            budget_gated_side.sparkSession):
+        return F.broadcast(budget_gated_side)
+    return budget_gated_side
+
+
 def _flag_batch_members(batch_ids, member_ids, id_col: str,
-                        flag_col: str):
+                        flag_col: str, n_batch_rows: int):
     """Per-batch boolean flag column: TRUE for batch rows whose id
     appears in ``member_ids`` — the r12 join-side policy for the dup
     verdicts of both index streams, in ONE place.
@@ -941,11 +959,17 @@ def _flag_batch_members(batch_ids, member_ids, id_col: str,
     micro-batch cardinality (every value is a batch id) before the
     hint.  A forced broadcast of the raw pair-shaped set would be
     unbounded under a dup-dense corpus, exactly the class
-    test_no_hardcoded_broadcast_on_scaling_sides exists to block."""
+    test_no_hardcoded_broadcast_on_scaling_sides exists to block.
+    The hint itself is further gated on the heap budget via
+    ``n_batch_rows`` (the distinct side is at most that many
+    id+flag rows): a giant production trigger falls back to AQE."""
     batch_dup_flags = (member_ids.distinct()
                        .withColumn("dup", F.lit(True)))
+    # ~24 bytes per materialized (long id, bool) broadcast row
     return (batch_ids
-            .join(F.broadcast(batch_dup_flags), id_col, "left")
+            .join(_bounded_broadcast(batch_dup_flags,
+                                     n_batch_rows * 24),
+                  id_col, "left")
             .select(id_col,
                     F.coalesce(F.col("dup"), F.lit(False))
                     .alias(flag_col)))
@@ -964,7 +988,8 @@ SEGMENT_COMPACT_EVERY = 4
 def stream_incremental_lsh_dedup(spark, sf_dir,
                                  n_batches: int = INCR_LSH_BATCHES,
                                  batch_times: list | None = None,
-                                 stage_times: list | None = None):
+                                 stage_times: list | None = None,
+                                 segment_listing: list | None = None):
     """Streaming near-dup INDEX MAINTENANCE — the production shape
     of MinHash-LSH dedup: documents arrive in micro-batches; each
     batch is signed, checked against the ACCUMULATED signature index
@@ -1069,6 +1094,12 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         # repartition is a no-op guard (io.spread contract).
         batch_sigs = sign(_io_spread(batch_df)).localCheckpoint(
             eager=True)
+        # one narrow count over the materialized checkpoint (tens of
+        # ms) sizes every batch-side broadcast hint below: the hints
+        # are only safe while the trigger is small, and that must be
+        # a MEASURED property of the batch, not an assumption about
+        # maxFilesPerTrigger (r12 ADVICE)
+        n_batch = batch_sigs.count()
         mark("sign")
         # bands stay eagerly checkpointed: they feed THREE consumers
         # (both sides of the candidate join + the posting-segment
@@ -1099,10 +1130,12 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         # side is scanned once and hash-probed map-side, never
         # shuffled on the band key (at a 100 TB index the index-side
         # exchange IS the cost; AQE would usually reach the same plan
-        # but only after a replanning round per batch).  Safe to hint:
-        # batch_bands is eagerly checkpointed, so its size is known
-        # and bounded by the micro-batch, not the stream's history.
-        bl = F.broadcast(batch_bands).alias("l")
+        # but only after a replanning round per batch).  The hint is
+        # byte-budget gated (r12 ADVICE): n_batch*nb band rows at
+        # ~96 B each (long id + int band + 32-char md5 key string)
+        # must fit the heap-derived budget, else AQE plans it.
+        bl = _bounded_broadcast(batch_bands,
+                                n_batch * nb * 96).alias("l")
         kl = all_bands.alias("r")
         # NOT distinct here: a pair colliding in several bands is
         # re-verified once per band, but candidates are a tiny
@@ -1131,8 +1164,11 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         # to AQE's runtime sizes — broadcast when genuinely small,
         # honest shuffle join under a dup-dense pathology instead of
         # a forced driver collect of an unbounded pair set.
-        cand_batch_sigs = cand.join(F.broadcast(batch_sig_probe),
-                                    cand.doc_id == F.col("a.doc_id"))
+        # n_batch signature rows at ~(8 bytes x (nh+1) hashes+id)
+        cand_batch_sigs = cand.join(
+            _bounded_broadcast(batch_sig_probe,
+                               n_batch * (8 * (nh + 1) + 32)),
+            cand.doc_id == F.col("a.doc_id"))
         dup_ids = (index_sig_side
                    .join(cand_batch_sigs,
                          cand_batch_sigs.partner_id
@@ -1141,7 +1177,7 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
                    .select(cand.doc_id))
         verdicts = _flag_batch_members(
             batch_sigs.select("doc_id"), dup_ids,
-            "doc_id", "is_dup_of_earlier")
+            "doc_id", "is_dup_of_earlier", n_batch)
         if stage_times is not None:
             # instrumented runs materialize HERE so the detection
             # join cost and the verdict-segment write cost are
@@ -1162,16 +1198,39 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         # exactly append_batch_segment's contract (asserted under
         # SPARK_GRAFT_DEBUG_SEGMENT_KEYS=1 via the keys= debug arg).
         dbg_keys = _debug_segment_keys("doc_id")
-        append_batch_segment(sess, verdicts, wh, "gold",
-                             "dup_verdicts", bid, keys=dbg_keys)
-        mark("publish_verdicts")
-        append_batch_segment(sess, batch_sigs, wh, "silver",
-                             "lsh_index", bid, keys=dbg_keys)
-        mark("append_sig_index")
-        append_batch_segment(sess, batch_bands, wh, "silver",
-                             "lsh_bands", bid, partition_by=["band"],
-                             keys=dbg_keys)
-        mark("append_band_postings")
+        appends = [
+            (verdicts, "gold", "dup_verdicts", None,
+             "publish_verdicts"),
+            (batch_sigs, "silver", "lsh_index", None,
+             "append_sig_index"),
+            (batch_bands, "silver", "lsh_bands", ["band"],
+             "append_band_postings"),
+        ]
+        if stage_times is not None:
+            # instrumented runs keep the appends SERIAL so each
+            # stage's cost is separately observable
+            for sdf, lyr, tbl, pby, lbl in appends:
+                append_batch_segment(sess, sdf, wh, lyr, tbl, bid,
+                                     partition_by=pby, keys=dbg_keys)
+                mark(lbl)
+        else:
+            # production path: the three segment writes target
+            # DISTINCT tables and share no driver state — submit
+            # them concurrently so a batch pays ONE write-round of
+            # job-scheduling floor, not three (r13: ~0.6s/batch of
+            # the serial wall was floor, not I/O).  Thread-safe:
+            # append_batch_segment mutates nothing session-global
+            # (per-writer options only) and the detect compute
+            # (verdicts) is just another scheduled job.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [pool.submit(append_batch_segment, sess, sdf,
+                                    wh, lyr, tbl, bid,
+                                    partition_by=pby, keys=dbg_keys)
+                        for sdf, lyr, tbl, pby, _ in appends]
+                for f in futs:
+                    f.result()  # surface the first failure
         # wired compaction policy (r11 verdict #4): bound the segment
         # listing at O(SEGMENT_COMPACT_EVERY + horizon) directories
         # per index table over the stream's life.  At the default
@@ -1184,6 +1243,17 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
             maybe_compact_segments(sess, wh, lyr, tbl, bid,
                                    every=SEGMENT_COMPACT_EVERY)
         mark("compact")
+        if segment_listing is not None:
+            # rehearsal probe (r12 verdict #6): per-table _bid
+            # directory counts AFTER this batch's appends+compaction
+            # — the listing-bound contract measured in motion
+            from ..io import table_path as _tp
+            segment_listing.append({
+                tbl: sum(1 for e in _os.listdir(_tp(wh, lyr, tbl))
+                         if e.startswith("_bid="))
+                for lyr, tbl in (("gold", "dup_verdicts"),
+                                 ("silver", "lsh_index"),
+                                 ("silver", "lsh_bands"))})
         if stage_times is not None:
             stage_times.append({
                 lbl: round(t1 - t0, 3)
@@ -1261,7 +1331,9 @@ EMB_INDEX_BATCHES = 3
 @query("stream_incremental_embedding_index",
        EMB_INDEX_SQL.format(bucket=_emb_bucket_sql(NEARDUP_PLANES)))
 def stream_incremental_embedding_index(spark, sf_dir,
-                                       n_batches: int = EMB_INDEX_BATCHES):
+                                       n_batches: int = EMB_INDEX_BATCHES,
+                                       batch_times: list | None = None,
+                                       stage_times: list | None = None):
     """Streaming EMBEDDING near-dup index maintenance — the vector
     twin of stream_incremental_lsh_dedup: vectors arrive in
     ascending-id micro-batches; each batch is sign-LSH-bucketed,
@@ -1294,6 +1366,10 @@ def stream_incremental_embedding_index(spark, sf_dir,
     d = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
     schema = d.schema
     planes = neardup_planes(corpus_size(sf_dir))
+    # vector width for the per-batch broadcast byte estimates (one
+    # setup-time row fetch; every corpus row shares the dimension)
+    first_emb = d.select("embedding").first()
+    dim = len(first_emb[0]) if first_emb and first_emb[0] else 0
     max_id = d.agg(F.max("vec_id")).first()[0]
     span = (max_id + n_batches) // n_batches
     now = 1_700_000_000
@@ -1310,6 +1386,14 @@ def stream_incremental_embedding_index(spark, sf_dir,
         shutil.rmtree(stage, ignore_errors=True)
 
     def process_batch(batch_df, bid):
+        import time as _time
+
+        marks = [("start", _time.perf_counter())]
+
+        def mark(label):
+            if stage_times is not None:
+                marks.append((label, _time.perf_counter()))
+
         sess = batch_df.sparkSession
         # single-file micro-batch = single partition: fan out before
         # the per-vector norm/plane math (same fix as the LSH twin's
@@ -1319,6 +1403,10 @@ def stream_incremental_embedding_index(spark, sf_dir,
             _norm("embedding").alias("nrm"),
             _bucket_col(planes).cast("bigint").alias("bucket"))
             .localCheckpoint(eager=True))
+        # one narrow count over the materialized checkpoint sizes
+        # the broadcast hints below (r12 ADVICE — see the LSH twin)
+        n_batch = batch_vec.count()
+        mark("bucket")
         index = read_layer_table(sess, wh, "silver", "emb_index")
         # bucket comes back as a partition directory value — re-cast
         # so the union's type matches the batch side exactly
@@ -1337,36 +1425,78 @@ def stream_incremental_embedding_index(spark, sf_dir,
         # broadcast the MICRO-BATCH side (eagerly checkpointed, size
         # known and trigger-bounded) so the accumulated index side is
         # scanned once and hash-probed map-side, never shuffled on
-        # the bucket key — same r12 join-side policy as the LSH twin
+        # the bucket key — same r12 join-side policy as the LSH twin,
+        # byte-budget gated on the measured batch size (r12 ADVICE):
+        # n_batch rows at ~(dim x 8 B array + id/nrm/bucket + object
+        # overhead) — a giant trigger falls back to AQE
         dup_ids = (partner
-                   .join(F.broadcast(batch_vec),
+                   .join(_bounded_broadcast(
+                             batch_vec, n_batch * (dim * 8 + 72)),
                          (F.col("b_bucket") == F.col("bucket"))
                          & (F.col("b_id") < F.col("vec_id")))
                    .filter(cos >= NEARDUP_T)
                    .select("vec_id"))
         verdicts = _flag_batch_members(
             batch_vec.select("vec_id"), dup_ids,
-            "vec_id", "is_dup_of_earlier")
+            "vec_id", "is_dup_of_earlier", n_batch)
+        if stage_times is not None:
+            # instrumented runs materialize HERE so the in-bucket
+            # cosine detect cost and the verdict-segment write are
+            # separately observable (same decomposition the LSH twin
+            # got in r12; production path fuses detect+publish)
+            verdicts = verdicts.localCheckpoint(eager=True)
+        mark("detect_verdicts")
         # idempotent-by-construction segment appends (round-11, same
         # rationale as the LSH twin): replays overwrite their own
         # _bid partition instead of anti-joining the whole index.
         # Batches are ascending-id spans, key-disjoint by
         # construction (asserted under SPARK_GRAFT_DEBUG_SEGMENT_KEYS).
         dbg_keys = _debug_segment_keys("vec_id")
-        append_batch_segment(sess, verdicts, wh, "gold",
-                             "emb_verdicts", bid, keys=dbg_keys)
-        # append the batch delta only (bucket-partitioned) — the
-        # full-snapshot republish was O(batches x index) total write
-        # volume, quadratic in stream length
-        append_batch_segment(sess, batch_vec, wh, "silver",
-                             "emb_index", bid, partition_by=["bucket"],
-                             keys=dbg_keys)
+        # append the batch delta only (bucket-partitioned index) —
+        # the full-snapshot republish was O(batches x index) total
+        # write volume, quadratic in stream length
+        appends = [
+            (verdicts, "gold", "emb_verdicts", None,
+             "publish_verdicts"),
+            (batch_vec, "silver", "emb_index", ["bucket"],
+             "append_vec_index"),
+        ]
+        if stage_times is not None:
+            for sdf, lyr, tbl, pby, lbl in appends:
+                append_batch_segment(sess, sdf, wh, lyr, tbl, bid,
+                                     partition_by=pby, keys=dbg_keys)
+                mark(lbl)
+        else:
+            # concurrent distinct-table writes — one write-round of
+            # scheduling floor per batch (see the LSH twin)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [pool.submit(append_batch_segment, sess, sdf,
+                                    wh, lyr, tbl, bid,
+                                    partition_by=pby, keys=dbg_keys)
+                        for sdf, lyr, tbl, pby, _ in appends]
+                for f in futs:
+                    f.result()
         # wired compaction policy, same cycle as the LSH twin: bounds
         # the listing for streams longer than the compaction cycle
         for lyr, tbl in (("gold", "emb_verdicts"),
                          ("silver", "emb_index")):
             maybe_compact_segments(sess, wh, lyr, tbl, bid,
                                    every=SEGMENT_COMPACT_EVERY)
+        mark("compact")
+        if stage_times is not None:
+            stage_times.append({
+                lbl: round(t1 - t0, 3)
+                for (_, t0), (lbl, t1) in zip(marks, marks[1:])})
+
+    def timed_batch(batch_df, bid):
+        import time as _time
+
+        t0 = _time.perf_counter()
+        process_batch(batch_df, bid)
+        if batch_times is not None:
+            batch_times.append(round(_time.perf_counter() - t0, 3))
 
     # input-sized shuffle width for the per-batch jobs (see the LSH
     # twin's A/B: micro-batch exchanges at session width are mostly
@@ -1379,7 +1509,7 @@ def stream_incremental_embedding_index(spark, sf_dir,
         # runs as one batch)
         q = (spark.readStream.schema(schema)
              .option("maxFilesPerTrigger", "1").parquet(src)
-             .writeStream.foreachBatch(process_batch)
+             .writeStream.foreachBatch(timed_batch)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination()

@@ -115,23 +115,18 @@ BOUNDED_BROADCAST_SIDES = {
                                      # join-side policy; plan pinned by
                                      # test_bpe_apply_broadcasts_vocab_
                                      # not_corpus)
-    # --- streaming index maintenance (r12 verdict #3): every
-    # broadcast side below is MICRO-BATCH-bounded (one trigger's
-    # rows, eagerly checkpointed so sizes are known), never the
-    # accumulated index — broadcasting the batch side is what keeps
-    # the O(index) side scan-only at a 100 TB index
-    "batch_vec",                     # one micro-batch's vectors
-                                     # (embedding-index stream probe)
-    "batch_bands",                   # one micro-batch's band rows
-    "batch_sig_probe",               # one micro-batch's signatures
-    "batch_dup_flags",               # per-batch dup verdict ids,
-                                     # DISTINCT-ed first so the
-                                     # broadcast side is bounded by
-                                     # micro-batch cardinality (the
-                                     # raw pair-shaped set scales
-                                     # with collision density and is
-                                     # deliberately NOT hinted —
-                                     # streaming._flag_batch_members)
+    # --- streaming index maintenance (r12 verdict #3 + r13 ADVICE):
+    # every batch-side hint (batch_vec / batch_bands /
+    # batch_sig_probe / batch_dup_flags) now routes through ONE
+    # helper that gates the hint on the measured batch row count x
+    # bytes-per-row against the heap-derived budget — a giant
+    # production trigger falls back to AQE instead of force-
+    # broadcasting an unbounded micro-batch
+    "budget_gated_side",             # streaming._bounded_broadcast:
+                                     # hint applied only under the
+                                     # heap-derived byte budget (same
+                                     # class as gram_build_below_knee
+                                     # / wq / vocab)
 }
 
 
@@ -548,7 +543,12 @@ def test_gram_broadcast_knee_keys_on_text_mass(spark, tmp_path):
     }), str(tmp_path / "documents.parquet"))
 
     side = spark.range(1).select(F.col("id").alias("doc_b"))
-    long_doc_plan = (gram_join_side(side, str(tmp_path))
+    # keys= matches the stub's columns: this test probes the KNEE,
+    # not the width guard — the missing-keys warning has its own
+    # dedicated pytest.warns-style assertion below and must stay
+    # the suite's only producer (r12 verdict optional #8)
+    long_doc_plan = (gram_join_side(side, str(tmp_path),
+                                    keys=("doc_b",))
                      ._jdf.queryExecution().logical().toString())
     assert "merge" in long_doc_plan, long_doc_plan
     assert "broadcast" not in long_doc_plan, long_doc_plan
@@ -595,7 +595,9 @@ def test_gram_knee_parameterized_over_heap(spark, tmp_path,
     assert "broadcast" in big_heap, big_heap
 
     monkeypatch.setattr(io, "jvm_heap_bytes", lambda s: 16 << 20)
-    small_heap = (gram_join_side(side, SF001)
+    # keys= matches the stub (knee probe, not a width-guard test —
+    # see test_gram_knee_long_docs)
+    small_heap = (gram_join_side(side, SF001, keys=("doc_b",))
                   ._jdf.queryExecution().logical().toString())
     assert "merge" in small_heap, small_heap
     assert "broadcast" not in small_heap, small_heap
@@ -911,3 +913,71 @@ def test_no_unguarded_broadcast_of_explode(spark, registry):
             offenders[name] = f"{len(hits)} explode(s) in broadcast"
         spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_kmeans_magnitude_guard(spark, tmp_path, monkeypatch, registry):
+    # r12 ADVICE: the 1e8-scaled long accumulation in
+    # sims_kmeans_lloyd is provably equal to the DECIMAL oracle only
+    # while embedding components stay O(1); a rescaled corpus must
+    # fail LOUDLY under the opt-in debug check instead of drifting
+    # from the oracle in the last bit.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    sims_kmeans_lloyd = registry["sims_kmeans_lloyd"].fn
+
+    dim = 8
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), type=pa.int64()),
+        "embedding": pa.array([[1e6] * dim] * 6,
+                              type=pa.list_(pa.float64())),
+    }), str(tmp_path / "embeddings.parquet"))
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_KMEANS_MAG", "1")
+    with pytest.raises(AssertionError, match="precondition violated"):
+        sims_kmeans_lloyd(spark, str(tmp_path))
+    spark.catalog.clearCache()
+    # and the shipped corpora PASS the same check (bound holds)
+    from tests.conftest import SF001
+    assert sims_kmeans_lloyd(spark, SF001).count() > 0
+    spark.catalog.clearCache()
+
+
+def test_stream_batch_broadcast_budget_gate(spark):
+    # r12 ADVICE: the index streams' batch-side hints must be gated
+    # on a heap-derived byte budget, not on "a trigger is one file".
+    # Under budget: hint present (index side stays scan-only);
+    # over budget: NO hint — AQE's runtime sizes decide.
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.streaming import \
+        _bounded_broadcast
+
+    side = spark.range(10).select(F.col("id").alias("vec_id"))
+    under = (_bounded_broadcast(side, 10 * 100)
+             ._jdf.queryExecution().logical().toString())
+    assert "broadcast" in under.lower(), under
+    over = (_bounded_broadcast(side, 1 << 62)
+            ._jdf.queryExecution().logical().toString())
+    assert "broadcast" not in over.lower(), over
+
+
+def test_flag_batch_members_budget_gate_same_result(spark):
+    # the shared verdict-flag join of both index streams: hint gated
+    # on batch cardinality; results identical on either side of the
+    # knee (the gate changes the PLAN, never the relation)
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.streaming import \
+        _flag_batch_members
+
+    ids = spark.range(5).select(F.col("id").alias("vec_id"))
+    mem = spark.range(2).select(F.col("id").alias("vec_id"))
+    small = _flag_batch_members(ids, mem, "vec_id", "dup", 5)
+    plan_s = small._jdf.queryExecution().logical().toString()
+    assert "broadcast" in plan_s.lower(), plan_s
+    big = _flag_batch_members(ids, mem, "vec_id", "dup", 1 << 58)
+    plan_b = big._jdf.queryExecution().logical().toString()
+    assert "broadcast" not in plan_b.lower(), plan_b
+    assert sorted(map(tuple, small.collect())) \
+        == sorted(map(tuple, big.collect()))

@@ -77,21 +77,24 @@ def _measure_pair(spark, cons, reg, name, sf_dir, n_runs=N_RUNS):
         if duck_dead or (drs and min(drs) > DUCK_CAP_S):
             continue
         done = threading.Event()
+        # per-run CURSOR (its own DuckDB connection over the same
+        # catalog): the old done.wait/is_set recheck only NARROWED
+        # the interrupt race — an oracle finishing between the
+        # recheck and interrupt() left a stray cancel flag on the
+        # shared connection that aborted the next healthy run (r12
+        # ADVICE).  A stray interrupt now lands on a cursor that is
+        # closed immediately after this run — it cannot leak.
+        cur = cons.cursor()
 
         def _interrupt():
-            # re-check AFTER the wait expires: if the oracle finished
-            # in the gap between wait() timing out and the finally's
-            # set(), a late interrupt would land on the idle shared
-            # connection and abort the NEXT healthy run
-            if not done.wait(DUCK_CAP_S) and not done.is_set():
-                cons.interrupt()
+            if not done.wait(DUCK_CAP_S):
+                cur.interrupt()
 
         killer = threading.Thread(target=_interrupt, daemon=True)
         killer.start()
         t0 = time.perf_counter()
         try:
-            cons.execute(reg[name].oracle).fetchall()
-            done.set()  # close the race window before bookkeeping
+            cur.execute(reg[name].oracle).fetchall()
             drs.append(round(time.perf_counter() - t0, 3))
         except Exception as exc:
             if time.perf_counter() - t0 >= DUCK_CAP_S - 1:
@@ -102,6 +105,7 @@ def _measure_pair(spark, cons, reg, name, sf_dir, n_runs=N_RUNS):
         finally:
             done.set()
             killer.join()
+            cur.close()
     err = "; ".join(errs) or None
     return {
         "spark_runs": srs, "duck_runs": drs,
