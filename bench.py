@@ -451,6 +451,32 @@ def measure_stream_lsh_decomposition(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_stream_emb_decomposition(spark, sf_dir: str) -> dict:
+    """Stage decomposition for stream_incremental_embedding_index
+    (r12 verdict #5: the 4.1s sweep reading never had the telemetry
+    its LSH twin got).  Same instrumented-replay shape as
+    measure_stream_lsh_decomposition."""
+    from energi_data_pipeline_spark.queries.streaming import (
+        stream_incremental_embedding_index)
+
+    bt: list = []
+    st: list = []
+    out = stream_incremental_embedding_index(
+        spark, sf_dir, batch_times=bt, stage_times=st)
+    out.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    stage_totals = ({k: round(sum(d[k] for d in st), 3)
+                     for k in st[0]} if st else {})
+    return {
+        "batch_walls_s": bt,
+        "stage_totals_s": stage_totals,
+        "per_batch_stages_s": st,
+        "note": ("one instrumented replay (not the headline "
+                 "measurement); stage walls are driver-observed "
+                 "action boundaries inside foreachBatch"),
+    }
+
+
 def measure_duck_floor(con) -> float:
     """Symmetric counterpart to measure_session_floor (ADVICE r08:
     the floor adjustment was one-sided): the wall of a trivial
@@ -616,6 +642,10 @@ def run_interleaved(sf_dir: str) -> tuple[
             {"lex_leg_s": 0.0, "vec_leg_s": 0.0}),
         "stream_lsh_decomposition": _safe(
             lambda: measure_stream_lsh_decomposition(spark, sf_dir),
+            {"batch_walls_s": [], "stage_totals_s": {},
+             "per_batch_stages_s": []}),
+        "stream_emb_decomposition": _safe(
+            lambda: measure_stream_emb_decomposition(spark, sf_dir),
             {"batch_walls_s": [], "stage_totals_s": {},
              "per_batch_stages_s": []}),
     }
@@ -902,6 +932,7 @@ def main() -> None:
     duck_floor = extras["duck_floor_s"]
     hybrid_decomp = extras["hybrid_decomposition"]
     lsh_decomp = extras["stream_lsh_decomposition"]
+    emb_decomp = extras["stream_emb_decomposition"]
 
     spark_times = {n: min(rs) for n, rs in spark_runs.items()}
     duck_times = {n: min(rs) for n, rs in duck_runs.items()}
@@ -990,6 +1021,7 @@ def main() -> None:
         "stage_decomposition": {
             "sims_hybrid_rrf": hybrid_decomp,
             "stream_incremental_lsh_dedup": lsh_decomp,
+            "stream_incremental_embedding_index": emb_decomp,
         },
         "stream_engine_startup_s": stream_startup,
         "streaming_queries": sorted(STREAMING),
