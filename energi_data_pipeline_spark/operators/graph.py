@@ -33,6 +33,15 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v"))))
+    # materialize the symmetrized edge list ONCE (r13): every
+    # propagation round's action lineage otherwise re-executes the
+    # whole upstream pair pipeline (labels is cached, sym is not) —
+    # invisible at sf0.1 where the banded LSH pairs cost ~0.3s
+    # (interleaved A/B measured neutral, 2.71 vs 2.73s min-of-3),
+    # catastrophic at 100 TB where the pair pipeline is the
+    # dominant cost and the loop would pay it once per round.
+    # Bounded: 2x the edge count.
+    sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
     labels.count()
