@@ -591,8 +591,11 @@ def run_interleaved(sf_dir: str) -> tuple[
     # adjudicator sees the excluded run alongside the steady tail
     # instead of trusting the exclusion blind
     cold_excluded = {
-        n: spark_runs[n] for n in HEADLINE
+        n: list(spark_runs[n]) for n in HEADLINE
         if _cold_first_tail(spark_runs.get(n, []), True)[1]}
+    # ^ copies, not references: the contamination re-run pass below
+    # APPENDS to spark_runs[n], and this field must show exactly the
+    # list the exclusion evaluated (review r13)
     rerun_added: dict[str, list[int]] = {}
     for name in flagged:
         n_s, n_d = len(spark_runs[name]), len(duck_runs.get(name, []))
@@ -978,7 +981,13 @@ def main() -> None:
     # artifact via floor_adjustment_note.
     ratio_ex_floor = round(
         total_ex_floor / max(duck_total_ex_floor, 0.001), 3)
-    weather = capture_weather(duck_total_ex, set(ex_names), sf)
+    # identity set for the weather references: EXACTLY how a reader
+    # reconstructs it from a committed artifact (queries minus
+    # outliers, no oracle knowledge) — passing the oracle-filtered
+    # ex_names instead would permanently kill the signal the moment
+    # a no-oracle headline entry exists (review r13)
+    weather = capture_weather(
+        duck_total_ex, set(spark_times) - set(outliers), sf)
 
     result = {
         "metric": "headline_queries_total_wall",

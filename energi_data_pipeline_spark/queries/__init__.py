@@ -251,6 +251,11 @@ _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
     # round-13: component-magnitude guard at the data boundary (r12
     # ADVICE; debug-gated, but the function body changed)
     "sims_kmeans_lloyd",
+    # round-13: operators/graph.py connected_components gained the
+    # eager sym localCheckpoint — pin every consumer of the shared
+    # helper (the _star variant is untouched)
+    "dedup_connected_components", "dedup_cluster_keep_best",
+    "dedup_cluster_size_histogram", "curation_cluster_representatives",
     # NOT pinned: bench.py weather-signal / sweep-baseline changes
     # and the rehearsal tools touch no query code.
 )

@@ -1214,21 +1214,26 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
                                      partition_by=pby, keys=dbg_keys)
                 mark(lbl)
         else:
-            # production path: the three segment writes target
-            # DISTINCT tables and share no driver state — submit
-            # them concurrently so a batch pays ONE write-round of
-            # job-scheduling floor, not three (r13: ~0.6s/batch of
-            # the serial wall was floor, not I/O).  Thread-safe:
-            # append_batch_segment mutates nothing session-global
-            # (per-writer options only) and the detect compute
-            # (verdicts) is just another scheduled job.
+            # Production path: the VERDICTS write goes FIRST and
+            # alone — its un-checkpointed lineage scans the two
+            # index tables, and on a crash-replay of this batch the
+            # listing includes the stale _bid=N files that the index
+            # appends' dynamic overwrite would delete mid-scan
+            # (review r13: concurrent verdicts+index writes turn the
+            # replay-repair path into a FileNotFoundException / torn
+            # read).  Only the two INDEX appends run concurrently:
+            # distinct tables, both inputs eagerly checkpointed, and
+            # neither is scanned by anything in flight — a batch
+            # pays two write-rounds of scheduling floor, not three.
+            append_batch_segment(sess, verdicts, wh, "gold",
+                                 "dup_verdicts", bid, keys=dbg_keys)
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            with ThreadPoolExecutor(max_workers=2) as pool:
                 futs = [pool.submit(append_batch_segment, sess, sdf,
                                     wh, lyr, tbl, bid,
                                     partition_by=pby, keys=dbg_keys)
-                        for sdf, lyr, tbl, pby, _ in appends]
+                        for sdf, lyr, tbl, pby, _ in appends[1:]]
                 for f in futs:
                     f.result()  # surface the first failure
         # wired compaction policy (r11 verdict #4): bound the segment
@@ -1461,23 +1466,16 @@ def stream_incremental_embedding_index(spark, sf_dir,
             (batch_vec, "silver", "emb_index", ["bucket"],
              "append_vec_index"),
         ]
-        if stage_times is not None:
-            for sdf, lyr, tbl, pby, lbl in appends:
-                append_batch_segment(sess, sdf, wh, lyr, tbl, bid,
-                                     partition_by=pby, keys=dbg_keys)
-                mark(lbl)
-        else:
-            # concurrent distinct-table writes — one write-round of
-            # scheduling floor per batch (see the LSH twin)
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                futs = [pool.submit(append_batch_segment, sess, sdf,
-                                    wh, lyr, tbl, bid,
-                                    partition_by=pby, keys=dbg_keys)
-                        for sdf, lyr, tbl, pby, _ in appends]
-                for f in futs:
-                    f.result()
+        # SERIAL, verdicts first (review r13, same reasoning as the
+        # LSH twin): the verdicts lineage scans emb_index, and a
+        # crash-replay's stale _bid=N files must not be deleted by a
+        # concurrent index overwrite mid-scan.  With only one index
+        # append after the verdicts barrier there is nothing left to
+        # parallelize here.
+        for sdf, lyr, tbl, pby, lbl in appends:
+            append_batch_segment(sess, sdf, wh, lyr, tbl, bid,
+                                 partition_by=pby, keys=dbg_keys)
+            mark(lbl)
         # wired compaction policy, same cycle as the LSH twin: bounds
         # the listing for streams longer than the compaction cycle
         for lyr, tbl in (("gold", "emb_verdicts"),

@@ -103,21 +103,44 @@ class TestCaptureWeather:
         w = capture_weather(14.0, {"a", "b"}, 0.1, root=tmp_path)
         assert w["n_reference_captures"] == 0
 
-    def test_real_repo_artifacts_retrodict_r12(self):
+    #: the reference set PINNED to the artifacts committed before
+    #: round 13 — the retrodiction must not drift as future rounds
+    #: commit more captures into the live repo (review r13: a few
+    #: slow-weather rounds would raise the trailing median until the
+    #: assertion flips on a commit that touched no code)
+    R12_REFS = (
+        "BENCH_r06.json", "BENCH_r07.json", "BENCH_r08.json",
+        "BENCH_r09.json", "BENCH_r10.json", "BENCH_r11.json",
+        "BENCH_r12.json",
+        "docs/scale_r10/bench_capture1.json",
+        "docs/scale_r10/bench_capture2.json",
+        "docs/scale_r10/bench_capture3.json",
+        "docs/scale_r12/bench_r12_capture1.json",
+        "docs/scale_r12/bench_r12_capture2.json",
+    )
+
+    def test_real_repo_artifacts_retrodict_r12(self, tmp_path):
         """BENCH_r12 (the degraded-box driver capture) must
-        self-label against the repo's committed history; the idle
-        builder capture from the same tree must not."""
+        self-label against the history as committed at round 13;
+        the idle builder capture from the same tree must not."""
+        import shutil
+
         root = Path(__file__).resolve().parent.parent
+        (tmp_path / "docs" / "scale_r12").mkdir(parents=True)
+        (tmp_path / "docs" / "scale_r10").mkdir(parents=True)
+        for rel in self.R12_REFS:
+            shutil.copy(root / rel, tmp_path / rel)
         d = json.loads((root / "BENCH_r12.json").read_text())["parsed"]
         ex = set(d["queries"]) - set(d["outliers_dropped"])
         w = capture_weather(d["duckdb_total_ex_outlier"], ex, 0.1,
-                            root=root)
+                            root=tmp_path)
+        assert w["n_reference_captures"] == len(self.R12_REFS)
         assert w.get("capture_degraded") is True
         c = json.loads((root / "docs/scale_r12/"
                         "bench_r12_capture1.json").read_text())
         ex2 = set(c["queries"]) - set(c["outliers_dropped"])
         w2 = capture_weather(c["duckdb_total_ex_outlier"], ex2, 0.1,
-                             root=root)
+                             root=tmp_path)
         assert w2.get("capture_degraded") is False
 
 
