@@ -35,12 +35,14 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                                F.col(src).alias("v"))))
     # materialize the symmetrized edge list ONCE (r13): every
     # propagation round's action lineage otherwise re-executes the
-    # whole upstream pair pipeline (labels is cached, sym is not) —
-    # invisible at sf0.1 where the banded LSH pairs cost ~0.3s
-    # (interleaved A/B measured neutral, 2.71 vs 2.73s min-of-3),
-    # catastrophic at 100 TB where the pair pipeline is the
-    # dominant cost and the loop would pay it once per round.
-    # Bounded: 2x the edge count.
+    # whole upstream pair pipeline (labels is cached, sym is not).
+    # Effect scales with how heavy that upstream is: neutral on the
+    # bare LSH pair graph (interleaved A/B 2.71 vs 2.73s min-of-3 at
+    # sf0.1), 3x on the composed curation_cluster_representatives
+    # whose edges carry the LSH+quality pipeline (bench captures:
+    # every run 6.7-9.5s before, 2.4-3.3s after) — and at 100 TB,
+    # where the pair pipeline dominates, the loop would otherwise
+    # pay it once per round.  Bounded: 2x the edge count.
     sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
