@@ -36,13 +36,18 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # materialize the symmetrized edge list ONCE (r13): every
     # propagation round's action lineage otherwise re-executes the
     # whole upstream pair pipeline (labels is cached, sym is not).
-    # Effect scales with how heavy that upstream is: neutral on the
-    # bare LSH pair graph (interleaved A/B 2.71 vs 2.73s min-of-3 at
-    # sf0.1), 3x on the composed curation_cluster_representatives
-    # whose edges carry the LSH+quality pipeline (bench captures:
-    # every run 6.7-9.5s before, 2.4-3.3s after) — and at 100 TB,
-    # where the pair pipeline dominates, the loop would otherwise
-    # pay it once per round.  Bounded: 2x the edge count.
+    # Interleaved A/Bs at sf0.1 measure the checkpoint NEUTRAL on
+    # both the bare LSH pair graph (2.71 vs 2.73s min-of-3) and the
+    # composed curation_cluster_representatives (3.8-4.2 vs
+    # 3.6-4.1s) — at test scale Spark's exchange reuse already
+    # absorbs most of the recompute.  Kept for 100 TB, where the
+    # pair pipeline dominates the query and a cache miss or reuse
+    # failure would charge it once per round; the materialization
+    # is bounded at 2x the edge count.  (A pair of same-day bench
+    # captures read 6.7-9.5s vs 2.4-3.3s across this change — that
+    # delta does NOT survive the interleaved A/B; it was the box's
+    # burst weather, which on this host can triple walls while
+    # passing every loadavg idle gate.)
     sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
