@@ -242,22 +242,72 @@ _DRIVER_VERIFIED = frozenset({
 #: promoted into _DRIVER_VERIFIED.  The window now pins the
 #: round-12 touched entries.
 _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
-    # round-13: the batch-side broadcast hints of BOTH index streams
-    # are now byte-budget gated on the measured batch size (r12
-    # ADVICE), their segment appends run concurrently on the
-    # production path, and the embedding stream gained the stage
-    # telemetry + listing probe — pin both streams
-    "stream_incremental_lsh_dedup", "stream_incremental_embedding_index",
-    # round-13: component-magnitude guard at the data boundary (r12
-    # ADVICE; debug-gated, but the function body changed)
-    "sims_kmeans_lloyd",
-    # round-13: operators/graph.py connected_components gained the
-    # eager sym localCheckpoint — pin every consumer of the shared
-    # helper (the _star variant is untouched)
-    "dedup_connected_components", "dedup_cluster_keep_best",
-    "dedup_cluster_size_histogram", "curation_cluster_representatives",
-    # NOT pinned: bench.py weather-signal / sweep-baseline changes
-    # and the rehearsal tools touch no query code.
+    # ROUND-14 ROTATION: all 7 r13 pins landed green in
+    # CORRECTNESS_r13 (50/50, zero err).  The r13 verdict's one
+    # process gap is verification STALENESS: 79 of 209 entries have
+    # no driver-issued green row newer than r04 (recomputed from the
+    # CORRECTNESS_r01..r13 files: r02 ×8, r03 ×49, r04 ×22).  This
+    # window therefore pins the 50 STALEST entries, oldest round
+    # first then name order — the 8 r02 rows, then 42 of the 49 r03
+    # rows.  The remaining 29 (7 r03 tpch/dedup rows + the 22 r04
+    # rows) are the round-15 window.
+    #
+    # Round-14 code changes (graph.py reliable-persist swap,
+    # unconditional kmeans magnitude guard, streaming byte-per-row
+    # derivation) are assertion/persistence/calibration changes that
+    # do not alter query RESULTS; their consumers are covered by the
+    # full driver_sim at sf0.01 plus pytest, and several are in this
+    # window anyway (_star, stream_* family).
+    "dedup_connected_components_star",
+    "mm_binary_metadata",
+    "sessionization_batch",
+    "stream_dedup_watermark",
+    "stream_sessionization",
+    "stream_sliding_window",
+    "stream_static_join",
+    "stream_stream_join",
+    "curation_pipeline",
+    "ext_arg_extremes",
+    "ext_array_stats",
+    "ext_asof_join",
+    "ext_asof_join_forward",
+    "ext_cohort_retention",
+    "ext_corr_stats",
+    "ext_count_distinct",
+    "ext_cube_grouping",
+    "ext_dq_checks",
+    "ext_exists_semi_anti",
+    "ext_filtered_agg",
+    "ext_funnel",
+    "ext_histogram",
+    "ext_interval_overlap",
+    "ext_json_extract",
+    "ext_latest_per_key",
+    "ext_percentiles",
+    "ext_pivot_event_counts",
+    "ext_range_join_binned",
+    "ext_ranking_topk",
+    "ext_rollup_lineitem",
+    "ext_salted_join",
+    "ext_scalar_subquery",
+    "ext_scd2_intervals",
+    "ext_sequence_match",
+    "ext_set_ops",
+    "ext_time_resample",
+    "ext_unpivot_long",
+    "ext_window_range_interval",
+    "ext_window_running",
+    "mm_audio_rms",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize_stride",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q1_pricing_summary",
 )
 
 
