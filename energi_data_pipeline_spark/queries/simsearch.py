@@ -1926,6 +1926,38 @@ KMEANS_ITERS = 2
 #: iterations chain checkpoint-free into a single job.
 _KMEANS_CHAIN_DEPTH = 4
 
+#: corpora whose components already passed the magnitude guard this
+#: session (the check is a data property of the corpus dir, so one
+#: green reading per dir suffices — r13 ADVICE: the guard runs on
+#: the PRODUCTION path, not behind a debug env var)
+_KMEANS_MAG_OK: set[str] = set()
+
+
+def _assert_kmeans_magnitude(vlong, sf_dir: str) -> None:
+    """Fail LOUDLY when embedding components are too large for the
+    1e8-scaled long accumulation to stay provably equal to the
+    DECIMAL(38,10) oracle: sum over dim of round(term*1e8) must stay
+    under 2^53, i.e. max|v| <= sqrt(2^53 / (4e8*dim)) (centroids are
+    means of components, so |v-c| <= 2*max|v|); asserted at half the
+    derived bound for margin.  One cheap agg over the already-cached
+    vlong, memoized per corpus dir (success only)."""
+    if sf_dir in _KMEANS_MAG_OK:
+        return
+    row = vlong.agg(
+        F.max(F.abs(F.col("v"))).alias("m"),
+        (F.max("pos") + 1).alias("dim")).first()
+    m, dm = row["m"] or 0.0, row["dim"] or 1
+    bound = 0.5 * ((2.0 ** 53) / (4e8 * dm)) ** 0.5
+    if m > bound:
+        raise AssertionError(
+            f"kmeans long-scaled sum precondition violated: "
+            f"max|component| {m:.4g} exceeds {bound:.4g} at "
+            f"dim={dm} — the 1e8-scaled long accumulation is no "
+            f"longer provably equal to the DECIMAL(38,10) oracle; "
+            f"rescale the corpus or lower the scale factor (see "
+            f"derivation in sims_kmeans_lloyd)")
+    _KMEANS_MAG_OK.add(sf_dir)
+
 
 def _kmeans_oracle() -> str:
     """Unrolled-Lloyd oracle: seed centroids from the stride sample,
@@ -2013,29 +2045,17 @@ def sims_kmeans_lloyd(spark, sf_dir):
     # than letting the first subtree race to fill it (r12 A/B:
     # 3.23s lazy vs 2.73s eager at sf0.1)
     vlong.count()
-    # component-magnitude guard (r12 ADVICE): the exact long-scaled
-    # sum below silently depends on embedding components staying
-    # O(1) — sum over dim of round(term*1e8) must stay under 2^53,
-    # i.e. max|v| <= sqrt(2^53 / (4e8 * dim)) (centroids are means
-    # of components, so |v-c| <= 2*max|v|).  Opt-in debug check (one
-    # agg over the already-cached vlong) so a rescaled future corpus
-    # fails LOUDLY instead of drifting from the DECIMAL oracle in
-    # the last bit; asserted at half the derived bound for margin.
-    import os as _os
-    if _os.environ.get("SPARK_GRAFT_DEBUG_KMEANS_MAG"):
-        row = vlong.agg(
-            F.max(F.abs(F.col("v"))).alias("m"),
-            (F.max("pos") + 1).alias("dim")).first()
-        m, dm = row["m"] or 0.0, row["dim"] or 1
-        bound = 0.5 * ((2.0 ** 53) / (4e8 * dm)) ** 0.5
-        if m > bound:
-            raise AssertionError(
-                f"kmeans long-scaled sum precondition violated: "
-                f"max|component| {m:.4g} exceeds {bound:.4g} at "
-                f"dim={dm} — the 1e8-scaled long accumulation is no "
-                f"longer provably equal to the DECIMAL(38,10) "
-                f"oracle; rescale the corpus or lower the scale "
-                f"factor (see derivation above)")
+    # component-magnitude guard (r12 ADVICE, made UNCONDITIONAL per
+    # r13 ADVICE): the exact long-scaled sum below silently depends
+    # on embedding components staying O(1) — sum over dim of
+    # round(term*1e8) must stay under 2^53, i.e. max|v| <=
+    # sqrt(2^53 / (4e8 * dim)) (centroids are means of components,
+    # so |v-c| <= 2*max|v|).  One cheap agg over the already-cached
+    # vlong, memoized per corpus dir for the session, so a rescaled
+    # corpus fails LOUDLY on the production path instead of drifting
+    # from the DECIMAL oracle in the last bit; asserted at half the
+    # derived bound for margin.
+    _assert_kmeans_magnitude(vlong, sf_dir)
     cent = (vlong.filter(
         F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0)
         .select(F.col("vec_id").alias("cent_id"), "pos",

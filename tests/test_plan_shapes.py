@@ -915,12 +915,13 @@ def test_no_unguarded_broadcast_of_explode(spark, registry):
     assert not offenders, offenders
 
 
-def test_kmeans_magnitude_guard(spark, tmp_path, monkeypatch, registry):
-    # r12 ADVICE: the 1e8-scaled long accumulation in
+def test_kmeans_magnitude_guard(spark, tmp_path, registry):
+    # r12 ADVICE (+ r13 ADVICE: guard runs UNCONDITIONALLY on the
+    # production path): the 1e8-scaled long accumulation in
     # sims_kmeans_lloyd is provably equal to the DECIMAL oracle only
     # while embedding components stay O(1); a rescaled corpus must
-    # fail LOUDLY under the opt-in debug check instead of drifting
-    # from the oracle in the last bit.
+    # fail LOUDLY instead of drifting from the oracle in the last
+    # bit — with no debug env var set.
     import pyarrow as pa
     import pyarrow.parquet as pq
     import pytest
@@ -933,9 +934,12 @@ def test_kmeans_magnitude_guard(spark, tmp_path, monkeypatch, registry):
         "embedding": pa.array([[1e6] * dim] * 6,
                               type=pa.list_(pa.float64())),
     }), str(tmp_path / "embeddings.parquet"))
-    monkeypatch.setenv("SPARK_GRAFT_DEBUG_KMEANS_MAG", "1")
     with pytest.raises(AssertionError, match="precondition violated"):
         sims_kmeans_lloyd(spark, str(tmp_path))
+    # a failed corpus is never memoized as passed
+    from energi_data_pipeline_spark.queries.simsearch import \
+        _KMEANS_MAG_OK
+    assert str(tmp_path) not in _KMEANS_MAG_OK
     spark.catalog.clearCache()
     # and the shipped corpora PASS the same check (bound holds)
     from tests.conftest import SF001
@@ -960,6 +964,29 @@ def test_stream_batch_broadcast_budget_gate(spark):
     over = (_bounded_broadcast(side, 1 << 62)
             ._jdf.queryExecution().logical().toString())
     assert "broadcast" not in over.lower(), over
+
+
+def test_est_row_bytes_tracks_schema(spark):
+    # r13 ADVICE: broadcast byte estimates must derive from the
+    # actual row schema, not per-call-site constants — widening the
+    # schema must widen the estimate with no call-site edit.
+    from pyspark.sql import functions as F
+
+    from energi_data_pipeline_spark.queries.streaming import \
+        _VAR_WIDTH_DEFAULT_BYTES, _est_row_bytes
+
+    base = spark.range(1).select(F.col("id").alias("doc_id"))
+    b0 = _est_row_bytes(base)
+    assert b0 == 16 + 8  # overhead + one long
+    widened = base.withColumn("key", F.md5(F.col("doc_id")
+                                           .cast("string")))
+    assert _est_row_bytes(widened) == b0 + _VAR_WIDTH_DEFAULT_BYTES
+    flagged = base.withColumn("dup", F.lit(True))
+    assert _est_row_bytes(flagged) == b0 + 1
+    # caller-known variable width beats the default
+    arr = base.withColumn("embedding",
+                          F.array(*[F.lit(0.0)] * 4))
+    assert _est_row_bytes(arr, {"embedding": 4 * 8}) == b0 + 32
 
 
 def test_flag_batch_members_budget_gate_same_result(spark):

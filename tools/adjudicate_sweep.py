@@ -98,13 +98,29 @@ def main() -> None:
         rs = fresh.get(n, [])
         b = (baseline.get(n) or {}).get("steady_s")
         m = min(rs) if rs else None
-        still = (m is not None
-                 and bench._baseline_regression(b, m))
+        if b is not None:
+            still = (m is not None
+                     and bench._baseline_regression(b, m))
+            rule = "baseline_regression"
+        else:
+            # no checked-in baseline (new entry): re-apply the
+            # sweep's own absolute/ratio sleeper rule to the fresh
+            # idle min (r13 ADVICE — _baseline_regression(None, m)
+            # is always False, which made a genuinely slow NEW entry
+            # un-confirmable)
+            d = (sweep["queries"].get(n) or {}).get("duckdb_s")
+            still = (m is not None
+                     and (m > bench.SLEEPER_ABS_S
+                          or (d is not None and d > 0
+                              and m / d > bench.SLEEPER_RATIO
+                              and m - d > bench.SLEEPER_MIN_GAP_S)))
+            rule = "sleeper_rule_no_baseline"
         rows[n] = {
             "sweep_steady_s": sweep["queries"][n]["spark_s"],
             "fresh_runs_s": rs,
             "fresh_min_s": m,
             "baseline_s": b,
+            "rule": rule,
             "still_regressed": still,
             "verdict": ("REGRESSION_CONFIRMED" if still else
                         "dissolved_fresh_session"),
