@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -165,8 +166,27 @@ COLD_EXCESS_CAP_S = 2.0
 #: oracle is rewritten — compare it against the trailing median of
 #: committed captures with the IDENTICAL ex-outlier query set and
 #: stamp the ratio into the artifact.
+#: per-query burst-weather defense (r13 verdict #3): the spread flag
+#: and the whole-capture weather control both missed SAME-TREE
+#: same-afternoon swings like curation_cluster_representatives
+#: reading 6.7-9.5s in one capture and 2.4-3.3s in the next — a
+#: burst that inflates EVERY run of one query's window leaves a
+#: tight list the spread flag trusts.  Rule: a headline query's
+#: Spark list must contain TWO readings that agree within
+#: BURST_AGREE_TOL before it is believed; until then the pair is
+#: re-run (interleaved, both engines) up to BURST_MAX_RUNS total
+#: Spark runs.  Agreement of two independent readings is evidence
+#: the box state was stable across them; min-aggregation then picks
+#: the steady pair.
+BURST_AGREE_TOL = 1.15
+BURST_MAX_RUNS = 5
+
 WEATHER_DEGRADED_RATIO = 1.3
 WEATHER_MIN_REFS = 3
+#: newest reference captures the weather median may use (r13
+#: ADVICE): an unbounded all-history median slowly absorbs degraded
+#: rounds and never adapts to a real permanent environment change
+WEATHER_MAX_REFS = 12
 
 
 def wait_for_idle() -> dict:
@@ -260,6 +280,22 @@ def _run_spread_contaminated(runs: list[float],
             and hi / max(lo, 0.001) > CONTAMINATION_SPREAD)
 
 
+def _needs_burst_rerun(runs: list[float]) -> bool:
+    """True while no two of the query's Spark readings agree within
+    BURST_AGREE_TOL (r13 verdict #3) — i.e. every reading might be a
+    burst artifact.  Sorted-adjacent check: two readings agree iff
+    some adjacent pair in sorted order is within tolerance.  Lists
+    whose min exceeds RERUN_CUTOFF_S never re-run (the 30s+ entries
+    are recorded as-is; noise is negligible at that duration), and a
+    <2-run list can't agree by construction but is only re-run by
+    the caller while under BURST_MAX_RUNS."""
+    if not runs or min(runs) > RERUN_CUTOFF_S:
+        return False
+    rs = sorted(runs)
+    return not any(rs[i + 1] / max(rs[i], 1e-3) <= BURST_AGREE_TOL
+                   for i in range(len(rs) - 1))
+
+
 def _cold_first_tail(runs: list[float],
                      exclude_cold_first: bool) -> tuple[list[float],
                                                         bool]:
@@ -289,7 +325,7 @@ def capture_weather(duck_total_ex: float, ex_names: set[str],
     one round after a composition change and resumes as new captures
     commit."""
     root = root or Path(__file__).resolve().parent
-    refs: list[tuple[str, float]] = []
+    refs: list[tuple[int, str, float]] = []
     cands = sorted(root.glob("BENCH_r*.json")) + sorted(
         root.glob("docs/scale_r*/bench_*.json"))
     for p in cands:
@@ -305,7 +341,19 @@ def capture_weather(duck_total_ex: float, ex_names: set[str],
         v = d.get("duckdb_total_ex_outlier")
         if names != ex_names or not isinstance(v, (int, float)) or v <= 0:
             continue
-        refs.append((p.name, float(v)))
+        # a capture whose OWN stamped verdict was DEGRADED_BOX is a
+        # measurement of a slow box — letting it into the reference
+        # median drags the baseline toward degraded and mutes the
+        # signal (r13 ADVICE)
+        own = d.get("capture_weather") or {}
+        if own.get("verdict") == "DEGRADED_BOX":
+            continue
+        m = re.search(r"r(\d+)", str(p))
+        refs.append((int(m.group(1)) if m else 0, p.name, float(v)))
+    # bound the reference set to the newest rounds so a permanent
+    # environment change re-baselines within WEATHER_MAX_REFS
+    # captures instead of skewing the median forever (r13 ADVICE)
+    refs = sorted(refs)[-WEATHER_MAX_REFS:]
     out: dict = {
         "duckdb_total_ex_outlier": duck_total_ex,
         "n_reference_captures": len(refs),
@@ -317,12 +365,12 @@ def capture_weather(duck_total_ex: float, ex_names: set[str],
                        "with the identical ex-outlier set; the "
                        "signal resumes as new captures commit")
         return out
-    med = statistics.median(v for _, v in refs)
+    med = statistics.median(v for _, _, v in refs)
     ratio = round(duck_total_ex / max(med, 0.001), 3)
     degraded = ratio > WEATHER_DEGRADED_RATIO
     out.update({
         "trailing_median_s": round(med, 3),
-        "reference_captures": [n for n, _ in refs],
+        "reference_captures": [n for _, n, _ in refs],
         "duck_vs_trailing_median": ratio,
         "capture_degraded": degraded,
         "verdict": "DEGRADED_BOX" if degraded else "normal",
@@ -477,6 +525,41 @@ def measure_stream_emb_decomposition(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_production_shape(spark, sf_dir: str) -> dict:
+    """Single-trigger walls for both streaming index queries (r13
+    verdict #5): the headline rows replay the corpus as 3
+    micro-batches and so pay the micro-batch scheduling floor 3x;
+    a production trigger is sized by the source, so ONE corpus-sized
+    trigger is the production shape.  SCALE_r13 measured 2.24s vs
+    6.24s for the LSH stream but the number lived only in prose —
+    this field makes it machine-checked every capture (min of 2,
+    caches dropped)."""
+    from energi_data_pipeline_spark.queries.streaming import (
+        stream_incremental_embedding_index,
+        stream_incremental_lsh_dedup)
+
+    out: dict = {}
+    for name, fn in (
+            ("stream_incremental_lsh_dedup",
+             stream_incremental_lsh_dedup),
+            ("stream_incremental_embedding_index",
+             stream_incremental_embedding_index)):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir, n_batches=1).write.format("noop") \
+                .mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            drop_measurement_caches(spark)
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    out["note"] = ("one corpus-sized trigger (n_batches=1) per index "
+                   "stream — the production trigger shape; the "
+                   "3-batch headline rows pay the per-micro-batch "
+                   "scheduling floor 3x on the same data")
+    return out
+
+
 def measure_duck_floor(con) -> float:
     """Symmetric counterpart to measure_session_floor (ADVICE r08:
     the floor adjustment was one-sided): the wall of a trivial
@@ -543,7 +626,7 @@ def run_interleaved(sf_dir: str) -> tuple[
     duck_runs: dict[str, list[float]] = {}
 
     def measure_pair(name: str, rs: list[float], ds: list[float],
-                     force: bool = False):
+                     force: bool = False, n_runs: int = N_RUNS):
         """One interleaved S,D,S,D,... pass of N_RUNS per engine,
         APPENDING to the given run lists (shared by the main loop
         and the contamination re-run pass so both stay symmetric).
@@ -554,7 +637,7 @@ def run_interleaved(sf_dir: str) -> tuple[
         clean re-measurement it flagged for."""
         fn = registry[name].fn
         oracle = registry[name].oracle
-        for _ in range(N_RUNS):
+        for _ in range(n_runs):
             if force or not rs or min(rs) <= RERUN_CUTOFF_S:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop") \
@@ -567,10 +650,21 @@ def run_interleaved(sf_dir: str) -> tuple[
                 con.execute(oracle).fetchall()
                 ds.append(round(time.perf_counter() - t0, 3))
 
+    burst_reruns: dict[str, int] = {}
     for name in HEADLINE:
         rs: list[float] = []
         ds: list[float] = []
         measure_pair(name, rs, ds)
+        # burst-weather defense (r13 verdict #3): keep re-running
+        # the pair (interleaved, one S,D per pass) until two Spark
+        # readings agree within BURST_AGREE_TOL or the run cap —
+        # a burst spanning the whole 3-run window leaves a tight
+        # all-inflated list the spread flag trusts; demanding two
+        # agreeing readings forces at least one measurement outside
+        # the burst (or an honest 5-run record of it).
+        while _needs_burst_rerun(rs) and len(rs) < BURST_MAX_RUNS:
+            measure_pair(name, rs, ds, n_runs=1)
+            burst_reruns[name] = burst_reruns.get(name, 0) + 1
         spark_runs[name] = rs
         if registry[name].oracle is not None:
             duck_runs[name] = ds
@@ -625,6 +719,19 @@ def run_interleaved(sf_dir: str) -> tuple[
     extras = {
         "stream_engine_startup_s": stream_startup_s,
         "stream_startup_err": stream_startup_err,
+        "burst_defense": {
+            "agree_tol": BURST_AGREE_TOL,
+            "max_runs": BURST_MAX_RUNS,
+            "reruns_added": burst_reruns,
+            "unresolved": sorted(
+                n for n in HEADLINE
+                if _needs_burst_rerun(spark_runs.get(n, []))),
+            "note": ("queries re-run until two Spark readings agree "
+                     "within agree_tol (r13 verdict #3); an entry "
+                     "still in 'unresolved' hit the run cap with no "
+                     "two agreeing readings — read its wall as "
+                     "weather-suspect"),
+        },
         "contamination": {
             "flagged": flagged,
             "spread_threshold": CONTAMINATION_SPREAD,
@@ -651,6 +758,10 @@ def run_interleaved(sf_dir: str) -> tuple[
             lambda: measure_stream_emb_decomposition(spark, sf_dir),
             {"batch_walls_s": [], "stage_totals_s": {},
              "per_batch_stages_s": []}),
+        "production_shape": _safe(
+            lambda: measure_production_shape(spark, sf_dir),
+            {"stream_incremental_lsh_dedup": 0.0,
+             "stream_incremental_embedding_index": 0.0}),
     }
     con.close()
     # silence the JVM for the rest of the process: the StateStore
@@ -1032,6 +1143,7 @@ def main() -> None:
             "stream_incremental_lsh_dedup": lsh_decomp,
             "stream_incremental_embedding_index": emb_decomp,
         },
+        "production_shape_s": extras["production_shape"],
         "stream_engine_startup_s": stream_startup,
         "streaming_queries": sorted(STREAMING),
         "capture_weather": weather,
@@ -1040,6 +1152,7 @@ def main() -> None:
             "idle_gate": idle_gate,
             "loadavg_at_start": [round(x, 2) for x in loadavg_start],
             "contamination": extras["contamination"],
+            "burst_defense": extras["burst_defense"],
             "stream_startup_err": extras["stream_startup_err"],
             "machine_state_note": os.environ.get(
                 "SPARK_GRAFT_BENCH_NOTE",
@@ -1096,6 +1209,10 @@ def main() -> None:
             "lex": hybrid_decomp["lex_leg_s"],
             "vec": hybrid_decomp["vec_leg_s"]},
         "stream_lsh_decomp_s": lsh_decomp["stage_totals_s"],
+        "production_shape_s": {
+            k: v for k, v in extras["production_shape"].items()
+            if isinstance(v, (int, float))},
+        "burst_reruns": extras["burst_defense"]["reruns_added"],
         "idle_gate": {k: idle_gate[k] for k in
                       ("loadavg_at_invocation", "waited_s",
                        "loadavg_at_release", "verdict")},

@@ -59,6 +59,41 @@ class TestSpreadShapes:
                                                       False)
 
 
+class TestBurstDefense:
+    """r13 verdict #3: repeat-until-two-agree for headline entries.
+    The round's own evidence — curation_cluster_representatives read
+    6.7-9.5s in one capture and 2.4-3.3s in another on the SAME tree
+    — while the spread flag, the idle gate, and the whole-capture
+    weather median all passed."""
+
+    def test_synthetic_burst_is_caught(self):
+        from bench import _needs_burst_rerun
+        # all three runs inside a burst: no two agree within 15%
+        assert _needs_burst_rerun([6.7, 8.1, 9.5])
+
+    def test_stable_list_does_not_rerun(self):
+        from bench import _needs_burst_rerun
+        assert not _needs_burst_rerun([2.4, 2.5, 3.3])   # 2.4~2.5
+        assert not _needs_burst_rerun([1.0, 1.1, 9.0])   # 1.0~1.1
+
+    def test_burst_then_clean_pair_resolves(self):
+        from bench import _needs_burst_rerun
+        # the re-run escapes the burst: two clean readings agree
+        assert _needs_burst_rerun([6.7, 9.5, 12.0])
+        assert _needs_burst_rerun([6.7, 9.5, 12.0, 2.4])
+        assert not _needs_burst_rerun([6.7, 9.5, 12.0, 2.4, 2.5])
+
+    def test_over_cutoff_never_reruns(self):
+        from bench import RERUN_CUTOFF_S, _needs_burst_rerun
+        assert not _needs_burst_rerun([RERUN_CUTOFF_S + 10,
+                                       RERUN_CUTOFF_S + 50])
+
+    def test_single_run_asks_for_a_second(self):
+        from bench import _needs_burst_rerun
+        assert _needs_burst_rerun([3.0])
+        assert not _needs_burst_rerun([])
+
+
 def _ref(path: Path, queries: dict, outliers: list,
          duck_ex: float, sf: float = 0.1, wrap: bool = False):
     d = {"queries": queries, "outliers_dropped": outliers,
@@ -96,6 +131,38 @@ class TestCaptureWeather:
         assert w["n_reference_captures"] == 1
         assert w["verdict"] == "insufficient_references"
         assert "capture_degraded" not in w
+
+    def test_degraded_references_skipped(self, tmp_path):
+        # r13 ADVICE: a reference whose OWN stamped verdict was
+        # DEGRADED_BOX must not enter the trailing median — else the
+        # baseline slowly absorbs degraded rounds and mutes itself
+        for i, v in enumerate([14.0, 14.5, 13.8]):
+            _ref(tmp_path / f"BENCH_r{i:02d}.json", self.Q, ["c"], v)
+        d = {"queries": self.Q, "outliers_dropped": ["c"],
+             "duckdb_total_ex_outlier": 25.0, "sf": 0.1,
+             "capture_weather": {"verdict": "DEGRADED_BOX"}}
+        (tmp_path / "BENCH_r04.json").write_text(json.dumps(d),
+                                                 encoding="utf-8")
+        w = capture_weather(18.6, {"a", "b"}, 0.1, root=tmp_path)
+        assert w["n_reference_captures"] == 3  # degraded ref excluded
+        assert w["capture_degraded"] is True   # 18.6 vs median 14.0
+
+    def test_reference_set_bounded_to_newest(self, tmp_path):
+        # r13 ADVICE: the median is over the WEATHER_MAX_REFS newest
+        # captures, so a permanent environment change re-baselines
+        # instead of skewing the signal forever
+        from bench import WEATHER_MAX_REFS
+        # old epoch: fast box
+        for i in range(WEATHER_MAX_REFS):
+            _ref(tmp_path / f"BENCH_r{i:02d}.json", self.Q, ["c"], 7.0)
+        # new epoch: the box got permanently 2x slower
+        for i in range(WEATHER_MAX_REFS):
+            _ref(tmp_path / f"BENCH_r{20 + i:02d}.json", self.Q,
+                 ["c"], 14.0)
+        w = capture_weather(14.0, {"a", "b"}, 0.1, root=tmp_path)
+        assert w["n_reference_captures"] == WEATHER_MAX_REFS
+        assert w["trailing_median_s"] == 14.0  # old epoch aged out
+        assert w["capture_degraded"] is False
 
     def test_unreadable_reference_skipped(self, tmp_path):
         (tmp_path / "BENCH_r01.json").write_text("{not json",
