@@ -172,6 +172,13 @@ def broadcast_budget_bytes(spark, heap_bytes: int | None = None) -> int:
     broadcast-vs-shuffle knee (gram joins, query-sided posting
     joins) keys on this so a smaller-heap deployment refuses the
     broadcast instead of inheriting an 8 GiB calibration."""
+    env = os.environ.get("SPARK_GRAFT_BCAST_BUDGET_BYTES")
+    if env:
+        # operator override: cap every broadcast knee at a fixed
+        # byte budget regardless of heap (also how the scale
+        # rehearsal forces a production-sized trigger over the knee
+        # on a test box whose heap would otherwise never trip it)
+        return int(env)
     heap = heap_bytes if heap_bytes is not None else jvm_heap_bytes(spark)
     return min(BCAST_BUDGET_CAP, int(heap * BCAST_HEAP_FRACTION))
 

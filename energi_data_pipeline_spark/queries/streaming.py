@@ -12,6 +12,7 @@ is still deterministic, so it gets a full DuckDB oracle.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -77,6 +78,58 @@ def _with_event_time(df, ltz: bool = False):
     if ltz and dt == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _sliced_events_src(spark, sf_dir: str, n_batches: int) -> str:
+    """Ascending-ts single-file slices of ``events.parquet`` in a
+    fresh temp dir (caller removes it): the replay source for the
+    resident-stream amortization shape of the state-engine entries
+    (r13 verdict #4).  Time-contiguous slices delivered in mtime
+    order mean NO cross-batch late data, so watermark eviction drops
+    nothing and the N-batch replay provably emits the same rows as
+    the one-trigger run — the only thing that changes is how many
+    micro-batches the engine schedules."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    src = tempfile.mkdtemp(prefix="events_slices_")
+    d = spark.read.option("pathGlobFilter", "events.parquet") \
+        .parquet(sf_dir)
+    dn = d.withColumn(
+        "_b", F.ntile(n_batches).over(
+            Window.orderBy("ts", "event_id")))
+    now = 1_700_000_000
+    for b in range(1, n_batches + 1):
+        stage = tempfile.mkdtemp(prefix="events_slice_stage_")
+        (dn.filter(F.col("_b") == b).drop("_b")
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = next(f for f in os.listdir(stage)
+                    if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch{b:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (now + 100 * b, now + 100 * b))
+        shutil.rmtree(stage, ignore_errors=True)
+    return src
+
+
+def _record_batch_times(q, batch_times: list | None) -> None:
+    """Append per-trigger (rows, triggerExecution-ms) telemetry from
+    a drained query's progress history: the per-micro-batch evidence
+    for the amortization rows.  Best-effort — telemetry must never
+    fail a measurement."""
+    if batch_times is None:
+        return
+    try:
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else json.loads(p.json)
+            batch_times.append(
+                {"rows": d.get("numInputRows", 0),
+                 "trigger_ms": (d.get("durationMs") or {})
+                 .get("triggerExecution")})
+    except Exception:
+        pass
 
 
 STREAM_SQL = """
@@ -173,7 +226,8 @@ def stream_sessionization(spark, sf_dir):
 
 
 def run_sessionize_stream(spark, src_dir, glob="events.parquet",
-                          max_files_per_trigger=None, checkpoint=None):
+                          max_files_per_trigger=None, checkpoint=None,
+                          batch_times: list | None = None):
     """Build + drain the sessionization stream; see
     :func:`stream_sessionization`.  ``max_files_per_trigger`` forces
     multiple micro-batches under Trigger.AvailableNow (state-carry
@@ -304,6 +358,7 @@ def run_sessionize_stream(spark, src_dir, glob="events.parquet",
             writer = writer.option("checkpointLocation", checkpoint)
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        _record_batch_times(q, batch_times)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
@@ -497,7 +552,8 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 
 
 @query("stream_stream_join", SS_JOIN_SQL)
-def stream_stream_join(spark, sf_dir):
+def stream_stream_join(spark, sf_dir, n_batches: int = 1,
+                       batch_times: list | None = None):
     """STREAM-STREAM inner join: clicks matched to same-user purchases
     within the following hour.  Both sides carry a watermark and the
     join condition bounds event time, so Spark can size and EVICT the
@@ -505,18 +561,35 @@ def stream_stream_join(spark, sf_dir):
     buffer both streams forever.  At 100 TB user_id is the state key
     and each side holds at most one lateness-window of events.  Under
     Trigger.AvailableNow the result equals the batch range join, so
-    it stays oracle-checkable."""
+    it stays oracle-checkable.
+
+    ``n_batches > 1`` replays the corpus as that many ascending-ts
+    micro-batches through ONE engine start (the resident-stream
+    amortization shape, r13 verdict #4); time-ordered slices mean no
+    late data, so the emitted rows are identical — an eviction-safe
+    claim, not an assumption: a batch-k click is only evicted once
+    the watermark (max ts of batch k minus 1h) passes click_ts + 1h,
+    and any batch-k+1 purchase within the join window implies
+    click_ts >= that watermark, so no still-matchable click is ever
+    dropped."""
+    import shutil
+
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = _stream_schema(spark, path)
     sink = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+    src_dir, glob = sf_dir, "events.parquet"
+    if n_batches > 1:
+        src_dir, glob = _sliced_events_src(spark, sf_dir,
+                                           n_batches), "*.parquet"
 
     def side(event_type, ts_alias, user_alias):
+        reader = spark.readStream.schema(schema) \
+            .option("pathGlobFilter", glob)
+        if n_batches > 1:
+            reader = reader.option("maxFilesPerTrigger", "1")
         return (
-            _with_event_time(
-                spark.readStream.schema(schema)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir), ltz=True)
+            _with_event_time(reader.parquet(src_dir), ltz=True)
             .filter(F.col("event_type") == event_type)
             .select(F.col("user_id").alias(user_alias),
                     F.col("ts").alias(ts_alias))
@@ -537,8 +610,11 @@ def stream_stream_join(spark, sf_dir):
         q = (joined.writeStream.format("memory").queryName(sink)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
+        _record_batch_times(q, batch_times)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if src_dir != sf_dir:
+            shutil.rmtree(src_dir, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -720,7 +796,8 @@ WHERE purchase_ts IS NOT NULL
 
 
 @query("stream_stream_left_outer", SS_LEFT_SQL)
-def stream_stream_left_outer(spark, sf_dir):
+def stream_stream_left_outer(spark, sf_dir, n_batches: int = 1,
+                             batch_times: list | None = None):
     """Stream-stream LEFT OUTER join: every click, matched to
     same-user purchases within the following hour — and emitted
     WITH NULLS once the watermark proves no match can still arrive.
@@ -738,18 +815,32 @@ def stream_stream_left_outer(spark, sf_dir):
     resolve when the stream resumes), and the oracle holds them
     back identically, so the result is deterministic and
     hash-checked.  At 100 TB user_id keys the state and each side
-    holds at most one lateness window of events."""
+    holds at most one lateness window of events.
+
+    ``n_batches > 1`` replays the corpus as ascending-ts
+    micro-batches through one engine start (r13 verdict #4); with
+    time-ordered slices a null emission happens only once the global
+    watermark proves no in-window purchase can still arrive, which
+    is the same cutoff the final batch applies — identical rows,
+    different scheduling."""
+    import shutil
+
     tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = _stream_schema(spark, path)
     sink = f"stream_ssleft_{uuid.uuid4().hex[:8]}"
+    src_dir, glob = sf_dir, "events.parquet"
+    if n_batches > 1:
+        src_dir, glob = _sliced_events_src(spark, sf_dir,
+                                           n_batches), "*.parquet"
 
     def side(event_type, ts_alias, user_alias):
+        reader = spark.readStream.schema(schema) \
+            .option("pathGlobFilter", glob)
+        if n_batches > 1:
+            reader = reader.option("maxFilesPerTrigger", "1")
         return (
-            _with_event_time(
-                spark.readStream.schema(schema)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir), ltz=True)
+            _with_event_time(reader.parquet(src_dir), ltz=True)
             .filter(F.col("event_type") == event_type)
             .select(F.col("user_id").alias(user_alias),
                     F.col("ts").alias(ts_alias))
@@ -771,8 +862,11 @@ def stream_stream_left_outer(spark, sf_dir):
         q = (joined.writeStream.format("memory").queryName(sink)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
+        _record_batch_times(q, batch_times)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if src_dir != sf_dir:
+            shutil.rmtree(src_dir, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -929,6 +1023,47 @@ def _debug_segment_keys(id_col: str) -> list[str] | None:
             else None)
 
 
+#: conservative payload estimate for variable-width values whose
+#: size the schema can't know (strings: the widest we broadcast is
+#: the 32-char md5 band key; arrays take a per-call override)
+_VAR_WIDTH_DEFAULT_BYTES = 48
+
+
+def _est_row_bytes(df, overrides: dict[str, int] | None = None) -> int:
+    """Estimated in-memory bytes per materialized broadcast row,
+    derived from the DataFrame SCHEMA (r13 ADVICE: the gate's
+    per-row constants were hand-tuned per call site, so a schema
+    change — wider key, extra column — silently miscalibrated the
+    budget).  Fixed-width types are read off the schema; variable-
+    width fields (string/binary/array) use ``overrides[name]`` when
+    the caller knows the true payload (e.g. embedding dim*8) else a
+    conservative default; +16 B/row object overhead."""
+    from pyspark.sql import types as T
+
+    overrides = overrides or {}
+    total = 16
+    for f in df.schema.fields:
+        if f.name in overrides:
+            total += overrides[f.name]
+        elif isinstance(f.dataType, (T.LongType, T.DoubleType,
+                                     T.TimestampType)):
+            total += 8
+        elif isinstance(f.dataType, (T.IntegerType, T.FloatType,
+                                     T.DateType)):
+            total += 4
+        elif isinstance(f.dataType, T.BooleanType):
+            total += 1
+        else:  # string/binary/array/struct — schema can't size it
+            total += _VAR_WIDTH_DEFAULT_BYTES
+    return total
+
+
+#: when set to a list by measurement tooling, every gate decision is
+#: appended as {est_bytes, budget, hinted} — the evidence trail for
+#: the x10 knee run (r13 verdict #6); None in production.
+_BCAST_GATE_LOG: list | None = None
+
+
 def _bounded_broadcast(budget_gated_side, est_bytes: int):
     """Broadcast-hint a micro-batch-side relation only while its
     ESTIMATED in-memory size fits the heap-derived budget (r12
@@ -941,10 +1076,14 @@ def _bounded_broadcast(budget_gated_side, est_bytes: int):
     budget policy as dedup.gram_join_side and the wq/vocab gates."""
     from ..io import broadcast_budget_bytes
 
-    if est_bytes <= broadcast_budget_bytes(
-            budget_gated_side.sparkSession):
-        return F.broadcast(budget_gated_side)
-    return budget_gated_side
+    budget = broadcast_budget_bytes(budget_gated_side.sparkSession)
+    hinted = est_bytes <= budget
+    if _BCAST_GATE_LOG is not None:
+        _BCAST_GATE_LOG.append({"est_bytes": int(est_bytes),
+                                "budget": int(budget),
+                                "hinted": hinted})
+    return F.broadcast(budget_gated_side) if hinted \
+        else budget_gated_side
 
 
 def _flag_batch_members(batch_ids, member_ids, id_col: str,
@@ -965,10 +1104,10 @@ def _flag_batch_members(batch_ids, member_ids, id_col: str,
     id+flag rows): a giant production trigger falls back to AQE."""
     batch_dup_flags = (member_ids.distinct()
                        .withColumn("dup", F.lit(True)))
-    # ~24 bytes per materialized (long id, bool) broadcast row
     return (batch_ids
-            .join(_bounded_broadcast(batch_dup_flags,
-                                     n_batch_rows * 24),
+            .join(_bounded_broadcast(
+                      batch_dup_flags,
+                      n_batch_rows * _est_row_bytes(batch_dup_flags)),
                   id_col, "left")
             .select(id_col,
                     F.coalesce(F.col("dup"), F.lit(False))
@@ -1131,11 +1270,12 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         # shuffled on the band key (at a 100 TB index the index-side
         # exchange IS the cost; AQE would usually reach the same plan
         # but only after a replanning round per batch).  The hint is
-        # byte-budget gated (r12 ADVICE): n_batch*nb band rows at
-        # ~96 B each (long id + int band + 32-char md5 key string)
+        # byte-budget gated (r12 ADVICE): n_batch*nb band rows, each
+        # sized off the schema (long id + int band + md5 key string)
         # must fit the heap-derived budget, else AQE plans it.
-        bl = _bounded_broadcast(batch_bands,
-                                n_batch * nb * 96).alias("l")
+        bl = _bounded_broadcast(
+            batch_bands,
+            n_batch * nb * _est_row_bytes(batch_bands)).alias("l")
         kl = all_bands.alias("r")
         # NOT distinct here: a pair colliding in several bands is
         # re-verified once per band, but candidates are a tiny
@@ -1164,10 +1304,11 @@ def stream_incremental_lsh_dedup(spark, sf_dir,
         # to AQE's runtime sizes — broadcast when genuinely small,
         # honest shuffle join under a dup-dense pathology instead of
         # a forced driver collect of an unbounded pair set.
-        # n_batch signature rows at ~(8 bytes x (nh+1) hashes+id)
+        # n_batch signature rows, sized off the schema (id + nh
+        # minhash longs)
         cand_batch_sigs = cand.join(
             _bounded_broadcast(batch_sig_probe,
-                               n_batch * (8 * (nh + 1) + 32)),
+                               n_batch * _est_row_bytes(batch_sigs)),
             cand.doc_id == F.col("a.doc_id"))
         dup_ids = (index_sig_side
                    .join(cand_batch_sigs,
@@ -1432,11 +1573,15 @@ def stream_incremental_embedding_index(spark, sf_dir,
         # scanned once and hash-probed map-side, never shuffled on
         # the bucket key — same r12 join-side policy as the LSH twin,
         # byte-budget gated on the measured batch size (r12 ADVICE):
-        # n_batch rows at ~(dim x 8 B array + id/nrm/bucket + object
-        # overhead) — a giant trigger falls back to AQE
+        # n_batch rows sized off the schema, with the embedding
+        # array's payload supplied as an override (dim x 8 B — the
+        # one width the schema can't know) — a giant trigger falls
+        # back to AQE
         dup_ids = (partner
                    .join(_bounded_broadcast(
-                             batch_vec, n_batch * (dim * 8 + 72)),
+                             batch_vec,
+                             n_batch * _est_row_bytes(
+                                 batch_vec, {"embedding": dim * 8})),
                          (F.col("b_bucket") == F.col("bucket"))
                          & (F.col("b_id") < F.col("vec_id")))
                    .filter(cos >= NEARDUP_T)

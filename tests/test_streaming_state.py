@@ -158,3 +158,36 @@ def test_unrepairable_late_event_raises(spark, tmp_path):
         run_sessionize_stream(
             spark, str(src), glob="ev*.parquet", max_files_per_trigger=1,
             checkpoint=str(tmp_path / "ckpt"))
+
+
+def _rowset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_stream_join_n_batches_replay_equivalence(spark):
+    """r13 verdict #4 wiring: the n_batches replay (ascending-ts
+    slices, one engine start, maxFilesPerTrigger=1) must emit
+    exactly the rows of the one-trigger run — time-ordered slices
+    mean no late data, so watermark eviction drops nothing."""
+    from energi_data_pipeline_spark.queries.streaming import (
+        stream_stream_join)
+
+    one = _rowset(stream_stream_join(spark, SF))
+    bt: list = []
+    rep = _rowset(stream_stream_join(spark, SF, n_batches=3,
+                                     batch_times=bt))
+    assert rep == one and len(one) > 0
+    # telemetry recorded at least the data-carrying triggers
+    assert sum(1 for b in bt if b["rows"]) >= 3
+
+
+def test_stream_stream_left_outer_n_batches_replay_equivalence(spark):
+    from energi_data_pipeline_spark.queries.streaming import (
+        stream_stream_left_outer)
+
+    one = _rowset(stream_stream_left_outer(spark, SF))
+    rep = _rowset(stream_stream_left_outer(spark, SF, n_batches=3))
+    assert rep == one and len(one) > 0
+    # the interesting rows — null emissions via the watermark proof —
+    # must survive the replay identically
+    assert any(r[2] is None for r in one)
