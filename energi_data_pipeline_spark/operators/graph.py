@@ -20,6 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _truncate(df: DataFrame) -> DataFrame:
+    """Eager lineage truncation for iterative loops.  When the
+    session has a RELIABLE checkpoint dir configured, use
+    ``checkpoint()`` — ``localCheckpoint`` stores blocks on
+    executors WITHOUT lineage, so on a real cluster an executor
+    loss makes the data unrecoverable and fails the job (r13
+    ADVICE); a long-running 100 TB CC job must survive that.  In
+    local mode (no dir configured, executors are the driver
+    process) the cheaper localCheckpoint is equivalent."""
+    sc = df.sparkSession.sparkContext
+    try:
+        reliable = sc.getCheckpointDir() is not None
+    except Exception:
+        reliable = False
+    return df.checkpoint(eager=True) if reliable \
+        else df.localCheckpoint(eager=True)
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iter: int = 25) -> DataFrame:
     """``(id, cluster_id)`` for every vertex of the edge list;
@@ -36,44 +54,55 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # materialize the symmetrized edge list ONCE (r13): every
     # propagation round's action lineage otherwise re-executes the
     # whole upstream pair pipeline (labels is cached, sym is not).
-    # Interleaved A/Bs at sf0.1 measure the checkpoint NEUTRAL on
-    # both the bare LSH pair graph (2.71 vs 2.73s min-of-3) and the
-    # composed curation_cluster_representatives (3.8-4.2 vs
-    # 3.6-4.1s) — at test scale Spark's exchange reuse already
-    # absorbs most of the recompute.  Kept for 100 TB, where the
-    # pair pipeline dominates the query and a cache miss or reuse
-    # failure would charge it once per round; the materialization
-    # is bounded at 2x the edge count.  (A pair of same-day bench
-    # captures read 6.7-9.5s vs 2.4-3.3s across this change — that
-    # delta does NOT survive the interleaved A/B; it was the box's
-    # burst weather, which on this host can triple walls while
-    # passing every loadavg idle gate.)
-    sym = sym.localCheckpoint(eager=True)
+    # The r14 interleaved HEAD-vs-r12 A/B (docs/scale_r14/ab_cc.json:
+    # 4 cycles, fresh JVM per child, order flipped per cycle) shows
+    # the checkpoint is a real CROSS-SESSION win on the composed
+    # consumers — dedup_connected_components 2.36s vs 4.81s min,
+    # dedup_cluster_keep_best 2.67s vs 4.94s — because a fresh
+    # session has no exchange files to reuse and the r12 shape pays
+    # the pair pipeline once per propagation round.  (The earlier
+    # same-session on/off A/B read neutral precisely because shuffle
+    # reuse had warmed.)  Materialization is bounded at 2x the edge
+    # count.
+    sym = _truncate(sym)
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
-    labels.count()
-    changed = -1
+
+    def _label_sum(df: DataFrame):
+        # exact DECIMAL(38,0) sum: overflow-free for any realistic
+        # id space, and bit-exact so sum-equality is a proof
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                      ).first()[0]
+
+    # convergence via MONOTONE label sums (r14): each round's label
+    # is min(own, neighbors') with the old label in the union, so
+    # per-id labels never increase — the total sum strictly
+    # decreases until fixpoint, and sum-equality <=> zero changed
+    # labels.  One cheap agg on the already-cached frame replaces
+    # the old join+filter+count convergence job (a second shuffle
+    # join per round), and the same action populates the cache.
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.v == labels.id)
                  .select(F.col("u").alias("id"), "label"))
         new_labels = (
             labels.select("id", "label").union(neigh)
             .groupBy("id").agg(F.min("label").alias("label"))).cache()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
+        cur_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = cur_sum
+    if not converged:
         # partially-propagated labels are silently WRONG clusterings;
         # refuse to return them (diameter > max_iter — raise the cap
         # or switch to large-star/small-star for deep graphs)
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
-            f"iterations ({changed} labels still changing)")
+            f"iterations (label sum still decreasing)")
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -121,21 +150,22 @@ def connected_components_star(edges: DataFrame, src: str, dst: str,
     the algorithm).  Returns the same labeling as
     :func:`connected_components` (property-tested equal).
 
-    Each round is lineage-truncated with ``localCheckpoint``:
-    ``cache()`` caps recompute but NOT the analyzed plan, and this
-    loop references the previous round four times (two star sides +
-    the convergence diff), so the plan tree doubles per round — AQE's
-    plan-string rendering alone OOMs the driver by round ~8 without
-    the checkpoint (measured).  On a real cluster use reliable
-    ``checkpoint()`` to survive executor loss on long runs."""
+    Each round is lineage-truncated (reliable ``checkpoint()`` when
+    a checkpoint dir is configured, else ``localCheckpoint`` — see
+    :func:`_truncate`): ``cache()`` caps recompute but NOT the
+    analyzed plan, and this loop references the previous round four
+    times (two star sides + the convergence check), so the plan tree
+    doubles per round — AQE's plan-string rendering alone OOMs the
+    driver by round ~8 without the checkpoint (measured)."""
     e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
           .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()))
     # vertices seen only in self-loops survive as singleton clusters
-    verts = (e0.select(F.col("a").alias("id"))
-             .union(e0.select(F.col("b").alias("id"))).distinct()
-             .localCheckpoint())
-    cur = _canon(e0).localCheckpoint()
-    if cur.isEmpty():
+    verts = _truncate(
+        e0.select(F.col("a").alias("id"))
+        .union(e0.select(F.col("b").alias("id"))).distinct())
+    cur = _truncate(_canon(e0))
+    n_cur = cur.count()
+    if n_cur == 0:
         return verts.withColumn("cluster_id", F.col("id"))
     for _ in range(max_iter):
         sym = (cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -147,11 +177,18 @@ def connected_components_star(edges: DataFrame, src: str, dst: str,
                 .union(after_large.select(F.col("a").alias("v"),
                                           F.col("b").alias("u"))
                        .select("u", "v")))
-        nxt = _canon(_small_star(sym2)).localCheckpoint()
-        changed = (nxt.exceptAll(cur).limit(1).count()
-                   + cur.exceptAll(nxt).limit(1).count())
-        cur = nxt
-        if changed == 0:
+        nxt = _truncate(_canon(_small_star(sym2)))
+        # both sides are DISTINCT canonical edge sets, so set
+        # equality <=> same cardinality AND empty one-sided
+        # difference: one count on checkpointed data + one
+        # existence-probe anti-join, replacing the two exceptAll
+        # set-difference jobs per round (r14)
+        n_nxt = nxt.count()
+        changed = (n_nxt != n_cur
+                   or nxt.join(cur, ["a", "b"], "left_anti")
+                   .limit(1).count() > 0)
+        cur, n_cur = nxt, n_nxt
+        if not changed:
             break
     else:
         raise RuntimeError(

@@ -67,3 +67,25 @@ def test_star_handles_deep_chain(spark):
     got = {(r["id"], r["cluster_id"])
            for r in connected_components_star(chain, "s", "d").collect()}
     assert got == {(i, 200) for i in range(200, 261)}
+
+
+def test_truncate_prefers_reliable_checkpoint_when_configured():
+    """r13 ADVICE: localCheckpoint stores blocks on executors with
+    no lineage — at cluster scale an executor loss would make the
+    edge list unrecoverable, so a configured checkpoint dir must
+    route truncation through reliable checkpoint()."""
+    from unittest.mock import MagicMock
+
+    from energi_data_pipeline_spark.operators.graph import _truncate
+
+    df = MagicMock()
+    df.sparkSession.sparkContext.getCheckpointDir.return_value = "/c"
+    _truncate(df)
+    df.checkpoint.assert_called_once_with(eager=True)
+    df.localCheckpoint.assert_not_called()
+
+    local = MagicMock()
+    local.sparkSession.sparkContext.getCheckpointDir.return_value = None
+    _truncate(local)
+    local.localCheckpoint.assert_called_once_with(eager=True)
+    local.checkpoint.assert_not_called()
