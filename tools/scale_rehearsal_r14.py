@@ -1,0 +1,206 @@
+"""Round-14 scale rehearsal — the r13 verdict's measurement debts.
+
+1. **State-engine amortization rows** (verdict #4): the three
+   remaining >2x entries with >=2s absolutes and no entry-specific
+   resident evidence — `stream_stream_join` (2.13s vs 0.019s),
+   `stream_stream_left_outer`, `stream_sessionization` — measured
+   one-shot (1 trigger, 1 engine start) vs an 8-micro-batch replay
+   of the SAME corpus through ONE engine start (the resident-stream
+   shape), with per-trigger telemetry from the progress history.
+   The per-additional-batch marginal = (wall_b8 - wall_b1) / 7; the
+   claim "the headline wall is engine-start floor, not data work"
+   holds iff marginal << one-shot wall.
+2. **Bounded-broadcast knee at x10** (verdict #6): one MEASURED run
+   of `stream_incremental_lsh_dedup` over the x10 corpus (50k docs)
+   as a single production-sized trigger with the budget pinned
+   under the trigger's estimated bytes
+   (SPARK_GRAFT_BCAST_BUDGET_BYTES) — the gate log must show the
+   band-probe hint REFUSED (plan degrades to AQE) and the stream
+   still completes correctly; a control run at the default budget
+   shows the hinted plan.  Complements the plan-pinned unit tests
+   with a measured x10 data point.
+
+(The CC-family HEAD-vs-r12 A/B — verdict #1 — is its own tool,
+tools/ab_cc_r14.py, writing docs/scale_r14/ab_cc.json.)
+
+Writes docs/scale_r14/rehearsal.json (checkpointed per section) and
+prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+OUT = Path(__file__).resolve().parents[1] / "docs" / "scale_r14"
+SF01 = "/root/testdata/sf0.1"
+X10 = "/tmp/scale_r09/x10"
+N_RESIDENT = 8
+
+
+def wait_idle(budget_s: float = 420.0) -> dict:
+    t0 = time.time()
+    while time.time() - t0 < budget_s:
+        l1, l5, _ = os.getloadavg()
+        if l1 < 0.35 and l5 < 0.8:
+            break
+        time.sleep(5)
+    l1, l5, _ = os.getloadavg()
+    return {"waited_s": round(time.time() - t0, 1),
+            "loadavg": [round(l1, 2), round(l5, 2)]}
+
+
+def checkpoint(doc: dict) -> None:
+    OUT.mkdir(parents=True, exist_ok=True)
+    (OUT / "rehearsal.json").write_text(
+        json.dumps(doc, indent=1) + "\n", encoding="utf-8")
+
+
+def main() -> None:
+    from energi_data_pipeline_spark.queries import load_all
+    from energi_data_pipeline_spark.session import get_spark
+    import energi_data_pipeline_spark.queries.streaming as st
+
+    load_all()
+    doc: dict = {"idle_gate": wait_idle()}
+    spark = get_spark("rehearsal-r14")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # ---- 1. state-engine amortization -----------------------------
+    def timed(mk, reps=2):
+        walls, telem = [], []
+        for _ in range(reps):
+            bt: list = []
+            t0 = time.perf_counter()
+            mk(bt).write.format("noop").mode("overwrite").save()
+            walls.append(round(time.perf_counter() - t0, 2))
+            telem.append(bt)
+            spark.catalog.clearCache()
+        return walls, telem
+
+    amort: dict = {}
+    cases = {
+        "stream_stream_join": lambda nb: (
+            lambda bt: st.stream_stream_join(
+                spark, SF01, n_batches=nb, batch_times=bt)),
+        "stream_stream_left_outer": lambda nb: (
+            lambda bt: st.stream_stream_left_outer(
+                spark, SF01, n_batches=nb, batch_times=bt)),
+    }
+    # sessionization goes through its runner (the registry entry is
+    # the nb=1 shape); slices via the shared ascending-ts slicer
+    import shutil
+    import tempfile
+
+    def sessionize_case(nb):
+        def run(bt):
+            if nb == 1:
+                return st.run_sessionize_stream(
+                    spark, SF01, batch_times=bt)
+            src = st._sliced_events_src(spark, SF01, nb)
+            try:
+                return st.run_sessionize_stream(
+                    spark, src, glob="*.parquet",
+                    max_files_per_trigger=1,
+                    checkpoint=tempfile.mkdtemp(prefix="sess_ck_"),
+                    batch_times=bt)
+            finally:
+                shutil.rmtree(src, ignore_errors=True)
+        return run
+
+    cases["stream_sessionization"] = sessionize_case
+    # warm each code path once at the smallest SF (codegen, engine
+    # init) so the timed runs measure steady shapes
+    for name, mk in cases.items():
+        try:
+            mk(1)([]).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+        spark.catalog.clearCache()
+    for name, mk in cases.items():
+        w1, t1 = timed(mk(1))
+        wN, tN = timed(mk(N_RESIDENT))
+        marginal = round((min(wN) - min(w1)) / (N_RESIDENT - 1), 3)
+        amort[name] = {
+            "one_shot_walls_s": w1,
+            f"b{N_RESIDENT}_walls_s": wN,
+            "one_shot_min_s": min(w1),
+            f"b{N_RESIDENT}_min_s": min(wN),
+            "per_extra_batch_marginal_s": marginal,
+            "one_shot_batch_telemetry": t1[0],
+            f"b{N_RESIDENT}_batch_telemetry": tN[
+                wN.index(min(wN))],
+            "floor_bound": marginal < 0.5 * min(w1),
+        }
+        doc["state_engine_amortization"] = amort
+        checkpoint(doc)
+
+    # ---- 2. bounded-broadcast knee at x10 --------------------------
+    if os.path.isdir(X10):
+        knee: dict = {}
+        for label, budget in (("default_budget", None),
+                              ("pinned_budget_8mb", 8_000_000)):
+            st._BCAST_GATE_LOG = []
+            if budget is not None:
+                os.environ["SPARK_GRAFT_BCAST_BUDGET_BYTES"] = \
+                    str(budget)
+            try:
+                t0 = time.perf_counter()
+                out = st.stream_incremental_lsh_dedup(
+                    spark, X10, n_batches=1)
+                out.write.format("noop").mode("overwrite").save()
+                wall = round(time.perf_counter() - t0, 2)
+                n_dups = out.filter("is_dup_of_earlier").count()
+                rows = out.count()
+            finally:
+                os.environ.pop("SPARK_GRAFT_BCAST_BUDGET_BYTES", None)
+            log = st._BCAST_GATE_LOG
+            st._BCAST_GATE_LOG = None
+            knee[label] = {
+                "wall_s": wall, "rows": rows, "n_dups": n_dups,
+                "gate_decisions": log,
+                "any_refused": any(not g["hinted"] for g in log),
+            }
+            spark.catalog.clearCache()
+            doc["bcast_knee_x10"] = knee
+            checkpoint(doc)
+        same = (knee["default_budget"]["rows"]
+                == knee["pinned_budget_8mb"]["rows"]
+                and knee["default_budget"]["n_dups"]
+                == knee["pinned_budget_8mb"]["n_dups"])
+        knee["results_identical"] = same
+        knee["note"] = (
+            "single production-sized trigger over the 50k-doc x10 "
+            "corpus; pinned run must REFUSE at least one batch-side "
+            "hint (any_refused) and produce identical results — the "
+            "gate changes the plan, never the relation")
+        doc["bcast_knee_x10"] = knee
+        checkpoint(doc)
+    else:
+        doc["bcast_knee_x10"] = {"skipped": f"{X10} absent"}
+        checkpoint(doc)
+
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    print(json.dumps({
+        "amortization": {
+            n: {"one_shot_min_s": r["one_shot_min_s"],
+                f"b{N_RESIDENT}_min_s": r[f"b{N_RESIDENT}_min_s"],
+                "marginal_s": r["per_extra_batch_marginal_s"],
+                "floor_bound": r["floor_bound"]}
+            for n, r in amort.items()},
+        "bcast_knee_x10": {
+            k: {kk: vv for kk, vv in v.items()
+                if kk in ("wall_s", "rows", "n_dups", "any_refused")}
+            for k, v in doc["bcast_knee_x10"].items()
+            if isinstance(v, dict)},
+    }, separators=(",", ":")), flush=True)
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
