@@ -143,7 +143,7 @@ def main() -> None:
     if os.path.isdir(X10):
         knee: dict = {}
         for label, budget in (("default_budget", None),
-                              ("pinned_budget_8mb", 8_000_000)):
+                              ("pinned_budget_4mb", 4_000_000)):
             st._BCAST_GATE_LOG = []
             if budget is not None:
                 os.environ["SPARK_GRAFT_BCAST_BUDGET_BYTES"] = \
@@ -169,9 +169,9 @@ def main() -> None:
             doc["bcast_knee_x10"] = knee
             checkpoint(doc)
         same = (knee["default_budget"]["rows"]
-                == knee["pinned_budget_8mb"]["rows"]
+                == knee["pinned_budget_4mb"]["rows"]
                 and knee["default_budget"]["n_dups"]
-                == knee["pinned_budget_8mb"]["n_dups"])
+                == knee["pinned_budget_4mb"]["n_dups"])
         knee["results_identical"] = same
         knee["note"] = (
             "single production-sized trigger over the 50k-doc x10 "
