@@ -37,10 +37,16 @@ BASELINE_PATH = ROOT / "docs" / "sweep_steady_baseline.json"
 
 def main() -> None:
     pinned: dict = {}
+    meta_extras: dict = {}
     if BASELINE_PATH.exists():
         old = json.loads(BASELINE_PATH.read_text(encoding="utf-8"))
         pinned = {n: r for n, r in old.get("entries", {}).items()
                   if r.get("pinned")}
+        # preserve annotation blocks (e.g. _adjudicated_floors)
+        # across rebuilds — they are adjudication state, not samples
+        meta_extras = {k: v for k, v in old.items()
+                       if k.startswith("_")
+                       and k not in ("_doc", "_sources")}
     samples: dict[str, list[float]] = {}
     srcs = []
     for arg in sys.argv[1:]:
@@ -63,6 +69,7 @@ def main() -> None:
                     "preserved verbatim across rebuilds (historical "
                     "minima known-contaminated)."),
            "_sources": srcs,
+           **meta_extras,
            "entries": entries}
     BASELINE_PATH.write_text(
         json.dumps(doc, indent=1, sort_keys=True) + "\n",
