@@ -348,7 +348,12 @@ def capture_weather(duck_total_ex: float, ex_names: set[str],
         own = d.get("capture_weather") or {}
         if own.get("verdict") == "DEGRADED_BOX":
             continue
-        m = re.search(r"r(\d+)", str(p))
+        # round number from the ROOT-relative path (review r14: a
+        # match over the absolute path would hit an 'r<digit>' in an
+        # ancestor dir, e.g. /home/user2/, and poison every ref's
+        # round); relative also covers docs/scale_rNN/ names that
+        # carry no rNN in the basename
+        m = re.search(r"r(\d+)", str(p.relative_to(root)))
         refs.append((int(m.group(1)) if m else 0, p.name, float(v)))
     # bound the reference set to the newest rounds so a permanent
     # environment change re-baselines within WEATHER_MAX_REFS

@@ -28,7 +28,16 @@ def _truncate(df: DataFrame) -> DataFrame:
     loss makes the data unrecoverable and fails the job (r13
     ADVICE); a long-running 100 TB CC job must survive that.  In
     local mode (no dir configured, executors are the driver
-    process) the cheaper localCheckpoint is equivalent."""
+    process) the cheaper localCheckpoint is equivalent.
+
+    Storage note for cluster deployments (review r14): Spark keeps
+    reliable checkpoint files until application exit unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    START-TIME conf) is set — a deep graph checkpoints every round,
+    so without it a long CC job accumulates O(rounds x edge-set)
+    files in the checkpoint store.  Set it on any session that
+    configures a checkpoint dir for these loops; our own session
+    factory does (session.py)."""
     sc = df.sparkSession.sparkContext
     try:
         reliable = sc.getCheckpointDir() is not None
@@ -68,11 +77,36 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
 
+    from pyspark.sql import types as T
+
+    numeric_labels = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.DecimalType))
+
     def _label_sum(df: DataFrame):
         # exact DECIMAL(38,0) sum: overflow-free for any realistic
-        # id space, and bit-exact so sum-equality is a proof
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))
-                      ).first()[0]
+        # id space, and bit-exact so sum-equality is a proof.
+        # Numeric ids ONLY — a string id would cast to NULL (ANSI
+        # off) and every round's sum would read None, silently
+        # "converging" after round 1 (review r14); non-numeric ids
+        # take the type-agnostic changed-count path below.
+        s = df.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                   ).first()[0]
+        if s is None and not df.isEmpty():
+            raise AssertionError(
+                "label sum is NULL on a non-empty frame — numeric "
+                "label cast produced NULLs; convergence proof is "
+                "invalid for this id type")
+        return s
+
+    def _changed_count(new: DataFrame, old: DataFrame) -> int:
+        # type-agnostic fixpoint check for non-numeric ids: one
+        # join + count of changed labels (also populates new's
+        # cache, like the sum action does)
+        return (new.alias("n").join(old.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count())
 
     # convergence via MONOTONE label sums (r14): each round's label
     # is min(own, neighbors') with the old label in the union, so
@@ -84,7 +118,9 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # build/broadcast of the old labels every round).  Interleaved
     # A/B vs the pre-change tree (docs/scale_r14/ab_convergence.
     # json, duck spread 1.145): 0.905x min / consumers ~0.92x.
-    prev_sum = _label_sum(labels)
+    prev_sum = _label_sum(labels) if numeric_labels else None
+    if not numeric_labels:
+        labels.count()  # populate the cache (the sum action would)
     converged = False
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.v == labels.id)
@@ -92,13 +128,17 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         new_labels = (
             labels.select("id", "label").union(neigh)
             .groupBy("id").agg(F.min("label").alias("label"))).cache()
-        cur_sum = _label_sum(new_labels)
+        if numeric_labels:
+            cur_sum = _label_sum(new_labels)
+            done = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            done = _changed_count(new_labels, labels) == 0
         labels.unpersist()
         labels = new_labels
-        if cur_sum == prev_sum:
+        if done:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         # partially-propagated labels are silently WRONG clusterings;
         # refuse to return them (diameter > max_iter — raise the cap

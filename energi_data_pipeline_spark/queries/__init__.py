@@ -241,23 +241,42 @@ _DRIVER_VERIFIED = frozenset({
 #: entries landed green in CORRECTNESS_r11 (50/50, zero err);
 #: promoted into _DRIVER_VERIFIED.  The window now pins the
 #: round-12 touched entries.
-_VERIFY_FRONT_WINDOW: tuple[str, ...] = (
+#: entries whose implementation or a transitively-shared helper was
+#: REWRITTEN this round — the r08+ convention: changed code gets a
+#: fresh driver row before the green backlog, even when pytest and
+#: driver_sim already cover it (review r14: the first draft of this
+#: rotation mislabeled the CC convergence rewrite as "does not alter
+#: results" and rotated its consumers out of the window).
+_VERIFY_CHANGED_PINS: tuple[str, ...] = (
+    # r14: min-label convergence now proves fixpoint via monotone
+    # DECIMAL label sums (numeric ids) with a changed-count fallback
+    # (string ids) — a semantic rewrite of the termination condition
+    # shared by every CC consumer (the _star variant's count +
+    # anti-join fixpoint check is equally new, and _star is already
+    # in the stale fill below)
+    "dedup_connected_components", "dedup_cluster_keep_best",
+    "dedup_cluster_size_histogram", "curation_cluster_representatives",
+    # r14: ascending-ts n_batches replay refactor touched the
+    # one-trigger code path of both stream-stream joins and the
+    # sessionize runner (join + sessionization are in the stale fill)
+    "stream_stream_left_outer",
+    # r14: kmeans magnitude guard now runs inside the production
+    # function body; index streams' broadcast estimates re-derived
+    # from schemas (_est_row_bytes)
+    "sims_kmeans_lloyd",
+    "stream_incremental_lsh_dedup", "stream_incremental_embedding_index",
+)
+
+_VERIFY_FRONT_WINDOW: tuple[str, ...] = _VERIFY_CHANGED_PINS + (
     # ROUND-14 ROTATION: all 7 r13 pins landed green in
     # CORRECTNESS_r13 (50/50, zero err).  The r13 verdict's one
     # process gap is verification STALENESS: 79 of 209 entries have
     # no driver-issued green row newer than r04 (recomputed from the
-    # CORRECTNESS_r01..r13 files: r02 ×8, r03 ×49, r04 ×22).  This
-    # window therefore pins the 50 STALEST entries, oldest round
-    # first then name order — the 8 r02 rows, then 42 of the 49 r03
-    # rows.  The remaining 29 (7 r03 tpch/dedup rows + the 22 r04
-    # rows) are the round-15 window.
-    #
-    # Round-14 code changes (graph.py reliable-persist swap,
-    # unconditional kmeans magnitude guard, streaming byte-per-row
-    # derivation) are assertion/persistence/calibration changes that
-    # do not alter query RESULTS; their consumers are covered by the
-    # full driver_sim at sf0.01 plus pytest, and several are in this
-    # window anyway (_star, stream_* family).
+    # CORRECTNESS_r01..r13 files: r02 ×8, r03 ×49, r04 ×22).  After
+    # the 8 changed-code pins above, the window fills with the 42
+    # STALEST entries, oldest round first then name order — the 8
+    # r02 rows, then 34 of the 49 r03 rows.  The remaining 37 stale
+    # entries are the round-15 window.
     "dedup_connected_components_star",
     "mm_binary_metadata",
     "sessionization_batch",
@@ -300,14 +319,6 @@ _VERIFY_FRONT_WINDOW: tuple[str, ...] = (
     "mm_audio_rms",
     "mm_decode_features",
     "mm_frame_sample",
-    "mm_resize_stride",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q1_pricing_summary",
 )
 
 

@@ -95,23 +95,34 @@ def _sliced_events_src(spark, sf_dir: str, n_batches: int) -> str:
     from pyspark.sql import Window
 
     src = tempfile.mkdtemp(prefix="events_slices_")
-    d = spark.read.option("pathGlobFilter", "events.parquet") \
-        .parquet(sf_dir)
-    dn = d.withColumn(
-        "_b", F.ntile(n_batches).over(
-            Window.orderBy("ts", "event_id")))
-    now = 1_700_000_000
-    for b in range(1, n_batches + 1):
-        stage = tempfile.mkdtemp(prefix="events_slice_stage_")
-        (dn.filter(F.col("_b") == b).drop("_b")
-         .coalesce(1).write.mode("overwrite").parquet(stage))
-        part = next(f for f in os.listdir(stage)
-                    if f.endswith(".parquet"))
-        dst = os.path.join(src, f"batch{b:03d}.parquet")
-        shutil.move(os.path.join(stage, part), dst)
-        os.utime(dst, (now + 100 * b, now + 100 * b))
-        shutil.rmtree(stage, ignore_errors=True)
-    return src
+    try:
+        d = spark.read.option("pathGlobFilter", "events.parquet") \
+            .parquet(sf_dir)
+        # materialize the ntile assignment ONCE: the global sort is
+        # the dominant slicing cost, and without the checkpoint each
+        # per-slice write would re-execute it (review r14)
+        dn = d.withColumn(
+            "_b", F.ntile(n_batches).over(
+                Window.orderBy("ts", "event_id"))) \
+            .localCheckpoint(eager=True)
+        now = 1_700_000_000
+        for b in range(1, n_batches + 1):
+            stage = tempfile.mkdtemp(prefix="events_slice_stage_")
+            try:
+                (dn.filter(F.col("_b") == b).drop("_b")
+                 .coalesce(1).write.mode("overwrite").parquet(stage))
+                part = next(f for f in os.listdir(stage)
+                            if f.endswith(".parquet"))
+                dst = os.path.join(src, f"batch{b:03d}.parquet")
+                shutil.move(os.path.join(stage, part), dst)
+                os.utime(dst, (now + 100 * b, now + 100 * b))
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+        dn.unpersist()
+        return src
+    except BaseException:
+        shutil.rmtree(src, ignore_errors=True)
+        raise
 
 
 def _record_batch_times(q, batch_times: list | None) -> None:
@@ -579,40 +590,43 @@ def stream_stream_join(spark, sf_dir, n_batches: int = 1,
     schema = _stream_schema(spark, path)
     sink = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
     src_dir, glob = sf_dir, "events.parquet"
-    if n_batches > 1:
-        src_dir, glob = _sliced_events_src(spark, sf_dir,
-                                           n_batches), "*.parquet"
-
-    def side(event_type, ts_alias, user_alias):
-        reader = spark.readStream.schema(schema) \
-            .option("pathGlobFilter", glob)
+    try:  # rmtree in finally: no leak window after slicing
         if n_batches > 1:
-            reader = reader.option("maxFilesPerTrigger", "1")
-        return (
-            _with_event_time(reader.parquet(src_dir), ltz=True)
-            .filter(F.col("event_type") == event_type)
-            .select(F.col("user_id").alias(user_alias),
-                    F.col("ts").alias(ts_alias))
-            .withWatermark(ts_alias, "1 hour"))
+            src_dir, glob = _sliced_events_src(
+                spark, sf_dir, n_batches), "*.parquet"
 
-    clicks = side("click", "click_ts", "user_id")
-    purchases = side("purchase", "purchase_ts", "p_user_id")
-    joined = (
-        clicks.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user_id"))
-            & (F.col("purchase_ts") >= F.col("click_ts"))
-            & (F.col("purchase_ts")
-               <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
-        .select("user_id", "click_ts", "purchase_ts"))
-    prev = _stateful_shuffle_partitions(spark, path)
-    try:
-        q = (joined.writeStream.format("memory").queryName(sink)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-        _record_batch_times(q, batch_times)
+        def side(event_type, ts_alias, user_alias):
+            reader = spark.readStream.schema(schema) \
+                .option("pathGlobFilter", glob)
+            if n_batches > 1:
+                reader = reader.option("maxFilesPerTrigger", "1")
+            return (
+                _with_event_time(reader.parquet(src_dir), ltz=True)
+                .filter(F.col("event_type") == event_type)
+                .select(F.col("user_id").alias(user_alias),
+                        F.col("ts").alias(ts_alias))
+                .withWatermark(ts_alias, "1 hour"))
+
+        clicks = side("click", "click_ts", "user_id")
+        purchases = side("purchase", "purchase_ts", "p_user_id")
+        joined = (
+            clicks.join(
+                purchases,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (F.col("purchase_ts")
+                   <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+            .select("user_id", "click_ts", "purchase_ts"))
+        prev = _stateful_shuffle_partitions(spark, path)
+        try:
+            q = (joined.writeStream.format("memory").queryName(sink)
+                 .outputMode("append").trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            _record_batch_times(q, batch_times)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
         if src_dir != sf_dir:
             shutil.rmtree(src_dir, ignore_errors=True)
     return spark.table(sink)
@@ -830,41 +844,44 @@ def stream_stream_left_outer(spark, sf_dir, n_batches: int = 1,
     schema = _stream_schema(spark, path)
     sink = f"stream_ssleft_{uuid.uuid4().hex[:8]}"
     src_dir, glob = sf_dir, "events.parquet"
-    if n_batches > 1:
-        src_dir, glob = _sliced_events_src(spark, sf_dir,
-                                           n_batches), "*.parquet"
-
-    def side(event_type, ts_alias, user_alias):
-        reader = spark.readStream.schema(schema) \
-            .option("pathGlobFilter", glob)
+    try:  # rmtree in finally: no leak window after slicing
         if n_batches > 1:
-            reader = reader.option("maxFilesPerTrigger", "1")
-        return (
-            _with_event_time(reader.parquet(src_dir), ltz=True)
-            .filter(F.col("event_type") == event_type)
-            .select(F.col("user_id").alias(user_alias),
-                    F.col("ts").alias(ts_alias))
-            .withWatermark(ts_alias, "1 hour"))
+            src_dir, glob = _sliced_events_src(
+                spark, sf_dir, n_batches), "*.parquet"
 
-    clicks = side("click", "click_ts", "user_id")
-    purchases = side("purchase", "purchase_ts", "p_user_id")
-    joined = (
-        clicks.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user_id"))
-            & (F.col("purchase_ts") >= F.col("click_ts"))
-            & (F.col("purchase_ts")
-               <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
-            "left_outer")
-        .select("user_id", "click_ts", "purchase_ts"))
-    prev = _stateful_shuffle_partitions(spark, path)
-    try:
-        q = (joined.writeStream.format("memory").queryName(sink)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-        _record_batch_times(q, batch_times)
+        def side(event_type, ts_alias, user_alias):
+            reader = spark.readStream.schema(schema) \
+                .option("pathGlobFilter", glob)
+            if n_batches > 1:
+                reader = reader.option("maxFilesPerTrigger", "1")
+            return (
+                _with_event_time(reader.parquet(src_dir), ltz=True)
+                .filter(F.col("event_type") == event_type)
+                .select(F.col("user_id").alias(user_alias),
+                        F.col("ts").alias(ts_alias))
+                .withWatermark(ts_alias, "1 hour"))
+
+        clicks = side("click", "click_ts", "user_id")
+        purchases = side("purchase", "purchase_ts", "p_user_id")
+        joined = (
+            clicks.join(
+                purchases,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (F.col("purchase_ts")
+                   <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+                "left_outer")
+            .select("user_id", "click_ts", "purchase_ts"))
+        prev = _stateful_shuffle_partitions(spark, path)
+        try:
+            q = (joined.writeStream.format("memory").queryName(sink)
+                 .outputMode("append").trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            _record_batch_times(q, batch_times)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
         if src_dir != sf_dir:
             shutil.rmtree(src_dir, ignore_errors=True)
     return spark.table(sink)

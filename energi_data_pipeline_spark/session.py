@@ -103,6 +103,14 @@ def get_spark(app_name: str = "energi-data-pipeline-spark",
         # under 10 MB, so small-dim broadcasts are unaffected; truly
         # bounded dims (nation/region) are hinted explicitly.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # start-time conf: reliable checkpoints from iterative graph
+        # loops (operators/graph.py:_truncate) are garbage-collected
+        # with their RDDs instead of accumulating O(rounds x
+        # edge-set) files until application exit — inert in local
+        # mode (no checkpoint dir => localCheckpoint), essential on
+        # a cluster deployment that configures one (review r14)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints",
+                "true")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -164,6 +164,22 @@ class TestCaptureWeather:
         assert w["trailing_median_s"] == 14.0  # old epoch aged out
         assert w["capture_degraded"] is False
 
+    def test_round_parse_ignores_ancestor_dirs(self, tmp_path):
+        # review r14: the recency sort must parse rounds from the
+        # root-RELATIVE path — an 'r<digit>' in an ancestor dir
+        # (e.g. /home/user2/) would otherwise poison every ref
+        from bench import WEATHER_MAX_REFS
+        root = tmp_path / "checkout-r2" / "repo"
+        root.mkdir(parents=True)
+        # an old fast epoch that must age out of the bounded set
+        _ref(root / "BENCH_r01.json", self.Q, ["c"], 3.0)
+        for i in range(2, 2 + WEATHER_MAX_REFS):
+            _ref(root / f"BENCH_r{i:02d}.json", self.Q, ["c"], 14.0)
+        w = capture_weather(14.0, {"a", "b"}, 0.1, root=root)
+        assert w["n_reference_captures"] == WEATHER_MAX_REFS
+        assert "BENCH_r01.json" not in w["reference_captures"]
+        assert w["trailing_median_s"] == 14.0
+
     def test_unreadable_reference_skipped(self, tmp_path):
         (tmp_path / "BENCH_r01.json").write_text("{not json",
                                                  encoding="utf-8")

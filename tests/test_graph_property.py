@@ -89,3 +89,22 @@ def test_truncate_prefers_reliable_checkpoint_when_configured():
     _truncate(local)
     local.localCheckpoint.assert_called_once_with(eager=True)
     local.checkpoint.assert_not_called()
+
+
+def test_connected_components_string_ids_chain(spark):
+    """Review r14: the DECIMAL label-sum convergence proof is only
+    valid for numeric ids — a string id casts to NULL and every
+    round's sum reads None, which would silently 'converge' after
+    one round.  String-keyed graphs must take the type-agnostic
+    changed-count path and still propagate a multi-round chain."""
+    from energi_data_pipeline_spark.operators.graph import (
+        connected_components)
+
+    # chain m5 of hex-ish ids: needs >1 propagation round
+    edges = spark.createDataFrame(
+        [("dd", "cc"), ("cc", "bb"), ("bb", "aa"), ("ff", "ee")],
+        ["src", "dst"])
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components(edges, "src", "dst").collect()}
+    assert got == {("aa", "aa"), ("bb", "aa"), ("cc", "aa"),
+                   ("dd", "aa"), ("ee", "ee"), ("ff", "ee")}

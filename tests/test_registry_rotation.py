@@ -21,6 +21,7 @@ import re
 
 from energi_data_pipeline_spark.queries import (
     _DRIVER_VERIFIED,
+    _VERIFY_CHANGED_PINS,
     _VERIFY_FRONT_WINDOW,
     load_all,
 )
@@ -47,13 +48,20 @@ def _last_green_round(max_round: int | None = None) -> dict[str, int]:
     return last
 
 
-def _stalest_50(max_round: int | None = None) -> list[str]:
+def _expected_window(max_round: int | None = None) -> list[str]:
+    """Changed-code pins first (the r08+ convention: a rewritten
+    operator earns a fresh driver row before the green backlog),
+    then the stalest fill to 50, oldest round then name order,
+    skipping entries already pinned."""
     last = _last_green_round(max_round)
-    return sorted(last, key=lambda n: (last[n], n))[:50]
+    fill = [n for n in sorted(last, key=lambda n: (last[n], n))
+            if n not in _VERIFY_CHANGED_PINS]
+    return list(_VERIFY_CHANGED_PINS) + \
+        fill[:50 - len(_VERIFY_CHANGED_PINS)]
 
 
-def test_window_is_exactly_the_50_stalest_entries():
-    # The window must match the 50-stalest set computed from the
+def test_window_is_pins_plus_stalest_fill():
+    # The window must match pins + stalest-fill computed from the
     # committed CORRECTNESS files — either all of them, or all but
     # the newest round's file: the external driver writes
     # CORRECTNESS_r{N}.json at round wrap-up, AFTER the round's last
@@ -61,16 +69,22 @@ def test_window_is_exactly_the_50_stalest_entries():
     # the window until the next round rotates it.  Anything staler
     # than that one-round lag fails.
     window = list(_VERIFY_FRONT_WINDOW)
-    if window == _stalest_50():
+    if window == _expected_window():
         return
     rounds = sorted(
         int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    assert rounds and window == _stalest_50(rounds[-1] - 1), (
-        "front window matches neither the current 50-stalest set nor "
-        "the pre-wrap-up one — recompute from CORRECTNESS_r*.json "
-        "when rotating"
+    assert rounds and window == _expected_window(rounds[-1] - 1), (
+        "front window matches neither pins+stalest-fill for the "
+        "current CORRECTNESS files nor for the pre-wrap-up state — "
+        "recompute when rotating"
     )
+
+
+def test_window_holds_50_entries_and_pins_lead():
+    assert len(_VERIFY_FRONT_WINDOW) == 50
+    assert _VERIFY_FRONT_WINDOW[:len(_VERIFY_CHANGED_PINS)] == \
+        _VERIFY_CHANGED_PINS
 
 
 def test_load_all_puts_window_first_and_covers_registry():

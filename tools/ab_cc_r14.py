@@ -44,12 +44,8 @@ _CHILD = r"""
 import sys, time, json, os
 sys.path.insert(0, {root!r})
 sys.path.insert(0, {root_tests!r})
-t0 = time.time()
-while time.time() - t0 < 420:
-    l1, l5, _ = os.getloadavg()
-    if l1 < 0.35 and l5 < 0.8:
-        break
-    time.sleep(5)
+import bench
+bench.wait_for_idle()  # the repo's one idle gate (review r14)
 import duckdb
 def duck_control():
     # fixed single-threaded CPU workload, data-independent: a pure
