@@ -79,10 +79,17 @@ def connected_components(edges: DataFrame, src: str, dst: str,
 
     from pyspark.sql import types as T
 
-    numeric_labels = isinstance(
-        labels.schema["label"].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-         T.DecimalType))
+    _lt = labels.schema["label"].dataType
+    # integral types only: a DECIMAL with nonzero scale would be
+    # ROUNDED by the cast('decimal(38,0)') below, so two rounds whose
+    # labels still decrease fractionally (5.4 -> 5.2) could produce
+    # equal sums and falsely prove convergence (r14 ADVICE) —
+    # fractional-decimal ids take the type-agnostic changed-count
+    # path instead.
+    numeric_labels = (
+        isinstance(_lt, (T.ByteType, T.ShortType, T.IntegerType,
+                         T.LongType))
+        or (isinstance(_lt, T.DecimalType) and _lt.scale == 0))
 
     def _label_sum(df: DataFrame):
         # exact DECIMAL(38,0) sum: overflow-free for any realistic

@@ -1927,10 +1927,35 @@ KMEANS_ITERS = 2
 _KMEANS_CHAIN_DEPTH = 4
 
 #: corpora whose components already passed the magnitude guard this
-#: session (the check is a data property of the corpus dir, so one
-#: green reading per dir suffices — r13 ADVICE: the guard runs on
-#: the PRODUCTION path, not behind a debug env var)
-_KMEANS_MAG_OK: set[str] = set()
+#: session (the check is a data property of the corpus FILES, so one
+#: green reading per physical corpus suffices — r13 ADVICE: the
+#: guard runs on the PRODUCTION path, not behind a debug env var).
+#: Keyed on (dir, file size/mtime fingerprint), NOT the path alone:
+#: a corpus rewritten in-place (tmp-dir reuse in tests, a refreshed
+#: corpus in a long-lived service) must re-earn its green reading
+#: (r14 ADVICE).
+_KMEANS_MAG_OK: set[tuple] = set()
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(sf_dir, (name, size, mtime_ns)...) for the embeddings parquet
+    file/dir — cheap stat-only identity of the physical corpus."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ents = []
+    try:
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                ents.append((name, st.st_size, st.st_mtime_ns))
+        else:
+            st = os.stat(path)
+            ents.append(("", st.st_size, st.st_mtime_ns))
+    except OSError:
+        # unstat-able corpus -> unique key, never memo-hits
+        ents.append(("?", -1, id(object())))
+    return (sf_dir, tuple(ents))
 
 
 def _assert_kmeans_magnitude(vlong, sf_dir: str) -> None:
@@ -1940,8 +1965,9 @@ def _assert_kmeans_magnitude(vlong, sf_dir: str) -> None:
     under 2^53, i.e. max|v| <= sqrt(2^53 / (4e8*dim)) (centroids are
     means of components, so |v-c| <= 2*max|v|); asserted at half the
     derived bound for margin.  One cheap agg over the already-cached
-    vlong, memoized per corpus dir (success only)."""
-    if sf_dir in _KMEANS_MAG_OK:
+    vlong, memoized per corpus fingerprint (success only)."""
+    key = _corpus_fingerprint(sf_dir)
+    if key in _KMEANS_MAG_OK:
         return
     row = vlong.agg(
         F.max(F.abs(F.col("v"))).alias("m"),
@@ -1956,7 +1982,7 @@ def _assert_kmeans_magnitude(vlong, sf_dir: str) -> None:
             f"longer provably equal to the DECIMAL(38,10) oracle; "
             f"rescale the corpus or lower the scale factor (see "
             f"derivation in sims_kmeans_lloyd)")
-    _KMEANS_MAG_OK.add(sf_dir)
+    _KMEANS_MAG_OK.add(key)
 
 
 def _kmeans_oracle() -> str:

@@ -94,6 +94,45 @@ class TestBurstDefense:
         assert not _needs_burst_rerun([])
 
 
+class TestCompactLine:
+    def test_fits_within_budget_by_dropping_lowest_priority(self):
+        # r14 verdict #4: BENCH_r13/r14 carried parsed:null because
+        # the compact line crept past the driver's 2000-char tail —
+        # the emitter must enforce the budget structurally
+        from bench import fit_compact_line
+        core = {"metric": "m", "value": 1.0,
+                "queries": {f"q{i:03d}": 1.23 for i in range(60)}}
+        optional = [("keep_me", {"a": 1}),
+                    ("mid", {"b": list(range(50))}),
+                    ("drop_first", {"c": ["x" * 400]})]
+        line, dropped = fit_compact_line(core, optional, budget=1600)
+        assert len(line) <= 1600
+        d = json.loads(line)
+        assert d["queries"]["q059"] == 1.23  # core survives intact
+        assert "keep_me" in d
+        assert dropped and dropped[0] == "drop_first"
+
+    def test_no_drop_when_it_fits(self):
+        from bench import fit_compact_line
+        line, dropped = fit_compact_line(
+            {"a": 1}, [("b", 2), ("c", 3)], budget=2000)
+        assert json.loads(line) == {"a": 1, "b": 2, "c": 3}
+        assert dropped == []
+
+    def test_core_alone_over_budget_still_emits(self):
+        # the guard never raises mid-capture: a pathological core
+        # emits as-is (BENCH_LAST.json remains the durable record)
+        from bench import fit_compact_line
+        core = {"queries": {f"q{i}": 1.0 for i in range(500)}}
+        line, dropped = fit_compact_line(core, [("x", 1)], budget=100)
+        assert json.loads(line) == core
+        assert dropped == ["x"]
+
+    def test_default_budget_under_driver_tail(self):
+        from bench import COMPACT_LINE_BUDGET
+        assert COMPACT_LINE_BUDGET <= 1950  # driver keeps last 2000
+
+
 def _ref(path: Path, queries: dict, outliers: list,
          duck_ex: float, sf: float = 0.1, wrap: bool = False):
     d = {"queries": queries, "outliers_dropped": outliers,
@@ -146,6 +185,55 @@ class TestCaptureWeather:
         w = capture_weather(18.6, {"a", "b"}, 0.1, root=tmp_path)
         assert w["n_reference_captures"] == 3  # degraded ref excluded
         assert w["capture_degraded"] is True   # 18.6 vs median 14.0
+
+    def test_sustained_degradation_rebaselines(self, tmp_path):
+        # r14 ADVICE: after WEATHER_REBASELINE_AFTER consecutive
+        # DEGRADED_BOX captures, the degraded refs age back into the
+        # pool (sustained degradation IS the new epoch) — otherwise a
+        # permanent >1.3x slowdown flags every future capture forever
+        from bench import WEATHER_REBASELINE_AFTER
+        for i, v in enumerate([7.0, 7.1, 6.9]):
+            _ref(tmp_path / f"BENCH_r{i:02d}.json", self.Q, ["c"], v)
+        for i in range(WEATHER_REBASELINE_AFTER):
+            d = {"queries": self.Q, "outliers_dropped": ["c"],
+                 "duckdb_total_ex_outlier": 14.0, "sf": 0.1,
+                 "capture_weather": {"verdict": "DEGRADED_BOX"}}
+            (tmp_path / f"BENCH_r{10 + i:02d}.json").write_text(
+                json.dumps(d), encoding="utf-8")
+        w = capture_weather(14.0, {"a", "b"}, 0.1, root=tmp_path)
+        # degraded refs are back in: 3x 7.0 + 3x 14.0 -> median 10.5,
+        # 14.0/10.5 = 1.33 is right at the boundary; what matters is
+        # the pool size (6, not 3) and that ANOTHER degraded-epoch
+        # capture eventually reads normal as the old epoch ages out
+        assert w["n_reference_captures"] == 3 + WEATHER_REBASELINE_AFTER
+        # one round later the old epoch is mostly gone
+        for i in range(WEATHER_REBASELINE_AFTER):
+            d = {"queries": self.Q, "outliers_dropped": ["c"],
+                 "duckdb_total_ex_outlier": 14.0, "sf": 0.1,
+                 "capture_weather": {"verdict": "DEGRADED_BOX"}}
+            (tmp_path / f"BENCH_r{20 + i:02d}.json").write_text(
+                json.dumps(d), encoding="utf-8")
+        w2 = capture_weather(14.0, {"a", "b"}, 0.1, root=tmp_path)
+        assert w2["trailing_median_s"] == 14.0
+        assert w2["capture_degraded"] is False
+
+    def test_brief_degradation_still_excluded(self, tmp_path):
+        # fewer than WEATHER_REBASELINE_AFTER trailing degraded
+        # captures -> the r13 exclusion still applies (weather, not
+        # a new epoch)
+        from bench import WEATHER_REBASELINE_AFTER
+        assert WEATHER_REBASELINE_AFTER >= 2
+        for i, v in enumerate([7.0, 7.1, 6.9]):
+            _ref(tmp_path / f"BENCH_r{i:02d}.json", self.Q, ["c"], v)
+        for i in range(WEATHER_REBASELINE_AFTER - 1):
+            d = {"queries": self.Q, "outliers_dropped": ["c"],
+                 "duckdb_total_ex_outlier": 14.0, "sf": 0.1,
+                 "capture_weather": {"verdict": "DEGRADED_BOX"}}
+            (tmp_path / f"BENCH_r{10 + i:02d}.json").write_text(
+                json.dumps(d), encoding="utf-8")
+        w = capture_weather(14.0, {"a", "b"}, 0.1, root=tmp_path)
+        assert w["n_reference_captures"] == 3  # degraded still out
+        assert w["capture_degraded"] is True
 
     def test_reference_set_bounded_to_newest(self, tmp_path):
         # r13 ADVICE: the median is over the WEATHER_MAX_REFS newest

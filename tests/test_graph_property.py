@@ -108,3 +108,33 @@ def test_connected_components_string_ids_chain(spark):
            for r in connected_components(edges, "src", "dst").collect()}
     assert got == {("aa", "aa"), ("bb", "aa"), ("cc", "aa"),
                    ("dd", "aa"), ("ee", "ee"), ("ff", "ee")}
+
+
+def test_connected_components_fractional_decimal_ids_chain(spark):
+    """r14 ADVICE: a DECIMAL id with nonzero scale is ROUNDED by the
+    cast('decimal(38,0)') in the label-sum proof, so labels that
+    still decrease fractionally (5.4 -> 5.2) can produce equal sums
+    and falsely signal convergence.  Fractional-decimal ids must
+    take the changed-count path and still propagate a chain whose
+    labels differ only in the fraction."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from energi_data_pipeline_spark.operators.graph import (
+        connected_components)
+
+    # chain 5.4 - 5.3 - 5.2 - 5.1: every id rounds to the SAME
+    # integer 5, so the rounded label sum is constant from round 0 —
+    # the sum proof would declare convergence before propagation
+    sch = T.StructType([
+        T.StructField("src", T.DecimalType(10, 2)),
+        T.StructField("dst", T.DecimalType(10, 2))])
+    d = Decimal
+    edges = spark.createDataFrame(
+        [(d("5.40"), d("5.30")), (d("5.30"), d("5.20")),
+         (d("5.20"), d("5.10"))], sch)
+    got = {(str(r["id"]), str(r["cluster_id"]))
+           for r in connected_components(edges, "src", "dst").collect()}
+    assert got == {("5.10", "5.10"), ("5.20", "5.10"),
+                   ("5.30", "5.10"), ("5.40", "5.10")}
