@@ -183,6 +183,43 @@ def broadcast_budget_bytes(spark, heap_bytes: int | None = None) -> int:
     return min(BCAST_BUDGET_CAP, int(heap * BCAST_HEAP_FRACTION))
 
 
+#: fraction of the (per-JVM) heap one operator-internal cache may
+#: claim IN MEMORY before the persist degrades to DISK_ONLY.  The
+#: cached blocks live in the unified storage pool (evictable by
+#: execution down to spark.memory.storageFraction), so this is a
+#: churn guard, not an OOM guard: past it, memory caching would
+#: thrash eviction instead of helping.
+CACHE_HEAP_FRACTION = 0.25
+
+
+def adaptive_cache_level(spark, est_bytes: int,
+                         heap_bytes: int | None = None):
+    """Storage level for an operator-internal materialization whose
+    estimated size is ``est_bytes``: serialized MEMORY_AND_DISK while
+    it fits CACHE_HEAP_FRACTION of the JVM heap, else DISK_ONLY.
+
+    Rationale (r14 verdict #2 / the r06 materialization story): a
+    corpus-cardinality cache must never become a pinned-executor-
+    memory requirement, but an unconditional DISK_ONLY pays
+    serialize+write+read-back on EVERY branch read — measured ~1s of
+    text_tfidf_cosine_pairs' 2.4s cleared wall at sf0.1.  The gate
+    keys on the same heap derivation as the broadcast knees; on a
+    cluster ``est_bytes`` is the TOTAL table size while the cache is
+    spread across executors, so comparing it against ONE executor's
+    budget over-estimates the per-executor share — conservative in
+    the DISK_ONLY direction, which is the safe side.  MEMORY_AND_DISK
+    (serialized) spills past the storage pool instead of failing, so
+    a mis-estimate degrades, never OOMs."""
+    from pyspark import StorageLevel
+
+    env = os.environ.get("SPARK_GRAFT_CACHE_BUDGET_BYTES")
+    budget = (int(env) if env else
+              int((heap_bytes if heap_bytes is not None
+                   else jvm_heap_bytes(spark)) * CACHE_HEAP_FRACTION))
+    return (StorageLevel.MEMORY_AND_DISK if est_bytes <= budget
+            else StorageLevel.DISK_ONLY)
+
+
 def parquet_column_bytes(path: str, column: str) -> int:
     """Estimated LOGICAL byte size of one column: parquet footer
     statistics cross-checked against one sampled row group (see

@@ -185,7 +185,8 @@ def _small_star(sym: DataFrame) -> DataFrame:
 
 
 def connected_components_star(edges: DataFrame, src: str, dst: str,
-                              max_iter: int = 50) -> DataFrame:
+                              max_iter: int = 50,
+                              stats: dict | None = None) -> DataFrame:
     """``(id, cluster_id)`` by ALTERNATING LARGE-STAR / SMALL-STAR
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14): converges in O(log^2 n) rounds regardless of diameter,
@@ -215,9 +216,11 @@ def connected_components_star(edges: DataFrame, src: str, dst: str,
         .union(e0.select(F.col("b").alias("id"))).distinct())
     cur = _truncate(_canon(e0))
     n_cur = cur.count()
+    if stats is not None:
+        stats.update(rounds=0, edges_initial=n_cur)
     if n_cur == 0:
         return verts.withColumn("cluster_id", F.col("id"))
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         sym = (cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
                .union(cur.select(F.col("b").alias("u"),
                                  F.col("a").alias("v"))))
@@ -238,6 +241,8 @@ def connected_components_star(edges: DataFrame, src: str, dst: str,
                    or nxt.join(cur, ["a", "b"], "left_anti")
                    .limit(1).count() > 0)
         cur, n_cur = nxt, n_nxt
+        if stats is not None:
+            stats.update(rounds=_round + 1, edges_final=n_cur)
         if not changed:
             break
     else:

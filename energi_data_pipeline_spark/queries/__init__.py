@@ -248,77 +248,74 @@ _DRIVER_VERIFIED = frozenset({
 #: rotation mislabeled the CC convergence rewrite as "does not alter
 #: results" and rotated its consumers out of the window).
 _VERIFY_CHANGED_PINS: tuple[str, ...] = (
-    # r14: min-label convergence now proves fixpoint via monotone
-    # DECIMAL label sums (numeric ids) with a changed-count fallback
-    # (string ids) — a semantic rewrite of the termination condition
-    # shared by every CC consumer (the _star variant's count +
-    # anti-join fixpoint check is equally new, and _star is already
-    # in the stale fill below)
+    # r15: the label-sum convergence proof is now gated to INTEGRAL
+    # label types only (a DECIMAL with nonzero scale is rounded by
+    # the cast and could falsely prove convergence — r14 ADVICE);
+    # every CC consumer re-earns a driver row
     "dedup_connected_components", "dedup_cluster_keep_best",
     "dedup_cluster_size_histogram", "curation_cluster_representatives",
-    # r14: ascending-ts n_batches replay refactor touched the
-    # one-trigger code path of both stream-stream joins and the
-    # sessionize runner (join + sessionization are in the stale fill)
-    "stream_stream_left_outer",
-    # r14: kmeans magnitude guard now runs inside the production
-    # function body; index streams' broadcast estimates re-derived
-    # from schemas (_est_row_bytes)
+    # r15: the kmeans magnitude-guard memo is keyed on the corpus
+    # FILE fingerprint instead of the directory path (r14 ADVICE:
+    # an in-place rewrite must re-earn the guard)
     "sims_kmeans_lloyd",
-    "stream_incremental_lsh_dedup", "stream_incremental_embedding_index",
+    # r15: _tfidf_w's persist level is corpus-adaptive (serialized
+    # MEMORY_AND_DISK under the heap-fraction budget, DISK_ONLY
+    # past it — r14 verdict #2); both posting-join consumers re-earn
+    "text_tfidf_cosine_pairs", "sims_hybrid_rrf",
+    # r15: same adaptive level for the dense-feature stage shared by
+    # the classifier trainer and gate
+    "curation_quality_classifier", "curation_classifier_gate",
 )
 
 _VERIFY_FRONT_WINDOW: tuple[str, ...] = _VERIFY_CHANGED_PINS + (
-    # ROUND-14 ROTATION: all 7 r13 pins landed green in
-    # CORRECTNESS_r13 (50/50, zero err).  The r13 verdict's one
-    # process gap is verification STALENESS: 79 of 209 entries have
-    # no driver-issued green row newer than r04 (recomputed from the
-    # CORRECTNESS_r01..r13 files: r02 ×8, r03 ×49, r04 ×22).  After
-    # the 8 changed-code pins above, the window fills with the 42
-    # STALEST entries, oldest round first then name order — the 8
-    # r02 rows, then 34 of the 49 r03 rows.  The remaining 37 stale
-    # entries are the round-15 window.
-    "dedup_connected_components_star",
-    "mm_binary_metadata",
-    "sessionization_batch",
-    "stream_dedup_watermark",
-    "stream_sessionization",
-    "stream_sliding_window",
-    "stream_static_join",
-    "stream_stream_join",
-    "curation_pipeline",
-    "ext_arg_extremes",
-    "ext_array_stats",
-    "ext_asof_join",
-    "ext_asof_join_forward",
-    "ext_cohort_retention",
-    "ext_corr_stats",
-    "ext_count_distinct",
-    "ext_cube_grouping",
-    "ext_dq_checks",
-    "ext_exists_semi_anti",
-    "ext_filtered_agg",
-    "ext_funnel",
-    "ext_histogram",
-    "ext_interval_overlap",
-    "ext_json_extract",
-    "ext_latest_per_key",
-    "ext_percentiles",
-    "ext_pivot_event_counts",
-    "ext_range_join_binned",
-    "ext_ranking_topk",
-    "ext_rollup_lineitem",
-    "ext_salted_join",
-    "ext_scalar_subquery",
-    "ext_scd2_intervals",
-    "ext_sequence_match",
-    "ext_set_ops",
-    "ext_time_resample",
-    "ext_unpivot_long",
-    "ext_window_range_interval",
-    "ext_window_running",
-    "mm_audio_rms",
-    "mm_decode_features",
-    "mm_frame_sample",
+    # ROUND-15 ROTATION: all 50 rows of the r14 window landed green
+    # in CORRECTNESS_r14 (50/50, zero err).  After the 9 changed-code
+    # pins above, the window fills with the 41 STALEST entries —
+    # exactly the backlog the r14 verdict names (15 r03 rows incl.
+    # all 14 TPC-H shapes, the 21 r04 rows, then the oldest r05
+    # rows) — which CLEARS the r03/r04 vintage entirely: after this
+    # round no entry's latest driver green row predates r05.
+    "mm_resize_stride",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_national_market_share",
+    "dedup_lsh_banding_sweep",
+    "dedup_minhash_calibration",
+    "dedup_simhash_pairs",
+    "ext_asof_join_tolerance",
+    "ext_cumulative_distinct",
+    "ext_mode_per_group",
+    "ext_nth_value_frames",
+    "ext_ntile_deciles",
+    "ext_outlier_mad",
+    "ext_reaggregate_partials",
+    "ext_rfm_segmentation",
+    "ext_skew_stats",
+    "ext_snapshot_diff",
+    "ext_string_agg_ordered",
+    "mm_audio_silence",
+    "mm_content_defined_chunks",
+    "mm_format_stats",
+    "stream_latest_state",
+    "stream_session_window_builtin",
+    "stream_topk_per_window",
+    "stream_tumbling_append_finalized",
+    "curation_dataset_card",
+    "curation_dataset_split",
+    "curation_decontaminate",
+    "curation_dup_rate_by_source",
+    "curation_funnel_report",
 )
 
 

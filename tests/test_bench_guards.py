@@ -105,8 +105,8 @@ class TestCompactLine:
         optional = [("keep_me", {"a": 1}),
                     ("mid", {"b": list(range(50))}),
                     ("drop_first", {"c": ["x" * 400]})]
-        line, dropped = fit_compact_line(core, optional, budget=1600)
-        assert len(line) <= 1600
+        line, dropped = fit_compact_line(core, optional, budget=1200)
+        assert len(line) <= 1200
         d = json.loads(line)
         assert d["queries"]["q059"] == 1.23  # core survives intact
         assert "keep_me" in d

@@ -939,11 +939,48 @@ def test_kmeans_magnitude_guard(spark, tmp_path, registry):
     # a failed corpus is never memoized as passed
     from energi_data_pipeline_spark.queries.simsearch import \
         _KMEANS_MAG_OK
-    assert str(tmp_path) not in _KMEANS_MAG_OK
+    assert not any(k[0] == str(tmp_path) for k in _KMEANS_MAG_OK)
     spark.catalog.clearCache()
     # and the shipped corpora PASS the same check (bound holds)
     from tests.conftest import SF001
     assert sims_kmeans_lloyd(spark, SF001).count() > 0
+    spark.catalog.clearCache()
+
+
+def test_kmeans_magnitude_memo_invalidates_on_rewrite(
+        spark, tmp_path, registry):
+    # r14 ADVICE: the guard memo is keyed on the corpus FILE
+    # fingerprint, not the path — a corpus rewritten in place (tmp
+    # dir reuse, refreshed corpus in a long-lived service) must
+    # re-earn its green reading instead of silently skipping the
+    # guard it was made unconditional to enforce
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    sims_kmeans_lloyd = registry["sims_kmeans_lloyd"].fn
+    dim = 8
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), type=pa.int64()),
+        "embedding": pa.array([[0.5] * dim] * 6,
+                              type=pa.list_(pa.float64())),
+    }), path)
+    assert sims_kmeans_lloyd(spark, str(tmp_path)).count() > 0
+    spark.catalog.clearCache()
+    from energi_data_pipeline_spark.queries.simsearch import \
+        _KMEANS_MAG_OK
+    assert any(k[0] == str(tmp_path) for k in _KMEANS_MAG_OK)
+    _time.sleep(0.01)  # mtime_ns must move even on coarse clocks
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), type=pa.int64()),
+        "embedding": pa.array([[1e6] * dim] * 6,
+                              type=pa.list_(pa.float64())),
+    }), path)
+    with pytest.raises(AssertionError, match="precondition violated"):
+        sims_kmeans_lloyd(spark, str(tmp_path))
     spark.catalog.clearCache()
 
 

@@ -140,3 +140,34 @@ def test_read_table_memo_invalidates_on_rewrite(spark, tmp_path):
     pq.write_table(pa.table({"x": pa.array([1, 2, 3],
                                            type=pa.int64())}), path)
     assert read_table(spark, str(tmp_path), "events").count() == 3
+
+
+def test_adaptive_cache_level_gates_on_heap_budget():
+    """r14 verdict #2: operator-internal materializations use
+    serialized MEMORY_AND_DISK while the estimate fits the
+    heap-fraction budget (cuts ~1s/query of disk round-trips at
+    bench scale) and degrade to DISK_ONLY past it (the r06 rule: a
+    corpus-cardinality cache must never pin executor memory)."""
+    from pyspark import StorageLevel
+
+    from energi_data_pipeline_spark.io import (CACHE_HEAP_FRACTION,
+                                               adaptive_cache_level)
+
+    heap = 8 << 30
+    budget = int(heap * CACHE_HEAP_FRACTION)
+    assert adaptive_cache_level(None, budget - 1, heap_bytes=heap) \
+        == StorageLevel.MEMORY_AND_DISK
+    assert adaptive_cache_level(None, budget + 1, heap_bytes=heap) \
+        == StorageLevel.DISK_ONLY
+
+
+def test_adaptive_cache_level_env_override(monkeypatch):
+    from pyspark import StorageLevel
+
+    from energi_data_pipeline_spark.io import adaptive_cache_level
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_BUDGET_BYTES", "1000")
+    assert adaptive_cache_level(None, 1001, heap_bytes=1 << 40) \
+        == StorageLevel.DISK_ONLY
+    assert adaptive_cache_level(None, 999, heap_bytes=1) \
+        == StorageLevel.MEMORY_AND_DISK
