@@ -863,6 +863,34 @@ def run_interleaved(sf_dir: str) -> tuple[
     return spark_runs, duck_runs, extras
 
 
+def collect_steady_runs(first: float, run_once
+                        ) -> tuple[list[float], int]:
+    """The sweep's steady re-measurement for a would-be flag: the
+    cold ``first`` reading plus 2 re-runs, then — burst defense,
+    extended to the sweep (r14 verdict #7: one cold run per query is
+    exactly the shape that produced the r13 CC false alarm, a
+    2.36-8.77s same-tree spread) — keep re-running until two
+    readings agree within BURST_AGREE_TOL or BURST_MAX_RUNS total,
+    so a burst spanning the base 3-run window cannot reach
+    adjudication as a tight all-inflated list.  ``run_once`` returns
+    a wall in seconds or None on error.  Returns (runs,
+    burst_reruns_added)."""
+    rs = [first]
+    for _ in range(2):
+        v = run_once()
+        if v is None:
+            break
+        rs.append(v)
+    added = 0
+    while _needs_burst_rerun(rs) and len(rs) < BURST_MAX_RUNS:
+        v = run_once()
+        if v is None:
+            break
+        rs.append(v)
+        added += 1
+    return rs, added
+
+
 def _baseline_regression(baseline_s: float | None, v: float) -> bool:
     """True when a fresh steady wall regresses against its checked-in
     cleared baseline (r12 verdict #4): over tolerance AND by a
@@ -938,19 +966,25 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
     # first-touch codegen can no longer produce a sleeper row that
     # a later min-of-3 bench run would dissolve.
     steady_s: dict[str, float] = {}
+    sweep_burst_reruns: dict[str, int] = {}
     rerun = [n for n, v in spark_s.items()
              if v > STEADY_RERUN_S or _regression(n, v)]
     for i, name in enumerate(rerun):
-        rs = [spark_s[name]]
-        for _ in range(2):
+
+        def _one_more() -> float | None:
             t0 = time.perf_counter()
             try:
                 registry[name].fn(spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
-                rs.append(round(time.perf_counter() - t0, 3))
             except Exception:
-                break
+                return None
+            dt = round(time.perf_counter() - t0, 3)
             drop_measurement_caches(spark)
+            return dt
+
+        rs, burst_added = collect_steady_runs(spark_s[name], _one_more)
+        if burst_added:
+            sweep_burst_reruns[name] = burst_added
         steady_s[name] = min(rs)
         print(f"# sweep steady {i + 1}/{len(rerun)} {name} "
               f"{steady_s[name]}", file=sys.stderr, flush=True)
@@ -1063,6 +1097,15 @@ def run_sweep(sf_dir: str, out_path: str) -> None:
                            "or when the cold wall would trip the "
                            "regression rule)"),
         "steady_rerun_threshold_s": STEADY_RERUN_S,
+        "burst_defense": {
+            "agree_tol": BURST_AGREE_TOL,
+            "max_runs": BURST_MAX_RUNS,
+            "reruns_added": sweep_burst_reruns,
+            "rule": ("steady re-runs continue until two readings "
+                     "agree within agree_tol or max_runs — a burst "
+                     "spanning the base 3-run window cannot reach "
+                     "adjudication as a tight all-inflated list "
+                     "(r14 verdict #7)")},
         "sleeper_thresholds": {"abs_s": SLEEPER_ABS_S,
                                "ratio": SLEEPER_RATIO,
                                "ratio_min_gap_s": SLEEPER_MIN_GAP_S},

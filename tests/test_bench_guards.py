@@ -94,6 +94,41 @@ class TestBurstDefense:
         assert not _needs_burst_rerun([])
 
 
+class TestSweepBurstDefense:
+    """r14 verdict #7: the sweep's steady pass must keep re-running a
+    would-be flag until two readings agree — a synthetic burst that
+    decays across the base 3-run window must NOT stop at 3 runs."""
+
+    def test_synthetic_burst_forces_extra_runs(self):
+        from bench import collect_steady_runs
+        feed = iter([6.0, 4.5, 3.0, 2.9])  # no adjacent pair agrees
+        runs, added = collect_steady_runs(9.0, lambda: next(feed))
+        # re-ran until 3.0 vs 2.9 agreed (within 1.15x)
+        assert runs == [9.0, 6.0, 4.5, 3.0, 2.9]
+        assert added == 2
+        assert min(runs) == 2.9  # the post-burst reading wins
+
+    def test_agreeing_runs_stop_at_base_three(self):
+        from bench import collect_steady_runs
+        feed = iter([2.1, 2.0, 99.0])
+        runs, added = collect_steady_runs(2.3, lambda: next(feed))
+        assert runs == [2.3, 2.1, 2.0]
+        assert added == 0
+
+    def test_capped_at_burst_max_runs(self):
+        from bench import BURST_MAX_RUNS, collect_steady_runs
+        vals = iter([50.0 / (2.0 ** i) for i in range(1, 10)])
+        runs, added = collect_steady_runs(50.0, lambda: next(vals))
+        assert len(runs) == BURST_MAX_RUNS  # honest capped record
+
+    def test_error_mid_burst_keeps_partial_record(self):
+        from bench import collect_steady_runs
+        feed = iter([6.0, 4.5, None])
+        runs, added = collect_steady_runs(9.0, lambda: next(feed))
+        assert runs == [9.0, 6.0, 4.5]
+        assert added == 0
+
+
 class TestCompactLine:
     def test_fits_within_budget_by_dropping_lowest_priority(self):
         # r14 verdict #4: BENCH_r13/r14 carried parsed:null because
