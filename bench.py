@@ -487,40 +487,64 @@ def measure_session_floor(spark) -> float:
     return round(min(rs), 3)
 
 
-def measure_hybrid_decomposition(spark, sf_dir: str) -> dict:
+def _leg_best_of(spark, mk, n: int = 2,
+                 sanity_max_s: float | None = None) -> float:
+    """Min-of-n wall for one decomposition leg, with a consistency
+    guard (r15: capture 2's decomposition window sat inside a load
+    burst and read a LEG at 6.4s against a 2.1s composed headline —
+    a leg is a subset of the composed work, so leg > headline is a
+    contradiction that proves contention, not cost): while the min
+    still exceeds ``sanity_max_s`` (the composed entry's measured
+    min), keep re-running up to 2 extra times."""
+    best = None
+    runs = n + (2 if sanity_max_s is not None else 0)
+    for i in range(runs):
+        t0 = time.perf_counter()
+        mk().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        best = dt if best is None else min(best, dt)
+        if (i >= n - 1 and
+                (sanity_max_s is None or best <= sanity_max_s)):
+            break
+    return round(best, 3)
+
+
+def measure_hybrid_decomposition(spark, sf_dir: str,
+                                 sanity_max_s: float | None = None
+                                 ) -> dict:
     """Stage decomposition for sims_hybrid_rrf (r07 verdict #2): the
     fused query composes two already-benched legs over DIFFERENT
     tables (documents -> tf-idf posting join; embeddings -> LSH
     ANN), so there is no shared scan to fuse away — this measures
-    each leg alone (min of 2, caches dropped) so the artifact shows
+    each leg alone (min of 2, caches dropped, sanity-re-run against
+    the composed headline wall) so the artifact shows
     headline(hybrid) ~= lex_leg + vec_leg + fusion residual."""
     from energi_data_pipeline_spark.queries.simsearch import (
         QUERY_STRIDE, sims_ann_lsh_bucketed)
     from energi_data_pipeline_spark.queries.text import (
         tfidf_query_cosine)
 
-    def best_of(mk, n=2):
-        best = None
-        for _ in range(n):
-            t0 = time.perf_counter()
-            mk().write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            spark.catalog.clearCache()
-            best = dt if best is None else min(best, dt)
-        return round(best, 3)
-
     return {
-        "lex_leg_s": best_of(
-            lambda: tfidf_query_cosine(spark, sf_dir, QUERY_STRIDE)),
-        "vec_leg_s": best_of(
-            lambda: sims_ann_lsh_bucketed(spark, sf_dir)),
+        "lex_leg_s": _leg_best_of(
+            spark,
+            lambda: tfidf_query_cosine(spark, sf_dir, QUERY_STRIDE),
+            sanity_max_s=sanity_max_s),
+        "vec_leg_s": _leg_best_of(
+            spark, lambda: sims_ann_lsh_bucketed(spark, sf_dir),
+            sanity_max_s=sanity_max_s),
         "note": ("legs measured standalone, min of 2 runs, caches "
-                 "dropped; fusion residual = headline "
-                 "sims_hybrid_rrf - (lex_leg_s + vec_leg_s)"),
+                 "dropped (re-run while a leg exceeds the composed "
+                 "headline min — a leg is a subset of the composed "
+                 "work, so leg > headline proves contention); "
+                 "fusion residual = headline sims_hybrid_rrf - "
+                 "(lex_leg_s + vec_leg_s)"),
     }
 
 
-def measure_cluster_reps_decomposition(spark, sf_dir: str) -> dict:
+def measure_cluster_reps_decomposition(spark, sf_dir: str,
+                                       sanity_max_s: float | None
+                                       = None) -> dict:
     """Stage decomposition for curation_cluster_representatives (r14
     verdict #5: its wall wanders 2-9.5s same-tree and every excursion
     has hand-adjudicated as weather — give it the state-engine
@@ -537,20 +561,18 @@ def measure_cluster_reps_decomposition(spark, sf_dir: str) -> dict:
     from energi_data_pipeline_spark.queries.dedup import (
         dedup_connected_components)
 
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        dedup_connected_components(spark, sf_dir) \
-            .write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        drop_measurement_caches(spark)
-        best = dt if best is None else min(best, dt)
+    def mk():
+        return dedup_connected_components(spark, sf_dir)
+
     return {
-        "cc_leg_s": round(best, 3),
+        "cc_leg_s": _leg_best_of(spark, mk,
+                                 sanity_max_s=sanity_max_s),
         "note": ("cc_leg_s = dedup_connected_components standalone "
-                 "(min of 2, caches dropped); residual = headline "
-                 "curation_cluster_representatives - cc_leg_s = "
-                 "quality gate + representative agg + join-back"),
+                 "(min of 2, caches dropped, re-run while it "
+                 "exceeds the composed headline min); residual = "
+                 "headline curation_cluster_representatives - "
+                 "cc_leg_s = quality gate + representative agg + "
+                 "join-back"),
     }
 
 
@@ -702,6 +724,14 @@ def run_interleaved(sf_dir: str) -> tuple[
 
     con = duck_connection(sf_dir)
 
+    # floor probe #1 — the floor is ALSO probed after the query loop
+    # and the MIN published (r15: capture 2's single end-of-capture
+    # probe read 0.676s against a 0.095s start-of-capture box state
+    # because a load burst covered exactly the probe window, which
+    # poisoned every floor-adjusted ratio; two probes an hour apart
+    # can't both sit inside one burst)
+    floor_start = measure_session_floor(spark)
+
     # N_RUNS measured executions per query PER ENGINE, alternating
     # S,D within each iteration, all recorded: min = steady state;
     # the run lists make cold-vs-warm behavior part of the artifact.
@@ -832,13 +862,23 @@ def run_interleaved(sf_dir: str) -> tuple[
                      "rerun_runs_added — min-aggregation picks the "
                      "clean executions"),
         },
-        "session_floor_s": measure_session_floor(spark),
+        "session_floor_s": min(floor_start,
+                               (floor_end := measure_session_floor(
+                                   spark))),
+        "session_floor_probes_s": [floor_start, floor_end],
         "duck_floor_s": measure_duck_floor(con),
         "hybrid_decomposition": _safe(
-            lambda: measure_hybrid_decomposition(spark, sf_dir),
+            lambda: measure_hybrid_decomposition(
+                spark, sf_dir,
+                sanity_max_s=min(spark_runs.get("sims_hybrid_rrf")
+                                 or [0]) or None),
             {"lex_leg_s": 0.0, "vec_leg_s": 0.0}),
         "cluster_reps_decomposition": _safe(
-            lambda: measure_cluster_reps_decomposition(spark, sf_dir),
+            lambda: measure_cluster_reps_decomposition(
+                spark, sf_dir,
+                sanity_max_s=min(
+                    spark_runs.get("curation_cluster_representatives")
+                    or [0]) or None),
             {"cc_leg_s": 0.0}),
         "stream_lsh_decomposition": _safe(
             lambda: measure_stream_lsh_decomposition(spark, sf_dir),

@@ -368,3 +368,103 @@ class TestBaselineRegression:
         assert len(doc["entries"]) >= 209
         for name, row in doc["entries"].items():
             assert row["steady_s"] > 0, name
+
+
+class TestLegSanityRerun:
+    """r15: a decomposition LEG reading above the composed headline
+    wall is a contradiction (the leg is a subset of the composed
+    work) — the measurement must re-run instead of publishing it."""
+
+    def test_rerun_until_under_sanity(self):
+        from bench import _leg_best_of
+
+        class FakeDF:
+            class write:
+                @staticmethod
+                def format(_):
+                    return FakeDF.write
+
+                @staticmethod
+                def mode(_):
+                    return FakeDF.write
+
+                @staticmethod
+                def save():
+                    return None
+
+        import time as _t
+        walls = iter([6.4, 6.2, 2.0, 99.0])
+        t = {"now": 0.0}
+
+        def fake_perf():
+            return t["now"]
+
+        calls = {"n": 0}
+
+        def mk():
+            calls["n"] += 1
+            t["now"] += next(walls)
+            return FakeDF
+
+        import bench as B
+        real = B.time.perf_counter
+        B.time.perf_counter = fake_perf
+
+        class FakeSpark:
+            class catalog:
+                @staticmethod
+                def clearCache():
+                    return None
+
+        try:
+            best = _leg_best_of(FakeSpark, mk, sanity_max_s=2.1)
+        finally:
+            B.time.perf_counter = real
+        assert best == 2.0
+        assert calls["n"] == 3  # two contaminated + one clean
+
+    def test_no_sanity_keeps_two_runs(self):
+        from bench import _leg_best_of
+
+        class FakeDF:
+            class write:
+                @staticmethod
+                def format(_):
+                    return FakeDF.write
+
+                @staticmethod
+                def mode(_):
+                    return FakeDF.write
+
+                @staticmethod
+                def save():
+                    return None
+
+        import bench as B
+        walls = iter([3.0, 2.5, 99.0])
+        t = {"now": 0.0}
+
+        def fake_perf():
+            return t["now"]
+
+        calls = {"n": 0}
+
+        def mk():
+            calls["n"] += 1
+            t["now"] += next(walls)
+            return FakeDF
+
+        class FakeSpark:
+            class catalog:
+                @staticmethod
+                def clearCache():
+                    return None
+
+        real = B.time.perf_counter
+        B.time.perf_counter = fake_perf
+        try:
+            best = _leg_best_of(FakeSpark, mk)
+        finally:
+            B.time.perf_counter = real
+        assert best == 2.5
+        assert calls["n"] == 2
