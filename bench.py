@@ -1291,6 +1291,7 @@ def main() -> None:
         "spark_runs": spark_runs,
         "duckdb_runs": duck_runs,
         "session_floor_s": session_floor,
+        "session_floor_probes_s": extras.get("session_floor_probes_s"),
         "duck_floor_s": duck_floor,
         "floor_adjusted_ratio": floor_ratio,
         "value_ex_outlier_floor_adjusted": total_ex_floor,
