@@ -47,16 +47,74 @@ def _truncate(df: DataFrame) -> DataFrame:
         else df.localCheckpoint(eager=True)
 
 
+#: distinct-edge count under which min-label propagation localizes
+#: to a driver-side union-find instead of iterating distributed
+#: rounds.  Rationale (r15): a near-dup pair graph is pairs ABOVE
+#: the similarity threshold — tiny relative to the corpus at any
+#: realistic dup density (sf0.1: 279 edges; x10: 2,805) — while
+#: every distributed propagation round costs joins + aggregates +
+#: a convergence action whose scheduling floor dwarfs the data work
+#: on such graphs.  This is the same principle as AQE localizing a
+#: small shuffle side: 100k edges collect to ~a few MB (well under
+#: any driver heap the session could run on), union-find labels
+#: them in milliseconds, and the result is EXACTLY the min-label
+#: fixpoint (property-tested against the distributed loop).  Past
+#: the limit the distributed loop runs unchanged — the 100 TB path
+#: pays one extra COUNT on the checkpointed edge set, a rounding
+#: error next to one propagation round.
+CC_LOCAL_EDGE_LIMIT = 100_000
+
+
+def _local_min_label(edge_rows) -> list:
+    """Union-find (path compression; union-by-min is unnecessary —
+    we relabel by component minimum afterwards) over collected edge
+    tuples; returns rows [(id, min_member_id)] covering every vertex
+    seen in the edge list (self-loop-only vertices included)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    best: dict = {}
+    for x in parent:
+        r = find(x)
+        m = best.get(r)
+        if m is None or x < m:
+            best[r] = x
+    return [(x, best[find(x)]) for x in parent]
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         local_limit: int = CC_LOCAL_EDGE_LIMIT
+                         ) -> DataFrame:
     """``(id, cluster_id)`` for every vertex of the edge list;
     cluster_id = the component's minimum vertex id.
 
-    The loop is driver-coordinated but all data stays distributed;
-    per round: one equi-join on the vertex id + one min-aggregate.
-    Caching each round's labels stops lineage growth (the iterative
-    equivalent of checkpointing).
+    Two physical strategies behind one contract (see
+    CC_LOCAL_EDGE_LIMIT): a graph whose DISTINCT edge count is under
+    ``local_limit`` collects to the driver and labels via union-find
+    (the small-side localization a near-dup graph almost always
+    qualifies for); larger graphs run the distributed min-label
+    propagation — per round one equi-join on the vertex id + one
+    min-aggregate, convergence proven by monotone label sums,
+    lineage truncated per round.
     """
+    from pyspark.sql import types as T
+
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .union(edges.select(F.col(dst).alias("u"),
                                F.col(src).alias("v"))))
@@ -74,10 +132,23 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # reuse had warmed.)  Materialization is bounded at 2x the edge
     # count.
     sym = _truncate(sym)
+
+    # small-graph localization: one count on the checkpointed edge
+    # set decides the strategy (see CC_LOCAL_EDGE_LIMIT).  sym holds
+    # both directions, so the distinct-edge bound is n_sym/2; the
+    # count is exact and the collect is bounded by local_limit rows.
+    if local_limit and sym.count() <= 2 * local_limit:
+        spark = edges.sparkSession
+        id_type = edges.schema[src].dataType
+        rows = _local_min_label(
+            (r["u"], r["v"]) for r in sym.collect())
+        schema = T.StructType([
+            T.StructField("id", id_type),
+            T.StructField("cluster_id", id_type)])
+        return spark.createDataFrame(rows, schema)
+
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
-
-    from pyspark.sql import types as T
 
     _lt = labels.schema["label"].dataType
     # integral types only: a DECIMAL with nonzero scale would be

@@ -35,10 +35,26 @@ def union_find(edges):
           suppress_health_check=[HealthCheck.too_slow])
 @given(edges=edges_st)
 def test_components_match_union_find(spark, edges):
+    # default limit -> the r15 small-graph LOCAL path
     df = spark.createDataFrame(
         [(int(u), int(v)) for u, v in edges], "src int, dst int")
     got = {(r["id"], r["cluster_id"])
            for r in connected_components(df, "src", "dst").collect()}
+    assert got == set(union_find(edges).items())
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_st)
+def test_components_match_union_find_distributed(spark, edges):
+    # local_limit=0 forces the distributed propagation loop — the
+    # 100 TB path must stay property-tested now that small graphs
+    # (including every test-SF corpus) take the local fast path
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "src int, dst int")
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components(df, "src", "dst",
+                                         local_limit=0).collect()}
     assert got == set(union_find(edges).items())
 
 
@@ -100,14 +116,23 @@ def test_connected_components_string_ids_chain(spark):
     from energi_data_pipeline_spark.operators.graph import (
         connected_components)
 
-    # chain m5 of hex-ish ids: needs >1 propagation round
+    # chain m5 of hex-ish ids: needs >1 propagation round;
+    # local_limit=0 forces the distributed changed-count path (the
+    # default limit would take the local union-find)
     edges = spark.createDataFrame(
         [("dd", "cc"), ("cc", "bb"), ("bb", "aa"), ("ff", "ee")],
         ["src", "dst"])
+    want = {("aa", "aa"), ("bb", "aa"), ("cc", "aa"),
+            ("dd", "aa"), ("ee", "ee"), ("ff", "ee")}
     got = {(r["id"], r["cluster_id"])
-           for r in connected_components(edges, "src", "dst").collect()}
-    assert got == {("aa", "aa"), ("bb", "aa"), ("cc", "aa"),
-                   ("dd", "aa"), ("ee", "ee"), ("ff", "ee")}
+           for r in connected_components(edges, "src", "dst",
+                                         local_limit=0).collect()}
+    assert got == want
+    # and the local path agrees on string ids
+    got_local = {(r["id"], r["cluster_id"])
+                 for r in connected_components(edges, "src",
+                                               "dst").collect()}
+    assert got_local == want
 
 
 def test_connected_components_fractional_decimal_ids_chain(spark):
@@ -134,7 +159,30 @@ def test_connected_components_fractional_decimal_ids_chain(spark):
     edges = spark.createDataFrame(
         [(d("5.40"), d("5.30")), (d("5.30"), d("5.20")),
          (d("5.20"), d("5.10"))], sch)
+    want = {("5.10", "5.10"), ("5.20", "5.10"),
+            ("5.30", "5.10"), ("5.40", "5.10")}
+    # local_limit=0 forces the distributed loop whose convergence
+    # gating this test exists to pin
     got = {(str(r["id"]), str(r["cluster_id"]))
-           for r in connected_components(edges, "src", "dst").collect()}
-    assert got == {("5.10", "5.10"), ("5.20", "5.10"),
-                   ("5.30", "5.10"), ("5.40", "5.10")}
+           for r in connected_components(edges, "src", "dst",
+                                         local_limit=0).collect()}
+    assert got == want
+    got_local = {(str(r["id"]), str(r["cluster_id"]))
+                 for r in connected_components(edges, "src",
+                                               "dst").collect()}
+    assert got_local == want
+
+
+def test_local_and_distributed_schemas_match(spark):
+    """The r15 local fast path must be plan-invisible to consumers:
+    identical column names AND types as the distributed loop."""
+    from energi_data_pipeline_spark.operators.graph import (
+        connected_components)
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "src long, dst long")
+    local = connected_components(edges, "src", "dst")
+    dist = connected_components(edges, "src", "dst", local_limit=0)
+    assert local.schema == dist.schema
+    assert ({tuple(r) for r in local.collect()}
+            == {tuple(r) for r in dist.collect()})
