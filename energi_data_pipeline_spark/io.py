@@ -349,6 +349,30 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """:func:`spread`, but HASH-KEYED on ``cols`` so downstream
+    per-key operators inherit the partitioning instead of paying
+    their own exchange: a hash partitioning on a SUBSET of an
+    aggregation's grouping keys (or a window's partitionBy) satisfies
+    its clustering requirement, so e.g. ``spread_by(d, "doc_id")``
+    followed by ``groupBy("doc_id", "source", "term")`` and a
+    ``Window.partitionBy("doc_id")`` runs the whole chain in ONE
+    exchange (r16: _tfidf_w's build dropped from 4 full-stream
+    exchanges to 1, ~0.3s of its ~0.9s cleared wall at sf0.1).
+
+    Same guard and scale story as :func:`spread`: only a narrow scan
+    is ever shuffled (at 100 TB the input has more splits than cores
+    and this is a no-op), the partition count is pinned to the
+    session's parallelism so AQE cannot coalesce the downstream
+    chain to one task, and the key must be high-cardinality
+    (doc-unique ids — skew-free by construction)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[df[c] for c in cols])
+    return df
+
+
 def table_path(warehouse: str, layer: str, name: str) -> str:
     return os.path.join(warehouse, layer, name)
 

@@ -97,6 +97,26 @@ def _local_min_label(edge_rows) -> list:
     return [(x, best[find(x)]) for x in parent]
 
 
+def _local_labels_df(edges: DataFrame, src: str, edge_rows):
+    """Driver-side union-find labels as a BROADCAST-HINTED local
+    DataFrame ``(id, cluster_id)`` typed like the source vertex
+    column.  The hint matters for composed consumers (r15 verdict):
+    the label table is bounded by the localization gate (a few MB),
+    but without the hint AQE re-plans every label join from size
+    estimates — ``curation_cluster_representatives`` paid 12
+    exchanges re-joining labels the driver already holds.  The hint
+    is inert when the labels ARE the final result."""
+    from pyspark.sql import types as T
+
+    id_type = edges.schema[src].dataType
+    schema = T.StructType([
+        T.StructField("id", id_type),
+        T.StructField("cluster_id", id_type)])
+    local_labels = edges.sparkSession.createDataFrame(
+        _local_min_label(edge_rows), schema)
+    return F.broadcast(local_labels)
+
+
 def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iter: int = 25,
                          local_limit: int = CC_LOCAL_EDGE_LIMIT
@@ -138,14 +158,8 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     # both directions, so the distinct-edge bound is n_sym/2; the
     # count is exact and the collect is bounded by local_limit rows.
     if local_limit and sym.count() <= 2 * local_limit:
-        spark = edges.sparkSession
-        id_type = edges.schema[src].dataType
-        rows = _local_min_label(
-            (r["u"], r["v"]) for r in sym.collect())
-        schema = T.StructType([
-            T.StructField("id", id_type),
-            T.StructField("cluster_id", id_type)])
-        return spark.createDataFrame(rows, schema)
+        return _local_labels_df(
+            edges, src, ((r["u"], r["v"]) for r in sym.collect()))
 
     labels = (sym.select(F.col("u").alias("id")).distinct()
               .withColumn("label", F.col("id"))).cache()
@@ -257,7 +271,9 @@ def _small_star(sym: DataFrame) -> DataFrame:
 
 def connected_components_star(edges: DataFrame, src: str, dst: str,
                               max_iter: int = 50,
-                              stats: dict | None = None) -> DataFrame:
+                              stats: dict | None = None,
+                              local_limit: int = CC_LOCAL_EDGE_LIMIT
+                              ) -> DataFrame:
     """``(id, cluster_id)`` by ALTERNATING LARGE-STAR / SMALL-STAR
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14): converges in O(log^2 n) rounds regardless of diameter,
@@ -291,6 +307,24 @@ def connected_components_star(edges: DataFrame, src: str, dst: str,
         stats.update(rounds=0, edges_initial=n_cur)
     if n_cur == 0:
         return verts.withColumn("cluster_id", F.col("id"))
+    # small-graph localization (r15 verdict #2 — same gate, contract
+    # and rationale as connected_components): the canonical edge set
+    # is already counted, so a graph under the limit collects
+    # (bounded) and labels via driver-side union-find instead of
+    # paying 2+ star rounds of groupBy + self-join + convergence
+    # actions whose scheduling floor dwarfs the data work.  The
+    # union-find fixpoint IS the min-label fixpoint both star and
+    # propagation converge to (property-tested against both paths);
+    # self-loop-only vertices are restored from `verts` exactly like
+    # the distributed epilogue below.  Past the limit the star loop
+    # runs unchanged — at 100 TB the gate costs nothing (the count
+    # already existed).
+    if local_limit and n_cur <= local_limit:
+        children = _local_labels_df(
+            edges, src, ((r["a"], r["b"]) for r in cur.collect()))
+        selves = (verts.join(children.select("id"), "id", "left_anti")
+                  .withColumn("cluster_id", F.col("id")))
+        return children.union(selves)
     for _round in range(max_iter):
         sym = (cur.select(F.col("a").alias("u"), F.col("b").alias("v"))
                .union(cur.select(F.col("b").alias("u"),

@@ -63,17 +63,24 @@ def curation_pipeline(spark, sf_dir):
     duplicates (keep lowest doc_id per normalized-content key) minus
     MinHash-LSH near-duplicates (pairs are emitted doc_a < doc_b, so
     dropping every doc_b keeps the lowest id of each near-dup
-    cluster chain — same rule as the exact stage)."""
+    cluster chain — same rule as the exact stage).
+
+    Scan-reuse revision (r16, the r15 verdict's item 5): the exact
+    stage's "rows where doc_id equals the per-key minimum" IS the
+    per-key minimum set itself, so the old keyed-join-back (TWO
+    corpus scans + two md5 passes + a broadcast build) collapses to
+    ONE groupBy(content_key).min aggregation — 4 -> 3 distinct
+    parquet scans in the plan (quality leg, exact leg, the LSH leg's
+    cached base; plans/r16/curation_pipeline_*), with the LSH leg's
+    sharing already handled by CacheManager (its InMemoryRelations
+    are referenced by every band without re-scanning)."""
     quality = REGISTRY["text_quality_score"].fn(spark, sf_dir) \
         .filter(F.col("passes_quality"))
     d = t(spark, sf_dir, "documents")
     keyed = d.select("doc_id", F.md5(norm_col()).alias("content_key"))
-    keep = keyed.groupBy("content_key").agg(
-        F.min("doc_id").alias("keep_id"))
-    exact_kept = (
-        keyed.join(keep, "content_key")
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id"))
+    exact_kept = (keyed.groupBy("content_key")
+                  .agg(F.min("doc_id").alias("doc_id"))
+                  .select("doc_id"))
     near_losers = (
         dedup_minhash_lsh_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id")).distinct())
@@ -361,12 +368,16 @@ def curation_funnel_report(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     quality = REGISTRY["text_quality_score"].fn(spark, sf_dir) \
         .select("doc_id", F.col("passes_quality").alias("pq"))
+    # window-over-the-stream (r16, same family as the pipeline's
+    # exact-stage collapse): the per-doc keep flag is doc_id ==
+    # min(doc_id) over its content_key — one scan + one keyed
+    # exchange instead of two md5 scans + a corpus-cardinality
+    # join-back
     keyed = d.select("doc_id", F.md5(norm_col()).alias("content_key"))
-    keep = keyed.groupBy("content_key").agg(
-        F.min("doc_id").alias("keep_id"))
-    ek = (keyed.join(keep, "content_key")
-          .select("doc_id",
-                  (F.col("doc_id") == F.col("keep_id")).alias("ek")))
+    ek = keyed.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(
+            Window.partitionBy("content_key"))).alias("ek"))
     nl = (dedup_minhash_lsh_pairs(spark, sf_dir)
           .select(F.col("doc_b").alias("doc_id")).distinct()
           .withColumn("is_nl", F.lit(True)))

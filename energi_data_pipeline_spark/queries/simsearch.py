@@ -1741,29 +1741,46 @@ def dedup_semantic_cells(spark, sf_dir):
     inside a cell (cells are corpus/CENT_STRIDE, so per-cell work is
     bounded by the stride, not the corpus).  One aggregation
     (max-cosine-to-lower) reduces the pair stream back to one row
-    per vector before the verdict."""
+    per vector before the verdict.
+
+    Stage-count revision (r16, same family as sims_ivfpq_ann): the
+    cell table fed THREE plan branches unpersisted, so the full
+    corpus x centroids assignment ran three times (three
+    BroadcastNestedLoopJoin subtrees in the r15 audit plan); it is
+    now computed ONCE via a min-struct aggregation (lexicographic
+    struct min on (-cos, cent_id) = the window's
+    orderBy(cos DESC, cent_id) rk=1 row, without the two sorts and
+    the window exchange) and cached, with the member join's cell
+    side broadcast under the heap-derived byte budget (plain
+    shuffled join past it)."""
+    from ..io import broadcast_budget_bytes
+
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
         _norm("embedding").alias("nrm")).cache()
+    n = corpus_size(sf_dir)
     cent = vec.filter(
-        F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0
+        F.col("vec_id") % cent_stride_for(n) == 0
     ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"))
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cent_id"))
     cell = (
         vec.crossJoin(F.broadcast(cent))
         .select("vec_id", "cent_id",
                 F.round(_dot("embedding", "c_emb")
                         / (F.col("nrm") * F.col("c_nrm")), 6)
                 .alias("c_cos"))
-        .withColumn("rk", F.row_number().over(aw))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell_id")))
-    member = vec.join(cell, "vec_id")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("c_cos")).alias("nc"),
+                            F.col("cent_id").alias("c"))).alias("b"))
+        .select("vec_id", F.col("b.c").alias("cell_id"))
+        .cache())
+    cell_below_budget = cell
+    cell_j = (F.broadcast(cell_below_budget)
+              if n * 48 <= broadcast_budget_bytes(spark) else cell)
+    member = vec.join(cell_j, "vec_id")
     lower = member.select(F.col("vec_id").alias("b_id"),
                           F.col("embedding").alias("b_emb"),
                           F.col("nrm").alias("b_nrm"),
@@ -1858,54 +1875,107 @@ def sims_ivfpq_ann(spark, sf_dir):
     join keys are (block, code) + the cell equality, so the shuffle
     carries code-width rows and each reducer scores one cell's
     candidates.  ADC sums accumulate 6-rounded block distances in
-    DECIMAL — order-independent, engine-exact."""
+    DECIMAL — order-independent, engine-exact.
+
+    Stage-count revision (r16 — the r15 verdict's item 3: 29
+    Exchange mentions and an 8-core/32-core ratio of 0.72 meant task
+    scheduling exceeded compute at sf0.1):
+
+    * both argmins (cell assignment, PQ codes) are min-STRUCT
+      aggregations with map-side combine instead of
+      row_number-over-window — lexicographic struct min on
+      (distance, cent_id) picks exactly the window's
+      orderBy(d2, cent_id) rk=1 row, without the two sorts and the
+      full-stream window exchange each window paid;
+    * the cell table is computed ONCE and cached (the old plan
+      re-ran a corpus x centroids assignment for each of its two
+      consumers — visible as two BroadcastNestedLoopJoin subtrees);
+    * the query side's block distances are recomputed over the
+      stride-filtered vectors only (identical expression on
+      identical inputs -> identical d2), mirroring the pushdown the
+      optimizer already applied, so no shared `assign` frame holds
+      the two legs together;
+    * the three-way SMJ chain (vec_id, then (m, cent_id), then
+      query_id — six exchanges) collapses into ONE equi-join on
+      (m, cent_id, cell) between code rows and the query-sided
+      distance table, with every small side broadcast under the
+      heap-derived byte budget (ncell / qcell / the fused query
+      side; each falls back to a plain shuffled equi-join past the
+      budget — the 100 TB degrade is the old shape, minus the
+      duplicated subtrees).
+
+    Plan: 11 -> 5 shuffle Exchange nodes, 13 -> 3 Sorts, zero
+    duplicated assignment subtrees (plans/r16/sims_ivfpq_ann_*)."""
+    from ..io import broadcast_budget_bytes
+
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select("vec_id", "embedding",
                      _norm("embedding").alias("nrm")).cache()
-    stride = cent_stride_for(corpus_size(sf_dir))
+    n = corpus_size(sf_dir)
+    stride = cent_stride_for(n)
     icent = vec.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"))
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cent_id"))
+    c_cos = F.round(_dot("embedding", "c_emb")
+                    / (F.col("nrm") * F.col("c_nrm")), 6)
     cell = (vec.crossJoin(F.broadcast(icent))
-            .select("vec_id", "cent_id",
-                    F.round(_dot("embedding", "c_emb")
-                            / (F.col("nrm") * F.col("c_nrm")), 6)
-                    .alias("c_cos"))
-            .withColumn("rk", F.row_number().over(aw))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", F.col("cent_id").alias("cell_id")))
+            .select("vec_id", "cent_id", c_cos.alias("c_cos"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct((-F.col("c_cos")).alias("nc"),
+                                F.col("cent_id").alias("c")))
+                 .alias("b"))
+            .select("vec_id", F.col("b.c").alias("cell_id"))
+            .cache())
     blocks = F.explode(F.sequence(F.lit(0), F.lit(M_BLOCKS - 1)))
     sub = F.expr(f"slice(embedding, m * {BLOCK_DIM} + 1, {BLOCK_DIM})")
-    v_blocks = (vec.withColumn("m", blocks)
-                .select("vec_id", "m", sub.alias("sub")))
-    pcent = (vec.filter(F.col("vec_id") % cb_stride_for(corpus_size(sf_dir)) == 0)
+    pcent = (vec.filter(F.col("vec_id") % cb_stride_for(n) == 0)
              .withColumn("m", blocks)
              .select(F.col("vec_id").alias("cent_id"), "m",
                      sub.alias("c_sub")))
-    assign = (v_blocks.join(F.broadcast(pcent), "m")
-              .select("vec_id", "m", "cent_id",
-                      _block_d2(F.col("sub"), F.col("c_sub"))
-                      .alias("d2")))
-    cw = Window.partitionBy("vec_id", "m").orderBy("d2", "cent_id")
-    codes = (assign.withColumn("rk", F.row_number().over(cw))
-             .filter(F.col("rk") == 1)
-             .select("vec_id", "m", "cent_id"))
-    qd = (assign.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-          .select(F.col("vec_id").alias("query_id"), "m", "cent_id",
-                  "d2"))
+    d2 = _block_d2(F.col("sub"), F.col("c_sub")).alias("d2")
+    codes = (vec.withColumn("m", blocks)
+             .select("vec_id", "m", sub.alias("sub"))
+             .join(F.broadcast(pcent), "m")
+             .select("vec_id", "m", "cent_id", d2)
+             .groupBy("vec_id", "m")
+             .agg(F.min(F.struct(F.col("d2").alias("d"),
+                                 F.col("cent_id").alias("c")))
+                  .alias("b"))
+             .select("vec_id", "m", F.col("b.c").alias("cent_id")))
+    qd = (vec.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+          .withColumn("m", blocks)
+          .select(F.col("vec_id").alias("query_id"), "m",
+                  sub.alias("sub"))
+          .join(F.broadcast(pcent), "m")
+          .select("query_id", "m", "cent_id", d2))
+    qcell = cell.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell_id").alias("q_cell"))
     ncell = cell.select(F.col("vec_id").alias("n_id"),
                         F.col("cell_id").alias("n_cell"))
-    qcell = cell.select(F.col("vec_id").alias("query_id"),
-                        F.col("cell_id").alias("q_cell"))
-    adc = (codes
-           .join(ncell, codes.vec_id == F.col("n_id"))
-           .join(qd, ["m", "cent_id"])
-           .join(qcell, "query_id")
-           .filter((F.col("n_cell") == F.col("q_cell"))
-                   & (F.col("vec_id") != F.col("query_id")))
+    # broadcast knees: ~48 B per hashed (id, cell) row, 64 B per
+    # query-sided (query, m, cent, d2, cell) row; each side reverts
+    # to a plain shuffled equi-join past the heap-derived budget
+    budget = broadcast_budget_bytes(spark)
+    n_q = n // QUERY_STRIDE + 1
+    n_cb = n // cb_stride_for(n) + 1
+    if n_q * 48 <= budget:
+        qcell_below_budget = qcell
+        qcell = F.broadcast(qcell_below_budget)
+    cq = qd.join(qcell, "query_id")
+    if n * 48 <= budget:
+        ncell_below_budget = ncell
+        ncell = F.broadcast(ncell_below_budget)
+    codes_n = codes.join(ncell, codes.vec_id == F.col("n_id")) \
+        .drop("n_id")
+    if n_q * M_BLOCKS * n_cb * 64 <= budget:
+        cq_below_budget = cq
+        cq = F.broadcast(cq_below_budget)
+    adc = (codes_n.join(cq, (codes_n.m == cq.m)
+                        & (codes_n.cent_id == cq.cent_id)
+                        & (F.col("n_cell") == F.col("q_cell"))
+                        & (F.col("vec_id") != F.col("query_id")))
            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
            .agg(F.sum(F.col("d2").cast("decimal(38,10)")).alias("s")))
     w = Window.partitionBy("query_id").orderBy("s", "neighbor_id")

@@ -1199,6 +1199,18 @@ POSTING_BCAST_FACTOR = 8
 #: (doc, term)); 4x leaves ~9x margin on the memory-budget side.
 TFIDF_W_CACHE_FACTOR = 4
 
+#: conservative hashed-relation bytes per byte of document text for
+#: broadcasting the VOCABULARY (term -> document frequency) table in
+#: _tfidf_w.  Provable bound, not a calibration: every distinct
+#: term's characters appear in the text at least once and tokens are
+#: disjoint substrings, so vocab rows <= text_bytes / 2 (1-char
+#: token + separator is the densest packing) and each hashed row
+#: costs ~48 B overhead + the term bytes -> <= 28x text bytes; 32
+#: adds margin.  Past the heap-derived budget the build falls back
+#: to the window-over-the-stream shape, which never materializes the
+#: vocabulary anywhere.
+VOCAB_BCAST_FACTOR = 32
+
 TFIDF_COS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, source,
@@ -1353,31 +1365,58 @@ def _tfidf_w(spark, sf_dir):
     * n_docs comes from the parquet footer (driver-side peek, the
       catalog statistic) — no count job, no crossJoin stage.
 
-    The input scan is spread() BEFORE tokenize: beyond the usual
-    single-row-group parallelism, the explicit round-robin exchange
-    keeps AQE from coalescing the small downstream shuffles to one
-    partition, which would otherwise serialize the posting-list
-    self-join (measured 9s vs 1.6s at sf0.1)."""
+    Build-shape revision (r16, guide §2.3/§2.4 — the r15 verdict's
+    lexical-leg item, adjudicated by decomposition: the BUILD was
+    ~70% of the cleared pairs wall at sf0.1, not the posting
+    self-join, so the exchanges here are the real lever):
+
+    * the input scan is spread_by(doc_id) BEFORE tokenize — the
+      keyed variant of the round-robin spread (same single-row-group
+      parallelism rationale, same AQE-coalesce defense via a pinned
+      partition count, no-op at scale): hash(doc_id) is a SUBSET of
+      the tf grouping keys and exactly the nrm window's partitionBy,
+      so the tf aggregate AND the norm window reuse the one exchange
+      instead of paying one each;
+    * dfq comes from a combine-aggregated vocabulary table
+      (groupBy(term).count — tf rows are unique per (doc, term), the
+      same invariant the window form relied on) broadcast-joined
+      back, replacing the window's full-stream exchange on term with
+      a vocab-mass one; the broadcast is budget-gated on a PROVABLE
+      footer-bytes bound (VOCAB_BCAST_FACTOR) and degrades to the
+      r07 window-over-the-stream shape past it.
+
+    Measured (interleaved A/B at sf0.1, caches dropped, 3 reps):
+    build 0.92 -> 0.59 s min, full pairs query 1.48 -> 1.19 s min,
+    bit-identical output (exceptAll both ways = 0)."""
     import os
 
-    from ..io import (adaptive_cache_level, parquet_column_bytes,
-                      parquet_row_count)
+    from ..io import (adaptive_cache_level, broadcast_budget_bytes,
+                      parquet_column_bytes, parquet_row_count,
+                      spread_by)
 
     n_docs = parquet_row_count(os.path.join(sf_dir,
                                             "documents.parquet"))
-    d = spread(t(spark, sf_dir, "documents"))
+    text_bytes = parquet_column_bytes(
+        os.path.join(sf_dir, "documents.parquet"), "text")
+    d = spread_by(t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id", "source",
         F.explode(F.transform(tokens_col(F.col("text")),
                               lambda x: F.lower(x))).alias("term"))
     tf = toks.groupBy("doc_id", "source", "term").agg(
         F.count(F.lit(1)).alias("tfq"))
-    dfq = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    w = (tf.withColumn("dfq", dfq)
-         .select("doc_id", "source", "term", "dfq",
-                 F.round(F.col("tfq")
-                         * F.log(F.lit(float(n_docs))
-                                 / F.col("dfq")), 8).alias("w")))
+    if (text_bytes * VOCAB_BCAST_FACTOR
+            <= broadcast_budget_bytes(spark)):
+        vocab_below_budget = tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("dfq"))
+        tfd = tf.join(F.broadcast(vocab_below_budget), "term")
+    else:
+        tfd = tf.withColumn(
+            "dfq", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    w = tfd.select("doc_id", "source", "term", "dfq",
+                   F.round(F.col("tfq")
+                           * F.log(F.lit(float(n_docs))
+                                   / F.col("dfq")), 8).alias("w"))
     nrm = F.sqrt((F.sum(F.floor(F.col("w") * F.col("w") * 1e8 + 0.5)
                         .cast("long"))
                   .over(Window.partitionBy("doc_id"))
@@ -1390,11 +1429,9 @@ def _tfidf_w(spark, sf_dir):
     # persist degrades to DISK_ONLY exactly as before — measured
     # ~1s faster cleared walls at sf0.1 for every consumer of this
     # table (pairs 2.43 -> 1.39s, hybrid lex leg likewise).
-    text_b = parquet_column_bytes(
-        os.path.join(sf_dir, "documents.parquet"), "text")
     return (w.withColumn("nrm", nrm)
             .persist(adaptive_cache_level(
-                spark, text_b * TFIDF_W_CACHE_FACTOR)))
+                spark, text_bytes * TFIDF_W_CACHE_FACTOR)))
 
 
 def tfidf_query_cosine(spark, sf_dir, stride):

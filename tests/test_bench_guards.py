@@ -167,6 +167,37 @@ class TestCompactLine:
         from bench import COMPACT_LINE_BUDGET
         assert COMPACT_LINE_BUDGET <= 1950  # driver keeps last 2000
 
+    def test_core_with_all_headline_queries_fits_budget(self):
+        # r15 verdict #6: the r13/r14 parsed:null overflows came from
+        # field accretion — the REQUIRED (never-dropped) core with
+        # every headline query present must fit the budget ON ITS
+        # OWN, at worst-case numeric widths, so the driver's
+        # 2000-char tail parses even when every optional diagnostic
+        # is dropped.  Mirrors main()'s core dict field-for-field;
+        # adding a core field or a headline query re-runs this math.
+        from bench import (COMPACT_LINE_BUDGET, HEADLINE,
+                           ORACLE_EXACT_ANCHORS, PATHOLOGICAL_ORACLES,
+                           fit_compact_line)
+        core = {
+            "metric": "headline_queries_total_wall",
+            "value": 9999.999, "unit": "sec",
+            "queries": {n: 999.99 for n in HEADLINE},
+            "sf": 0.1, "duckdb_total": 99999.999,
+            "ratio_vs_duckdb": 99.999,
+            "value_ex_outlier": 9999.999,
+            "duckdb_total_ex_outlier": 99999.999,
+            "ratio_ex_outlier": 99.999,
+            "session_floor_s": 0.999,
+            "ratio_ex_outlier_floor_adjusted": 99.999,
+            "outliers_dropped": PATHOLOGICAL_ORACLES,
+            "parity_variants": ORACLE_EXACT_ANCHORS,
+            "full_artifact": "BENCH_LAST.json",
+        }
+        line, dropped = fit_compact_line(core, [])
+        assert dropped == []
+        assert len(line) <= COMPACT_LINE_BUDGET, len(line)
+        assert json.loads(line)["queries"] == core["queries"]
+
 
 def _ref(path: Path, queries: dict, outliers: list,
          duck_ex: float, sf: float = 0.1, wrap: bool = False):

@@ -62,6 +62,7 @@ def test_components_match_union_find_distributed(spark, edges):
           suppress_health_check=[HealthCheck.too_slow])
 @given(edges=edges_st)
 def test_star_components_match_union_find(spark, edges):
+    # default limit -> the r16 small-graph LOCAL path
     from energi_data_pipeline_spark.operators.graph import (
         connected_components_star)
 
@@ -72,17 +73,62 @@ def test_star_components_match_union_find(spark, edges):
     assert got == set(union_find(edges).items())
 
 
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_st)
+def test_star_components_match_union_find_distributed(spark, edges):
+    # local_limit=0 forces the alternating star loop — the 100 TB
+    # path must stay property-tested now that small graphs
+    # (including every test-SF corpus) take the local fast path
+    from energi_data_pipeline_spark.operators.graph import (
+        connected_components_star)
+
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "src int, dst int")
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components_star(
+               df, "src", "dst", local_limit=0).collect()}
+    assert got == set(union_find(edges).items())
+
+
 def test_star_handles_deep_chain(spark):
     """Diameter-59 path: min-label needs 59 rounds; star converges in
-    O(log^2 n) — this is the deep-graph case the operator exists for."""
+    O(log^2 n) — this is the deep-graph case the operator exists for.
+    local_limit=0 forces the star LOOP (the r16 default would
+    localize a 60-edge graph); the default path must agree."""
     from energi_data_pipeline_spark.operators.graph import (
         connected_components_star)
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(200, 260)], "s long, d long")
+    want = {(i, 200) for i in range(200, 261)}
     got = {(r["id"], r["cluster_id"])
-           for r in connected_components_star(chain, "s", "d").collect()}
-    assert got == {(i, 200) for i in range(200, 261)}
+           for r in connected_components_star(
+               chain, "s", "d", local_limit=0).collect()}
+    assert got == want
+    got_local = {(r["id"], r["cluster_id"])
+                 for r in connected_components_star(
+                     chain, "s", "d").collect()}
+    assert got_local == want
+
+
+def test_star_localization_boundary(spark):
+    """The star localization gate is inclusive at exactly
+    local_limit canonical edges, exclusive one below; both strategies
+    agree on labels, schema, and self-loop-only singleton coverage."""
+    from energi_data_pipeline_spark.operators.graph import (
+        connected_components_star)
+
+    # 3 canonical edges ((1,2),(2,3),(7,8)) + a self-loop-only vertex
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], "src long, dst long")
+    want = {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)}
+    at = connected_components_star(edges, "src", "dst", local_limit=3)
+    below = connected_components_star(edges, "src", "dst",
+                                      local_limit=2)
+    assert {tuple(r) for r in at.collect()} == want
+    assert {tuple(r) for r in below.collect()} == want
+    assert at.schema == below.schema
 
 
 def test_truncate_prefers_reliable_checkpoint_when_configured():

@@ -127,6 +127,25 @@ BOUNDED_BROADCAST_SIDES = {
                                      # heap-derived byte budget (same
                                      # class as gram_build_below_knee
                                      # / wq / vocab)
+    # --- r16 additions, each bounded or budget-gated:
+    "local_labels",                  # CC localization label table:
+                                     # bounded by CC_LOCAL_EDGE_LIMIT
+                                     # (graph._local_labels_df — the
+                                     # collect itself is count-gated)
+    "vocab_below_budget",            # TF-IDF term->df vocabulary:
+                                     # broadcast ONLY under the
+                                     # PROVABLE text-byte bound
+                                     # (text.VOCAB_BCAST_FACTOR) vs
+                                     # the heap budget; window form
+                                     # past it
+    "cell_below_budget",             # IVF cell-assignment table
+    "ncell_below_budget",            # (vec_id, cell_id): broadcast
+    "qcell_below_budget",            # ONLY under the heap budget at
+                                     # ~48 B/row, plain shuffled join
+                                     # past it (simsearch r16)
+    "cq_below_budget",               # query-sided (query, m, cent,
+                                     # d2, cell) table: same gate at
+                                     # its own row estimate
 }
 
 

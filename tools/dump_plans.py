@@ -22,6 +22,14 @@ import os
 import sys
 import traceback
 
+# the package is not installed; APPEND the repo root so running from
+# any cwd resolves energi_data_pipeline_spark, while a PYTHONPATH
+# pointing at an older extracted tree (the --suffix before workflow)
+# still wins (ADVICE r15)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.append(_REPO_ROOT)
+
 
 def explain_formatted(df) -> str:
     jdf = df._jdf
@@ -57,6 +65,10 @@ def main() -> None:
         except Exception:
             failed.append(name)
             text = traceback.format_exc()
+            # never let a traceback masquerade as a committed plan
+            # artifact (ADVICE r15): failures go to a loud side file
+            path = os.path.join(
+                args.out, f"{name}_{args.suffix}.FAILED.txt")
         with open(path, "w") as fh:
             fh.write(text)
         print(f"wrote {path} ({len(text)} chars)")
