@@ -444,6 +444,28 @@ JACCARD_T = 0.5
 GRAM_ROW_BCAST_BYTES = 32
 GRAM_BCAST_MAX_BYTES = 1_500_000_000
 
+#: estimated SERIALIZED gram-stream bytes per byte of document text,
+#: for the adaptive persist level of the exploded (doc, source, n,
+#: hash) stream: at most one gram occurrence per text character and
+#: ~30 B per serialized row -> 64 leaves a >2x margin.  Same lever
+#: as the r15 TF-IDF cache-level change (guide §5): serialized
+#: MEMORY_AND_DISK while the estimate fits the heap-fraction budget
+#: (the stream feeds BOTH self-join sides, so the disk round-trip
+#: was paid twice per query), DISK_ONLY past it — blocks stay
+#: evictable either way.  Measured at sf0.1: stream materialization
+#: 0.84 -> 0.70 s min.
+GRAM_CACHE_FACTOR = 64
+
+
+def _gram_cache_level(spark, sf_dir):
+    import os
+
+    from ..io import adaptive_cache_level, parquet_column_bytes
+
+    text_b = parquet_column_bytes(
+        os.path.join(sf_dir, "documents.parquet"), "text")
+    return adaptive_cache_level(spark, text_b * GRAM_CACHE_FACTOR)
+
 #: Target per-partition gram mass for the post-knee sort-merge
 #: branch.  Left at spark.sql.shuffle.partitions (32), the x100
 #: rehearsal's containment join put ~1/32 of a ~70 GB gram-pair
@@ -564,8 +586,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
     cheap length(s) pre-filter — a size(ga) filter invites predicate
     pushdown to inline the gram expression into an interpreted
     Filter (the 43s containment trap)."""
-    from pyspark import StorageLevel
-
     d = spread(t(spark, sf_dir, "documents"))
     s = norm_col()
     # dynamic-position substring needs the SQL expression form
@@ -582,7 +602,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
           .select("doc_id", "source", ga.alias("ga"))
           .withColumn("n", F.size("ga"))
           .select("doc_id", "source", "n", F.explode(gh).alias("h"))
-          .persist(StorageLevel.DISK_ONLY))
+          .persist(_gram_cache_level(spark, sf_dir)))
     a = gl.select(F.col("doc_id").alias("doc_a"), "source",
                   F.col("n").alias("n_a"), "h")
     b = gram_join_side(
@@ -889,8 +909,6 @@ def containment_inter(spark, sf_dir, slice_of=None):
     per-wave shuffle volume against executor-local disk on a
     cluster.  Slice-exactness is pinned in
     tests/test_plan_shapes.py::test_containment_slices_exact."""
-    from pyspark import StorageLevel
-
     d = spread(t(spark, sf_dir, "documents"))
     s = norm_col()
     ga = F.array_distinct(F.expr(
@@ -912,7 +930,7 @@ def containment_inter(spark, sf_dir, slice_of=None):
     if slice_of is not None:
         i, k = slice_of
         gl = gl.filter(F.pmod(F.col("h"), F.lit(k)) == F.lit(i))
-    gl = gl.persist(StorageLevel.DISK_ONLY)
+    gl = gl.persist(_gram_cache_level(spark, sf_dir))
     a = gl.select(F.col("doc_id").alias("doc_a"), "source",
                   F.col("n").alias("n_a"), "h")
     # corpus-adaptive join strategy — see GRAM_BCAST_MAX_BYTES

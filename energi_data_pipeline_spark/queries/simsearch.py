@@ -512,28 +512,38 @@ def sims_ivf_ann(spark, sf_dir):
     corpus-proportional, so the cell join is unhinted (AQE broadcasts
     it while it fits).  Ties and float drift are pinned by rounding
     cosines to 6 decimals and breaking by id on both engines."""
+    from ..io import broadcast_budget_bytes
+
     emb = spread(t(spark, sf_dir, "embeddings"))
     vec = emb.select(
         "vec_id", "embedding",
         _norm("embedding").alias("nrm")).cache()
+    n = corpus_size(sf_dir)
     cent = vec.filter(
-        F.col("vec_id") % cent_stride_for(corpus_size(sf_dir)) == 0
+        F.col("vec_id") % cent_stride_for(n) == 0
     ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"))
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cent_id"))
+    # r16 (same family as sims_ivfpq_ann): min-struct aggregation
+    # argmax instead of window rk=1, computed ONCE and cached — the
+    # member join and the query side both read the cache instead of
+    # re-running the corpus x centroids assignment
     cell = (
         vec.crossJoin(F.broadcast(cent))
         .select("vec_id", "cent_id",
                 F.round(_dot("embedding", "c_emb")
                         / (F.col("nrm") * F.col("c_nrm")), 6)
                 .alias("c_cos"))
-        .withColumn("rk", F.row_number().over(aw))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell_id")))
-    member = vec.join(cell, "vec_id")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("c_cos")).alias("nc"),
+                            F.col("cent_id").alias("c"))).alias("b"))
+        .select("vec_id", F.col("b.c").alias("cell_id"))
+        .cache())
+    cell_below_budget = cell
+    cell_j = (F.broadcast(cell_below_budget)
+              if n * 48 <= broadcast_budget_bytes(spark) else cell)
+    member = vec.join(cell_j, "vec_id")
     queries = (member.filter(F.col("vec_id") % QUERY_STRIDE == 0)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"),
@@ -923,21 +933,26 @@ def sims_label_centroid_margin(spark, sf_dir):
                 F.round(_dot("embedding", "c_emb")
                         / (F.col("nrm") * F.col("c_nrm")), 6)
                 .alias("cosine")))
-    own = (scored.filter(F.col("label") == F.col("c_label"))
-           .select("vec_id", "label",
-                   F.col("cosine").alias("cos_own")))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), "c_label")
-    other = (scored.filter(F.col("label") != F.col("c_label"))
-             .withColumn("rk", F.row_number().over(w))
-             .filter(F.col("rk") == 1)
-             .select("vec_id",
-                     F.col("c_label").alias("best_other_label"),
-                     F.col("cosine").alias("cos_other")))
-    return (own.join(other, "vec_id")
-            .select("vec_id", "label", "cos_own", "best_other_label",
-                    "cos_other",
-                    F.round(F.col("cos_own") - F.col("cos_other"), 6)
+    # r16: own-cosine and best-other collapse into ONE conditional
+    # aggregation over the scored stream — the old shape read the
+    # corpus x centroids cross twice (own filter + other window) and
+    # joined the halves back.  min-struct on (-cosine, c_label) is
+    # the window's orderBy(cosine DESC, c_label) rk=1 row; the
+    # null-filters reproduce the old INNER join (a row needs both an
+    # own-label centroid and at least one other label).
+    agg = (scored.groupBy("vec_id", "label")
+           .agg(F.max(F.when(F.col("label") == F.col("c_label"),
+                             F.col("cosine"))).alias("cos_own"),
+                F.min(F.when(F.col("label") != F.col("c_label"),
+                             F.struct((-F.col("cosine")).alias("nc"),
+                                      F.col("c_label").alias("l"))))
+                .alias("bo")))
+    return (agg.filter(F.col("cos_own").isNotNull()
+                       & F.col("bo").isNotNull())
+            .select("vec_id", "label", "cos_own",
+                    F.col("bo.l").alias("best_other_label"),
+                    (-F.col("bo.nc")).alias("cos_other"),
+                    F.round(F.col("cos_own") + F.col("bo.nc"), 6)
                     .alias("margin")))
 
 

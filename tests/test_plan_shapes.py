@@ -766,6 +766,45 @@ def test_tfidf_query_join_strategy_knee(spark, monkeypatch):
     spark.catalog.clearCache()
 
 
+def test_tfidf_w_vocab_budget_degrade(spark, monkeypatch):
+    # r16: _tfidf_w's document-frequency leg is a combine-aggregated
+    # vocabulary broadcast-joined back UNDER the byte budget and the
+    # r07 window-over-the-stream shape past it — the two paths must
+    # produce bit-identical weight tables (same dfq, same w, same
+    # nrm doubles: identical expressions, different join plan only)
+    from energi_data_pipeline_spark.queries.text import _tfidf_w
+    from tests.conftest import SF001
+
+    broad = sorted(map(tuple, _tfidf_w(spark, SF001).collect()))
+    spark.catalog.clearCache()
+    monkeypatch.setenv("SPARK_GRAFT_BCAST_BUDGET_BYTES", "1")
+    window = sorted(map(tuple, _tfidf_w(spark, SF001).collect()))
+    spark.catalog.clearCache()
+    assert len(broad) > 0
+    assert window == broad
+
+
+def test_ivfpq_and_cells_broadcast_budget_degrade(spark, registry,
+                                                  monkeypatch):
+    # r16: every new broadcast knee (ncell/qcell/cq in ivfpq, the
+    # cell side in semantic cells) must fall back to a plain
+    # shuffled equi-join past the budget with identical rows
+    from tests.conftest import SF0001
+
+    for name in ("sims_ivfpq_ann", "dedup_semantic_cells"):
+        base = sorted(map(tuple,
+                          registry[name].fn(spark, SF0001).collect()))
+        spark.catalog.clearCache()
+        monkeypatch.setenv("SPARK_GRAFT_BCAST_BUDGET_BYTES", "1")
+        degraded = sorted(map(tuple,
+                              registry[name].fn(spark,
+                                                SF0001).collect()))
+        monkeypatch.delenv("SPARK_GRAFT_BCAST_BUDGET_BYTES")
+        spark.catalog.clearCache()
+        assert len(base) > 0, name
+        assert degraded == base, name
+
+
 def test_doc_id_unique_across_sources(spark):
     # ADVICE r07 invariant pin: _tfidf_w's df = COUNT(*) OVER
     # (PARTITION BY term) equals COUNT(DISTINCT doc_id) per term
