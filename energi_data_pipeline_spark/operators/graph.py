@@ -297,11 +297,19 @@ def connected_components_star(edges: DataFrame, src: str, dst: str,
     driver by round ~8 without the checkpoint (measured)."""
     e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
           .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()))
-    # vertices seen only in self-loops survive as singleton clusters
-    verts = _truncate(
-        e0.select(F.col("a").alias("id"))
-        .union(e0.select(F.col("b").alias("id"))).distinct())
-    cur = _truncate(_canon(e0))
+    # ONE truncated base feeds both the canonical edge set and the
+    # vertex list (r16): the old shape checkpointed verts and cur
+    # separately, executing the whole upstream pair pipeline TWICE
+    # and materializing two tables — base keeps canonicalized
+    # self-loop rows so vertices seen only in self-loops still
+    # survive as singleton clusters, cur is a cheap filter over the
+    # checkpointed rows, verts a distinct over the same.
+    base = _truncate(
+        e0.select(F.greatest("a", "b").alias("a"),
+                  F.least("a", "b").alias("b")).distinct())
+    verts = (base.select(F.col("a").alias("id"))
+             .union(base.select(F.col("b").alias("id"))).distinct())
+    cur = base.filter(F.col("a") != F.col("b"))
     n_cur = cur.count()
     if stats is not None:
         stats.update(rounds=0, edges_initial=n_cur)
